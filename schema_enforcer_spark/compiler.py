@@ -1,0 +1,210 @@
+"""Row-rule compiler: manifest rules → Catalyst Column expressions.
+
+This is the engine's "validator compile" step — the analogue of building a
+cached Draft7Validator per schema (/root/reference/schema_enforcer/schemas/
+jsonschema.py:90-101), except the compiled artifact is a list of Catalyst
+``Column`` predicates + message expressions that Tungsten evaluates inside
+whole-stage codegen. No per-row Python anywhere (north_rule requirement).
+
+Error-message templates mirror jsonschema Draft-7 phrasing so that the
+pytest suite can cross-check collected violation rows against a real
+``jsonschema.Draft7Validator`` oracle (SURVEY.md §5; exact strings e.g.
+"True is not of type 'string'" /root/reference/tests/test_jsonschema.py:89,
+format strings /root/reference/tests/conftest.py:9-20).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from schema_enforcer_spark.formats import format_predicate
+from schema_enforcer_spark.manifest import Manifest, Rule
+
+
+@dataclass
+class CompiledRule:
+    """One row rule, ready for the single-pass violation projection."""
+
+    rule_id: str            # "<manifest_id>/<kind>/<column>"
+    column: str | None      # column under test (None for strict_columns)
+    predicate: Column       # True ⇒ row passes this rule
+    message: Column         # jsonschema-parity error message (only read when predicate is False)
+    failing_value: Column   # string-cast offending value (F5 coercion, validation.py:19)
+
+
+def _dtype_of(df: DataFrame, name: str) -> T.DataType:
+    for f_ in df.schema.fields:
+        if f_.name == name:
+            return f_.dataType
+    raise KeyError(f"column {name!r} not in DataFrame columns {df.columns}")
+
+
+def py_repr(col: Column, dtype: T.DataType) -> Column:
+    """Python ``repr()`` of a scalar value, as a Column — needed because
+    jsonschema interpolates ``repr(instance)`` into its messages."""
+    if isinstance(dtype, T.StringType):
+        return F.when(col.isNull(), F.lit("None")).otherwise(F.concat(F.lit("'"), col, F.lit("'")))
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col.isNull(), F.lit("None")).when(col, F.lit("True")).otherwise(F.lit("False"))
+    if isinstance(dtype, T.TimestampType):
+        return F.when(col.isNull(), F.lit("None")).otherwise(F.concat(F.lit("'"), col.cast("string"), F.lit("'")))
+    return F.when(col.isNull(), F.lit("None")).otherwise(col.cast("string"))
+
+
+def _num_lit_repr(v: float | int) -> str:
+    """Render a numeric manifest literal the way Python would."""
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        return repr(v)
+    return repr(v)
+
+
+_SPARK_TYPE_CHECK = {
+    # JSONSchema type name → (predicate builder over the raw column, accepts-null)
+    # Values arrive typed from parquet; a "type" rule therefore checks the
+    # *value domain* (e.g. a string column holding what must parse as int).
+    "string": lambda c, dt: F.lit(isinstance(dt, T.StringType)) if not isinstance(dt, T.StringType) else F.lit(True),
+    "integer": lambda c, dt: (
+        F.lit(True)
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType))
+        else (c.isNull() | F.try_cast(c, "long").isNotNull() & ~c.rlike(r"[^\s0-9+-]"))
+        if isinstance(dt, T.StringType)
+        else F.lit(False)
+    ),
+    "number": lambda c, dt: (
+        F.lit(True)
+        if isinstance(dt, T.NumericType)
+        else (c.isNull() | F.try_cast(c, "double").isNotNull())
+        if isinstance(dt, T.StringType)
+        else F.lit(False)
+    ),
+    "boolean": lambda c, dt: (
+        F.lit(True)
+        if isinstance(dt, T.BooleanType)
+        else (c.isNull() | F.lower(c).isin("true", "false"))
+        if isinstance(dt, T.StringType)
+        else F.lit(False)
+    ),
+    "timestamp": lambda c, dt: (
+        F.lit(True) if isinstance(dt, T.TimestampType) else (c.isNull() | F.try_to_timestamp(c).isNotNull())
+    ),
+    "null": lambda c, dt: c.isNull(),
+    "array": lambda c, dt: F.lit(isinstance(dt, T.ArrayType)),
+}
+
+
+def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRule:
+    col_name = rule.get("column")
+    col = F.col(col_name) if col_name else None
+    dtype = _dtype_of(df, col_name) if col_name else None
+    rep = py_repr(col, dtype) if col_name else None
+    custom_msg = rule.get("message")
+
+    kind = rule.kind
+    if kind == "required":
+        pred = col.isNotNull()
+        msg = F.lit(f"'{col_name}' is a required property")
+    elif kind == "not_empty":
+        pred = col.isNotNull() & (F.length(col.cast("string")) > 0)
+        msg = F.when(col.isNull(), F.lit(f"'{col_name}' is a required property")).otherwise(
+            F.concat(rep, F.lit(" is too short"))
+        )
+    elif kind == "type":
+        want = rule.params["type"]
+        pred = _SPARK_TYPE_CHECK[want](col, dtype)
+        msg = F.concat(rep, F.lit(f" is not of type '{want}'"))
+    elif kind == "enum":
+        values = rule.params["values"]
+        pred = col.isNull() | col.isin(*values)
+        msg = F.concat(rep, F.lit(f" is not one of {values!r}"))
+    elif kind == "pattern":
+        pattern = rule.params["pattern"]
+        pred = col.isNull() | col.rlike(pattern)
+        msg = F.concat(rep, F.lit(f" does not match {pattern!r}"))
+    elif kind == "format":
+        fmt = rule.params["format"]
+        pred = format_predicate(col, fmt)
+        msg = F.concat(rep, F.lit(f" is not a '{fmt}'"))
+    elif kind == "range":
+        pred = F.lit(True)
+        msg = F.lit("")
+        branches = []
+        if (lo := rule.get("minimum")) is not None:
+            branches.append((col < F.lit(lo), F.concat(rep, F.lit(f" is less than the minimum of {_num_lit_repr(lo)}"))))
+        if (xlo := rule.get("exclusive_minimum")) is not None:
+            branches.append(
+                (col <= F.lit(xlo), F.concat(rep, F.lit(f" is less than or equal to the minimum of {_num_lit_repr(xlo)}")))
+            )
+        if (hi := rule.get("maximum")) is not None:
+            branches.append((col > F.lit(hi), F.concat(rep, F.lit(f" is greater than the maximum of {_num_lit_repr(hi)}"))))
+        if (xhi := rule.get("exclusive_maximum")) is not None:
+            branches.append(
+                (
+                    col >= F.lit(xhi),
+                    F.concat(rep, F.lit(f" is greater than or equal to the maximum of {_num_lit_repr(xhi)}")),
+                )
+            )
+        fail = None
+        for cond, _ in branches:
+            fail = cond if fail is None else (fail | cond)
+        pred = col.isNull() | ~fail
+        msg = F.coalesce(
+            *[F.when(cond, m) for cond, m in branches], F.lit("")
+        )
+    elif kind == "length":
+        ln = F.length(col) if isinstance(dtype, T.StringType) else F.size(col)
+        conds, msgs = [], []
+        if (mn := rule.get("min_length")) is not None:
+            conds.append(ln < mn)
+            msgs.append(F.concat(rep, F.lit(" is too short")))
+        if (mx := rule.get("max_length")) is not None:
+            conds.append(ln > mx)
+            msgs.append(F.concat(rep, F.lit(" is too long")))
+        fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+        pred = col.isNull() | ~fail
+        msg = F.coalesce(*[F.when(c, m) for c, m in zip(conds, msgs)], F.lit(""))
+    elif kind == "multiple_of":
+        n = rule.params["multiple_of"]
+        pred = col.isNull() | (col.cast("double") % F.lit(float(n)) == 0.0)
+        msg = F.concat(rep, F.lit(f" is not a multiple of {_num_lit_repr(n)}"))
+    elif kind == "unique_items":
+        pred = col.isNull() | (F.array_size(F.array_distinct(col)) == F.array_size(col))
+        msg = F.concat(F.to_json(col), F.lit(" has non-unique elements"))
+    else:
+        raise ValueError(f"not a row rule: {kind}")
+
+    if custom_msg:
+        msg = F.lit(custom_msg)
+    fv = col.cast("string") if col_name else F.lit(None).cast("string")
+    rid = rule.get("id") or f"{manifest_id}/{kind}/{col_name or '*'}"
+    return CompiledRule(rule_id=rid, column=col_name, predicate=pred, message=msg, failing_value=fv)
+
+
+def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
+    """Compile all row rules, skipping rules on columns the DataFrame lacks
+    (column presence is the strict/required concern, handled separately —
+    mirrors the reference skipping non-matching schemas,
+    /root/reference/schema_enforcer/instances/file.py:193-195)."""
+    compiled = []
+    for rule in manifest.row_rules:
+        col_name = rule.get("column")
+        if col_name and col_name not in df.columns:
+            if rule.kind in ("required", "not_empty"):
+                # Missing column ≡ missing required property for every row.
+                compiled.append(
+                    CompiledRule(
+                        rule_id=rule.get("id") or f"{manifest.id}/required/{col_name}",
+                        column=col_name,
+                        predicate=F.lit(False),
+                        message=F.lit(f"'{col_name}' is a required property"),
+                        failing_value=F.lit(None).cast("string"),
+                    )
+                )
+            continue
+        compiled.append(compile_row_rule(df, manifest.id, rule))
+    return compiled

@@ -1,0 +1,489 @@
+"""ValidationEngine — evaluates a compiled manifest over a DataFrame.
+
+Execution shape (SURVEY.md §4.2, all public DataFrame API — no custom
+Catalyst rules needed):
+
+1. **Single-pass row-rule projection**: one ``select`` that evaluates every
+   row rule at once and emits ``array<struct>`` of violations, then
+   ``explode``s the compacted array. N rules, ONE scan, whole-stage codegen.
+   This is the distributed analogue of ``iter_errors`` emitting *all*
+   errors per document (/root/reference/schema_enforcer/schemas/jsonschema.py:64-70)
+   without the reference's per-schema re-walk loop
+   (/root/reference/schema_enforcer/instances/file.py:193-199).
+2. **Table-grain rules** (uniqueness, referential, ordering, aggregate)
+   each compile to a groupBy / join / window plan — shuffles only on their
+   keys; referential uses a broadcast-able distinct key set.
+3. **Verdicts**: per-instance (partition) PASS/FAIL via one aggregation,
+   right-outer against the partition universe so clean partitions still get
+   a PASS row (default-PASS semantics, A4 —
+   /root/reference/schema_enforcer/schemas/validator.py:39-44).
+
+Violation-row schema mirrors the reference's ValidationResult
+(/root/reference/schema_enforcer/validation.py:11-32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.compiler import CompiledRule, compile_row_rule, compile_row_rules, py_repr, _dtype_of
+from schema_enforcer_spark.manifest import Manifest, Rule
+
+VIOLATION_COLUMNS = [
+    "schema_id",
+    "result",
+    "instance_name",
+    "instance_location",
+    "instance_type",
+    "absolute_path",
+    "failing_value",
+    "message",
+]
+
+_VIOLATION_SCHEMA_DDL = (
+    "schema_id string, result string, instance_name string, instance_location string, "
+    "instance_type string, absolute_path array<string>, failing_value string, message string"
+)
+
+
+@dataclass
+class ValidationReport:
+    violations: DataFrame   # one row per (instance, rule, offending value)
+    verdicts: DataFrame     # one row per instance: PASS/FAIL + n_violations
+
+    def passes(self) -> bool:
+        """Exit-code semantics: any FAIL ⇒ False
+        (/root/reference/schema_enforcer/cli.py:104-107)."""
+        return self.violations.limit(1).count() == 0
+
+
+def _comparison(op: str, left: Column, right: Column) -> Column:
+    # Operator set mirrors JmesPathModelValidation
+    # (/root/reference/schema_enforcer/schemas/validator.py:70-86).
+    if op == "gt":
+        return left > right
+    if op == "gte":
+        return left >= right
+    if op == "eq":
+        return left == right
+    if op == "lt":
+        return left < right
+    if op == "lte":
+        return left <= right
+    if op == "contains":
+        return F.array_contains(left, right)
+    raise ValueError(f"unknown comparison operator {op!r}")
+
+
+def _agg_side(spec) -> Column:
+    """Compile one side of an aggregate rule to an agg Column.
+
+    Spec forms: a number/literal; or {"fn": count|count_distinct|sum|min|max|avg,
+    "column": c, "filter": "<sql bool expr>"} — the declarative analogue of the
+    reference's compiled-JMESPath aggregates
+    (/root/reference/tests/fixtures/test_validators/validators/check_interfaces.py:15-23)."""
+    if not isinstance(spec, dict):
+        return F.lit(spec)
+    fn = spec.get("fn", "count")
+    col = F.col(spec["column"]) if spec.get("column") else F.lit(1)
+    if flt := spec.get("filter"):
+        col = F.when(F.expr(flt), col)
+    if fn == "count":
+        return F.count(col)
+    if fn == "count_distinct":
+        return F.count_distinct(col)
+    if fn == "sum":
+        return F.sum(col)
+    if fn == "min":
+        return F.min(col)
+    if fn == "max":
+        return F.max(col)
+    if fn == "avg":
+        return F.avg(col)
+    raise ValueError(f"unknown aggregate fn {fn!r}")
+
+
+class ValidationEngine:
+    """Compile once on the driver, run as few Spark jobs as possible.
+
+    Parameters
+    ----------
+    manifest : compiled rule set (``load_manifest`` output).
+    key_columns : columns identifying a row for ``absolute_path``
+        (default ``["conv_id", "turn_idx"]`` per input_hint).
+    instance_expr : SQL expression string for the instance (partition) an
+        offending row belongs to. Defaults to the ``partition_id`` column if
+        present, else ``pmod(hash(conv_id), 32)`` — the Parquet-mode stand-in
+        for Iceberg ``bucket(N, conv_id)`` partitioning (SURVEY.md §1.3).
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        key_columns: list[str] | None = None,
+        instance_expr: str | None = None,
+        num_buckets: int = 32,
+    ):
+        self.manifest = manifest
+        self.key_columns = key_columns or ["conv_id", "turn_idx"]
+        self.instance_expr = instance_expr
+        self.num_buckets = num_buckets
+
+    # -- helpers -----------------------------------------------------------
+
+    def _instance_col(self, df: DataFrame) -> Column:
+        if self.instance_expr:
+            return F.expr(self.instance_expr).cast("string")
+        if "partition_id" in df.columns:
+            return F.col("partition_id").cast("string")
+        anchor = self.key_columns[0]
+        if anchor in df.columns:
+            return F.pmod(F.hash(F.col(anchor)), F.lit(self.num_buckets)).cast("string")
+        return F.lit("0")
+
+    def _path(self, df: DataFrame, leaf: str | None) -> Column:
+        elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
+        if leaf:
+            elems.append(F.lit(leaf))
+        # Number→string coercion is required for violation-row parity
+        # (coerce_numbers_to_str, /root/reference/schema_enforcer/validation.py:19).
+        return F.array(*elems) if elems else F.array().cast("array<string>")
+
+    def _wrap(self, df: DataFrame, schema_id: Column, path: Column, failing_value: Column, message: Column) -> list[Column]:
+        return [
+            schema_id.alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            self._instance_col(df).alias("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            path.alias("absolute_path"),
+            failing_value.alias("failing_value"),
+            message.alias("message"),
+        ]
+
+    # -- row rules ---------------------------------------------------------
+
+    def _compile_conditionals(self, df: DataFrame) -> list[CompiledRule]:
+        out = []
+        for rule in self.manifest.table_rules:
+            if rule.kind != "conditional":
+                continue
+            when, then = rule.params["when"], rule.params["then"]
+            wc = F.col(when["column"])
+            if "equals" in when:
+                cond = wc.eqNullSafe(F.lit(when["equals"]))
+            elif "in" in when:
+                cond = wc.isin(*when["in"])
+            elif when.get("is_null"):
+                cond = wc.isNull()
+            else:
+                raise ValueError(f"conditional 'when' needs equals/in/is_null: {when}")
+            tc_name = then["column"]
+            tc = F.col(tc_name)
+            dtype = _dtype_of(df, tc_name)
+            rep = py_repr(tc, dtype)
+            if then.get("required"):
+                inner, msg = tc.isNotNull(), F.lit(f"'{tc_name}' is a required property")
+            elif then.get("is_null"):
+                inner, msg = tc.isNull(), F.concat(rep, F.lit(f" is not of type 'null'"))
+            elif "pattern" in then:
+                inner = tc.isNull() | tc.rlike(then["pattern"])
+                msg = F.concat(rep, F.lit(f" does not match {then['pattern']!r}"))
+            elif "equals" in then:
+                inner = tc.eqNullSafe(F.lit(then["equals"]))
+                msg = F.concat(rep, F.lit(f" is not equal to {then['equals']!r}"))
+            else:
+                raise ValueError(f"conditional 'then' needs required/is_null/pattern/equals: {then}")
+            pred = ~cond | inner
+            if m := rule.get("message"):
+                msg = F.lit(m)
+            out.append(
+                CompiledRule(
+                    rule_id=rule.get("id") or f"{self.manifest.id}/conditional/{tc_name}",
+                    column=tc_name,
+                    predicate=pred,
+                    message=msg,
+                    failing_value=tc.cast("string"),
+                )
+            )
+        return out
+
+    def row_violations(self, df: DataFrame) -> DataFrame | None:
+        compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
+        if not compiled:
+            return None
+        structs = [
+            F.when(
+                ~F.coalesce(cr.predicate, F.lit(True)),
+                F.struct(
+                    F.lit(cr.rule_id).alias("schema_id"),
+                    self._path(df, cr.column).alias("absolute_path"),
+                    cr.failing_value.alias("failing_value"),
+                    cr.message.alias("message"),
+                ),
+            )
+            for cr in compiled
+        ]
+        exploded = (
+            df.select(
+                self._instance_col(df).alias("instance_name"),
+                F.array_compact(F.array(*structs)).alias("_v"),
+            )
+            # explode drops empty arrays ⇒ clean rows vanish before the shuffle
+            .select("instance_name", F.explode("_v").alias("v"))
+        )
+        return exploded.select(
+            F.col("v.schema_id").alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.col("v.absolute_path").alias("absolute_path"),
+            F.col("v.failing_value").alias("failing_value"),
+            F.col("v.message").alias("message"),
+        )
+
+    # -- table rules -------------------------------------------------------
+
+    def _unique_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        cols = rule.params["columns"]
+        rid = rule.get("id") or f"{self.manifest.id}/unique/{'+'.join(cols)}"
+        key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        dups = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_n"), F.first(self._instance_col(df)).alias("instance_name"))
+            .filter(F.col("_n") > 1)
+        )
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit("("), key_str, F.lit(f") appears "), F.col("_n").cast("string"),
+                F.lit(f" times; ({', '.join(cols)}) must be unique"),
+            )
+        )
+        return dups.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
+            key_str.alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _referential_violations(self, df: DataFrame, rule: Rule, ref_tables: dict[str, DataFrame]) -> DataFrame:
+        # CheckPeers-style referential check via left-anti join
+        # (/root/reference/tests/fixtures/test_validators/validators/check_peers.py:54-82
+        # rebuilt as a distributed anti-join, SURVEY.md §2.3 J4).
+        cols = rule.params["columns"]
+        ref_name, ref_cols = rule.params["ref_table"], rule.params["ref_columns"]
+        if ref_name not in ref_tables:
+            raise KeyError(f"referential rule needs ref table {ref_name!r} in ref_tables")
+        rid = rule.get("id") or f"{self.manifest.id}/referential/{'+'.join(cols)}"
+        ref_keys = ref_tables[ref_name].select(*[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]).dropDuplicates()
+        # Distinct fact keys first: anti-join runs on |distinct keys|, not |rows|.
+        orphan_keys = df.select(*cols, self._instance_col(df).alias("instance_name")).dropDuplicates(cols)
+        orphans = orphan_keys.join(F.broadcast(ref_keys) if rule.get("broadcast", True) else ref_keys, on=cols, how="left_anti")
+        key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit("'"), key_str, F.lit(f"' is not present in {ref_name}({', '.join(ref_cols)})")
+            )
+        )
+        return orphans.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
+            key_str.alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _ordering_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        # W1 ordering window: value must be (strictly) increasing with
+        # order_by within partition_by (north_star stable-turn-ordering invariant).
+        from pyspark.sql.window import Window
+
+        col_name = rule.params["column"]
+        part, order = rule.params["partition_by"], rule.params["order_by"]
+        strictly = rule.get("strictly", True)
+        rid = rule.get("id") or f"{self.manifest.id}/ordering/{col_name}"
+        w = Window.partitionBy(*part).orderBy(*order)
+        col = F.col(col_name)
+        keep = list(dict.fromkeys([*part, *order, col_name, *[k for k in self.key_columns if k in df.columns]]))
+        with_prev = df.select(
+            *keep,
+            self._instance_col(df).alias("instance_name"),
+            F.lag(col).over(w).alias("_prev"),
+        )
+        bad = (col <= F.col("_prev")) if strictly else (col < F.col("_prev"))
+        flagged = with_prev.filter(F.coalesce(bad, F.lit(False)))
+        word = "strictly increasing" if strictly else "non-decreasing"
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit(f"'{col_name}' value "), col.cast("string"),
+                F.lit(f" is not {word} (previous "), F.col("_prev").cast("string"), F.lit(")"),
+            )
+        )
+        return flagged.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            self._path(flagged, col_name).alias("absolute_path"),
+            col.cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _contiguous_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        # turn_idx must be exactly 0..n-1 per conv_id: compare to
+        # row_number()-1 under the stable ordering window (W1).
+        from pyspark.sql.window import Window
+
+        col_name = rule.params["column"]
+        part = rule.params["partition_by"]
+        rid = rule.get("id") or f"{self.manifest.id}/contiguous/{col_name}"
+        w = Window.partitionBy(*part).orderBy(F.col(col_name).asc())
+        expected = F.row_number().over(w) - 1
+        flagged = df.select(
+            *part, col_name, self._instance_col(df).alias("instance_name"), expected.alias("_exp")
+        ).filter(F.col(col_name) != F.col("_exp"))
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit(f"'{col_name}' value "), F.col(col_name).cast("string"),
+                F.lit(" breaks contiguity (expected "), F.col("_exp").cast("string"), F.lit(")"),
+            )
+        )
+        return flagged.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            self._path(flagged, col_name).alias("absolute_path"),
+            F.col(col_name).cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _aggregate_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        group = rule.get("group_by", ["conv_id"])
+        rid = rule.get("id") or f"{self.manifest.id}/aggregate/{'+'.join(group)}"
+        left = _agg_side(rule.params["left"]).alias("_left")
+        right_spec = rule.params["right"]
+        # Both sides compile into ONE agg() — no second scan (SURVEY.md §4.2 #4,
+        # rhs-as-expression parity with check_interfaces_ipv4.py:30-38).
+        aggs = [left] if not isinstance(right_spec, dict) else [left, _agg_side(right_spec).alias("_right")]
+        grouped = df.groupBy(*group).agg(*aggs)
+        right = F.col("_right") if isinstance(right_spec, dict) else F.lit(right_spec)
+        failing = grouped.filter(~F.coalesce(_comparison(rule.params["operator"], F.col("_left"), right), F.lit(False)))
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit(f"aggregate check failed: left="), F.col("_left").cast("string"),
+                F.lit(f" {rule.params['operator']} right="), right.cast("string"), F.lit(" is false"),
+            )
+        )
+        inst = F.pmod(F.hash(F.col(group[0])), F.lit(self.num_buckets)).cast("string") if not self.instance_expr else F.expr(self.instance_expr).cast("string")
+        return failing.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            inst.alias("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(*[F.col(g).cast("string") for g in group]).alias("absolute_path"),
+            F.col("_left").cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _strict_violations(self, df: DataFrame, rule: Rule | None) -> DataFrame | None:
+        # additionalProperties:false at table grain — compile-time set diff
+        # (/root/reference/schema_enforcer/schemas/jsonschema.py:103-134; message
+        # parity with tests/test_jsonschema.py:98-105).
+        declared = set(self.manifest.columns)
+        if rule is not None and rule.get("columns"):
+            declared = set(rule.params["columns"])
+        if not declared:
+            return None
+        extras = sorted(set(df.columns) - declared - {"partition_id"})
+        if not extras:
+            return None
+        spark = df.sparkSession
+        rid = (rule.get("id") if rule else None) or f"{self.manifest.id}/strict_columns"
+        rows = [
+            (
+                rid, "FAIL", "table", self.manifest.table, "PARTITION",
+                [c], c, f"Additional properties are not allowed ('{c}' was unexpected)",
+            )
+            for c in extras
+        ]
+        return spark.createDataFrame(rows, _VIOLATION_SCHEMA_DDL)
+
+    # -- orchestration -----------------------------------------------------
+
+    def violations(self, df: DataFrame, ref_tables: dict[str, DataFrame] | None = None) -> DataFrame:
+        ref_tables = ref_tables or {}
+        parts: list[DataFrame] = []
+        if (rv := self.row_violations(df)) is not None:
+            parts.append(rv)
+        strict_rule = next((r for r in self.manifest.table_rules if r.kind == "strict_columns"), None)
+        if self.manifest.strict or strict_rule is not None:
+            if (sv := self._strict_violations(df, strict_rule)) is not None:
+                parts.append(sv)
+        for rule in self.manifest.table_rules:
+            if rule.kind == "unique":
+                parts.append(self._unique_violations(df, rule))
+            elif rule.kind == "referential":
+                parts.append(self._referential_violations(df, rule, ref_tables))
+            elif rule.kind == "ordering":
+                parts.append(self._ordering_violations(df, rule))
+            elif rule.kind == "contiguous":
+                parts.append(self._contiguous_violations(df, rule))
+            elif rule.kind == "aggregate":
+                parts.append(self._aggregate_violations(df, rule))
+            elif rule.kind == "drift":
+                from schema_enforcer_spark.stats import drift_violations
+
+                parts.append(drift_violations(self, df, rule))
+        if not parts:
+            return df.sparkSession.createDataFrame([], _VIOLATION_SCHEMA_DDL)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def verdicts(self, df: DataFrame, violations: DataFrame) -> DataFrame:
+        universe = df.select(self._instance_col(df).alias("instance_name")).dropDuplicates()
+        fails = violations.groupBy("instance_name").agg(F.count(F.lit(1)).alias("n_violations"))
+        return (
+            universe.join(fails, "instance_name", "left")
+            .select(
+                F.lit(self.manifest.id).alias("schema_id"),
+                F.col("instance_name"),
+                F.when(F.coalesce(F.col("n_violations"), F.lit(0)) > 0, F.lit("FAIL"))
+                .otherwise(F.lit("PASS"))
+                .alias("result"),
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            )
+        )
+
+    def validate(self, df: DataFrame, ref_tables: dict[str, DataFrame] | None = None) -> ValidationReport:
+        violations = self.violations(df, ref_tables)
+        return ValidationReport(violations=violations, verdicts=self.verdicts(df, violations))

@@ -1,0 +1,92 @@
+"""Format validators (P7 in SURVEY.md §2.2) as Catalyst-compilable regexes.
+
+The reference enables jsonschema's Draft-7 FORMAT_CHECKER
+(/root/reference/schema_enforcer/schemas/jsonschema.py:34) and its test corpus
+exercises exactly ten formats (/root/reference/tests/conftest.py:9-20):
+ipv4, ipv6, hostname, date, time, date-time, uri, email, json-pointer, regex.
+
+Each format maps to a pure-SQL predicate builder so the check stays inside
+whole-stage codegen (no Python UDF). Error message template matches
+jsonschema's FormatChecker phrasing: ``'<value>' is not a '<format>'``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Anchored regexes. These intentionally track what jsonschema's
+# format-nongpl checkers accept for the values this engine sees (flat string
+# columns); they are documented public regex idioms, not copies of any code.
+_IPV4 = r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+
+# RFC-4291-ish: full/compressed hextet forms, optional trailing IPv4.
+_IPV6 = (
+    r"^("
+    r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"|::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r")$"
+)
+
+# RFC-1123 hostname: labels of alnum/hyphen, no leading/trailing hyphen.
+_HOSTNAME = r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+
+_DATE = r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$"
+_TIME = r"^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+_DATETIME = (
+    r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])[Tt ]"
+    r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+)
+
+# RFC-3986 "has a scheme" check — jsonschema's uri checker rejects 'sftp//'.
+_URI = r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"
+
+_EMAIL = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+
+# RFC-6901: empty string, or /-prefixed segments with ~ only as ~0 / ~1.
+_JSON_POINTER = r"^(/([^/~]|~[01])*)*$"
+
+FORMAT_REGEX: dict[str, str] = {
+    "ipv4": _IPV4,
+    "ipv6": _IPV6,
+    "hostname": _HOSTNAME,
+    "date": _DATE,
+    "time": _TIME,
+    "date-time": _DATETIME,
+    "uri": _URI,
+    "email": _EMAIL,
+    "json-pointer": _JSON_POINTER,
+}
+
+SUPPORTED_FORMATS = sorted(FORMAT_REGEX) + ["regex"]
+
+
+def format_predicate(col: Column, fmt: str) -> Column:
+    """True iff *col* satisfies *fmt*. NULL inputs return True (jsonschema
+    format checks only apply to present string values; nullability is a
+    separate `required` rule)."""
+    if fmt == "regex":
+        # A value is a valid regex iff regexp_count doesn't throw; Spark has
+        # no try_ variant for compile, so approximate with a structural check:
+        # balanced brackets/parens and no lone trailing backslash. This
+        # catches the reference corpus case ('[' is not a 'regex').
+        balanced = (
+            (F.length(F.regexp_replace(col, r"[^\[]", "")) == F.length(F.regexp_replace(col, r"[^\]]", "")))
+            & (F.length(F.regexp_replace(col, r"[^(]", "")) == F.length(F.regexp_replace(col, r"[^)]", "")))
+            & ~col.rlike(r"(^|[^\\])(\\\\)*\\$")
+        )
+        return col.isNull() | balanced
+    try:
+        pattern = FORMAT_REGEX[fmt]
+    except KeyError:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {SUPPORTED_FORMATS}") from None
+    return col.isNull() | col.rlike(pattern)

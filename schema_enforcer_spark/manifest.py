@@ -1,0 +1,248 @@
+"""Constraint-manifest model + loader (the reference's "schema" analogue).
+
+A manifest is the declarative rule set the engine compiles to Catalyst
+expressions — the role JSONSchema documents play in the reference
+(/root/reference/schema_enforcer/schemas/jsonschema.py:18-34: ``$id``-keyed,
+loaded from YAML/JSON). Like the reference, the manifest is itself validated
+against a meta-schema before any data work, failing fast
+(/root/reference/schema_enforcer/schemas/manager.py:75-77 →
+InvalidJSONSchema, exceptions.py:23-38).
+
+Rule kinds cover the reference's Draft-7 surface (SURVEY.md §2.2 P5-P13)
+plus the table-grain rules the north star mandates (U1 uniqueness, J4
+referential, W1 ordering, A1/A2 aggregate thresholds, A8 drift).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import jsonschema
+import yaml
+
+from schema_enforcer_spark.formats import SUPPORTED_FORMATS
+
+
+class InvalidManifest(Exception):
+    """Manifest failed meta-validation — raised before any Spark job
+    (mirrors the reference's InvalidJSONSchema fail-fast,
+    /root/reference/schema_enforcer/exceptions.py:23-38)."""
+
+    def __init__(self, errors: list[str]):
+        self.errors = errors
+        super().__init__("\n".join(errors))
+
+
+ROW_RULE_KINDS = {
+    "type",          # P5
+    "required",      # P6
+    "format",        # P7
+    "pattern",       # P8
+    "enum",          # P9
+    "range",         # P10  (minimum/maximum/exclusive*)
+    "length",        # P11  (minLength/maxLength)
+    "multiple_of",   # P11
+    "unique_items",  # P13  (array column: elements distinct within the cell)
+    "not_empty",     # convenience: required + minLength 1
+}
+
+TABLE_RULE_KINDS = {
+    "unique",        # U1: (cols...) unique across the table
+    "referential",   # J4: cols must exist in a reference table
+    "ordering",      # W1: order_by strictly monotonic per partition_by
+    "contiguous",    # W1: column must equal 0..n-1 per partition_by
+    "aggregate",     # A1/A2: left <op> right per group
+    "strict_columns",  # P12: additionalProperties false at table grain
+    "conditional",   # tool non-null iff role='tool' style implications
+    "drift",         # A8: KS/PSI vs a baseline histogram
+}
+
+RULE_KINDS = ROW_RULE_KINDS | TABLE_RULE_KINDS
+
+_COMPARISON_OPS = {"gt", "gte", "eq", "lt", "lte", "contains"}  # validator.py:70-86 parity
+
+# Meta-schema for manifests — plays the role of the reference's Draft-7
+# meta-schema check (/root/reference/schema_enforcer/schemas/jsonschema.py:136-172).
+MANIFEST_META_SCHEMA: dict[str, Any] = {
+    "type": "object",
+    "required": ["id", "rules"],
+    "properties": {
+        "id": {"type": "string", "minLength": 1},
+        "table": {"type": "string"},
+        "columns": {"type": "array", "items": {"type": "string"}},
+        "strict": {"type": "boolean"},
+        "rules": {
+            "type": "array",
+            "minItems": 1,
+            "items": {
+                "type": "object",
+                "required": ["kind"],
+                "properties": {
+                    "kind": {"enum": sorted(RULE_KINDS)},
+                    "column": {"type": "string"},
+                    "columns": {"type": "array", "items": {"type": "string"}},
+                    "type": {"enum": ["string", "integer", "number", "boolean", "timestamp", "null", "array"]},
+                    "values": {"type": "array"},
+                    "pattern": {"type": "string"},
+                    "format": {"enum": SUPPORTED_FORMATS},
+                    "minimum": {"type": "number"},
+                    "maximum": {"type": "number"},
+                    "exclusive_minimum": {"type": "number"},
+                    "exclusive_maximum": {"type": "number"},
+                    "min_length": {"type": "integer"},
+                    "max_length": {"type": "integer"},
+                    "multiple_of": {"type": "number"},
+                    "ref_table": {"type": "string"},
+                    "ref_columns": {"type": "array", "items": {"type": "string"}},
+                    "partition_by": {"type": "array", "items": {"type": "string"}},
+                    "order_by": {"type": "array", "items": {"type": "string"}},
+                    "strictly": {"type": "boolean"},
+                    "group_by": {"type": "array", "items": {"type": "string"}},
+                    "left": {},
+                    "operator": {"enum": sorted(_COMPARISON_OPS)},
+                    "right": {},
+                    "when": {"type": "object"},
+                    "then": {"type": "object"},
+                    "metric": {"enum": ["ks", "psi"]},
+                    "threshold": {"type": "number"},
+                    "baseline": {},
+                    "bins": {"type": "integer"},
+                    "message": {"type": "string"},
+                    "id": {"type": "string"},
+                },
+                "additionalProperties": False,
+            },
+        },
+    },
+    "additionalProperties": False,
+}
+
+_PER_KIND_REQUIRED = {
+    "type": ["column", "type"],
+    "required": ["column"],
+    "format": ["column", "format"],
+    "pattern": ["column", "pattern"],
+    "enum": ["column", "values"],
+    "range": ["column"],
+    "length": ["column"],
+    "multiple_of": ["column", "multiple_of"],
+    "unique_items": ["column"],
+    "not_empty": ["column"],
+    "unique": ["columns"],
+    "referential": ["columns", "ref_table", "ref_columns"],
+    "ordering": ["column", "partition_by", "order_by"],
+    "contiguous": ["column", "partition_by"],
+    "aggregate": ["left", "operator", "right"],
+    "strict_columns": [],
+    "conditional": ["when", "then"],
+    "drift": ["column", "metric", "threshold"],
+}
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> Any:  # convenience: rule.column etc.
+        try:
+            return self.params[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def get(self, name: str, default: Any = None) -> Any:
+        return self.params.get(name, default)
+
+    @property
+    def is_row_rule(self) -> bool:
+        return self.kind in ROW_RULE_KINDS
+
+
+@dataclass(frozen=True)
+class Manifest:
+    """Compiled-ready rule set; ``id`` plays the role of JSONSchema ``$id``."""
+
+    id: str
+    rules: tuple[Rule, ...]
+    table: str = "transcripts"
+    columns: tuple[str, ...] = ()      # declared column set (for strict mode)
+    strict: bool = False
+
+    @property
+    def row_rules(self) -> list[Rule]:
+        return [r for r in self.rules if r.is_row_rule]
+
+    @property
+    def table_rules(self) -> list[Rule]:
+        return [r for r in self.rules if not r.is_row_rule]
+
+    def rule_set_hash(self) -> str:
+        """Stable content hash — checkpoint lineage key component, so a
+        changed manifest invalidates prior per-partition verdicts."""
+        blob = json.dumps(
+            {
+                "id": self.id,
+                "table": self.table,
+                "columns": list(self.columns),
+                "strict": self.strict,
+                "rules": [{"kind": r.kind, **r.params} for r in self.rules],
+            },
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
+    """Meta-validate; returns error strings (empty = valid)."""
+    validator = jsonschema.Draft7Validator(MANIFEST_META_SCHEMA)
+    errors = [
+        f"{'/'.join(str(p) for p in e.absolute_path) or '<root>'}: {e.message}"
+        for e in validator.iter_errors(raw)
+    ]
+    rules = raw.get("rules", [])
+    if not isinstance(rules, list):
+        return errors
+    for i, rule in enumerate(rules):
+        if not isinstance(rule, dict):
+            continue
+        kind = rule.get("kind")
+        for req in _PER_KIND_REQUIRED.get(kind, []):
+            if req not in rule:
+                errors.append(f"rules/{i}: kind {kind!r} requires field {req!r}")
+        if kind == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
+            errors.append(f"rules/{i}: range rule needs at least one bound")
+        if kind == "length" and not ({"min_length", "max_length"} & rule.keys()):
+            errors.append(f"rules/{i}: length rule needs min_length or max_length")
+    return errors
+
+
+def manifest_from_dict(raw: dict[str, Any]) -> Manifest:
+    errors = validate_manifest_dict(raw)
+    if errors:
+        raise InvalidManifest(errors)
+    rules = tuple(
+        Rule(kind=r["kind"], params={k: v for k, v in r.items() if k != "kind"})
+        for r in raw["rules"]
+    )
+    return Manifest(
+        id=raw["id"],
+        rules=rules,
+        table=raw.get("table", "transcripts"),
+        columns=tuple(raw.get("columns", ())),
+        strict=bool(raw.get("strict", False)),
+    )
+
+
+def load_manifest(path: str) -> Manifest:
+    """Load + meta-validate a YAML/JSON manifest file (driver-side; the
+    analogue of the reference's schema-file load,
+    /root/reference/schema_enforcer/utils.py:367-386)."""
+    with open(path, encoding="utf-8") as fh:
+        raw = yaml.safe_load(fh)
+    if not isinstance(raw, dict):
+        raise InvalidManifest([f"{path}: manifest must be a mapping, got {type(raw).__name__}"])
+    return manifest_from_dict(raw)

@@ -1,0 +1,193 @@
+"""Column statistics + distribution-drift checks (SURVEY.md §2.4 A7/A8).
+
+Greenfield operators mandated by the north star (no reference counterpart —
+the reference validates one document at a time and has no stats layer):
+
+- ``column_stats``: min/max/null-rate/approx-distinct per column, ONE
+  aggregation pass over the table (all columns' aggregates in a single
+  ``agg()`` ⇒ one scan + one reduce).
+- ``hll_sketches``: mergeable HyperLogLog sketches per column via Spark's
+  built-in ``hll_sketch_agg`` — persisted per partition so later runs merge
+  with ``hll_union_agg`` instead of rescanning.
+- ``compute_histogram`` / ``ks_statistic`` / ``psi``: fixed-edge histograms
+  via ``width_bucket`` + groupBy (distributed), drift math on the tiny
+  histogram itself (driver or single-stage — never on raw rows).
+- ``drift_violations``: manifest rule adapter — KS/PSI of the current table
+  vs a stored baseline histogram on e.g. ``length(text)`` (turn length) or
+  ts-gaps, emitting violation rows compatible with the engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: min/max/null_rate/approx_distinct — single scan."""
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_rate"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (column, min, max, null_rate, distinct)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.round(F.col(f"{c}__null_rate"), 6).alias("null_rate"),
+                F.col(f"{c}__distinct").alias("approx_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def exact_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Like column_stats but exact COUNT(DISTINCT) — used where a SQL oracle
+    must reproduce the numbers bit-for-bit."""
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__null_rate").alias("null_rate"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def hll_sketches(df: DataFrame, columns: list[str], group_by: str | None = "partition_id") -> DataFrame:
+    """Per-partition HLL sketches (binary, mergeable with hll_union_agg) —
+    the persistence format for incremental distinct counting at 10^12 rows."""
+    aggs = [F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in columns]
+    if group_by and group_by in df.columns:
+        return df.groupBy(group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def merge_hll_estimate(sketches: DataFrame, columns: list[str]) -> DataFrame:
+    """Merge per-partition sketches → one distinct estimate per column."""
+    merged = sketches.agg(*[F.hll_union_agg(F.col(f"{c}__hll")).alias(f"{c}__hll") for c in columns])
+    return merged.select(*[F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}__distinct") for c in columns])
+
+
+# ---------------------------------------------------------------------------
+# Histograms + drift
+# ---------------------------------------------------------------------------
+
+
+def histogram_df(df: DataFrame, expr: str, lo: float, hi: float, bins: int = 32) -> DataFrame:
+    """Distributed fixed-edge histogram: (bucket int, n long). Bucket 0 is
+    underflow, bins+1 overflow (width_bucket semantics); NULLs are dropped."""
+    x = F.expr(expr).cast("double")
+    return (
+        df.select(F.width_bucket(x, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins)).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def compute_histogram(df: DataFrame, expr: str, lo: float, hi: float, bins: int = 32) -> dict:
+    """Collect a histogram to a plain dict — the stored-baseline format.
+    Only `bins+2` rows ever reach the driver."""
+    rows = histogram_df(df, expr, lo, hi, bins).collect()
+    counts = [0] * (bins + 2)
+    for r in rows:
+        counts[int(r["bucket"])] = int(r["n"])
+    return {"expr": expr, "lo": lo, "hi": hi, "bins": bins, "counts": counts}
+
+
+def _normalize(counts: list[int], eps: float = 1e-6) -> list[float]:
+    total = sum(counts)
+    if total == 0:
+        return [eps] * len(counts)
+    return [max(c / total, eps) for c in counts]
+
+
+def ks_statistic(p_counts: list[int], q_counts: list[int]) -> float:
+    """Two-sample KS on binned data: max |CDF_p - CDF_q|."""
+    p, q = _normalize(p_counts), _normalize(q_counts)
+    sp = sq = 0.0
+    best = 0.0
+    for a, b in zip(p, q):
+        sp += a
+        sq += b
+        best = max(best, abs(sp - sq))
+    return best
+
+
+def psi(p_counts: list[int], q_counts: list[int]) -> float:
+    """Population Stability Index: sum((p-q) * ln(p/q)) over bins."""
+    p, q = _normalize(p_counts), _normalize(q_counts)
+    return sum((a - b) * math.log(a / b) for a, b in zip(p, q))
+
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_id", T.StringType()),
+        T.StructField("result", T.StringType()),
+        T.StructField("instance_name", T.StringType()),
+        T.StructField("instance_location", T.StringType()),
+        T.StructField("instance_type", T.StringType()),
+        T.StructField("absolute_path", T.ArrayType(T.StringType())),
+        T.StructField("failing_value", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+
+def drift_violations(engine, df: DataFrame, rule) -> DataFrame:
+    """Manifest `drift` rule: compare df's histogram of rule.column (a SQL
+    expression, e.g. 'length(text)') against rule.baseline
+    ({lo, hi, bins, counts}) using KS or PSI; one violation row iff the
+    statistic exceeds rule.threshold.
+
+    The raw-data pass is a distributed histogram; the drift statistic is
+    computed on ≤ bins+2 numbers. At 10^12 rows the scan dominates and
+    parallelizes perfectly; nothing row-sized ever reaches the driver.
+    """
+    base = rule.params["baseline"]
+    metric = rule.params["metric"]
+    threshold = float(rule.params["threshold"])
+    expr = rule.params["column"]
+    cur = compute_histogram(df, expr, float(base["lo"]), float(base["hi"]), int(base["bins"]))
+    stat = ks_statistic(base["counts"], cur["counts"]) if metric == "ks" else psi(base["counts"], cur["counts"])
+    spark = df.sparkSession
+    rid = rule.get("id") or f"{engine.manifest.id}/drift/{expr}"
+    if stat <= threshold:
+        return spark.createDataFrame([], _DRIFT_SCHEMA)
+    msg = rule.get("message") or (
+        f"distribution drift on {expr}: {metric}={stat:.6f} exceeds threshold {threshold}"
+    )
+    row = (
+        rid, "FAIL", "table", engine.manifest.table, "PARTITION",
+        [expr], f"{stat:.6f}", msg,
+    )
+    return spark.createDataFrame([row], _DRIFT_SCHEMA)

@@ -1,0 +1,150 @@
+"""Row-rule engine tests: every FIXTURES.md §3 defect case produces exactly
+the expected violation rows, clean data produces all-PASS verdicts, and a
+real jsonschema.Draft7Validator cross-checks our messages (SURVEY.md §5 —
+mirrors the reference's golden-test harness,
+/root/reference/schema_enforcer/schemas/manager.py:185-256)."""
+
+from __future__ import annotations
+
+import jsonschema
+import pytest
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.synth import INJECTION_KEYS, inject
+
+
+def _engine(base_manifest):
+    return ValidationEngine(base_manifest)
+
+
+def _row_only(manifest):
+    """Manifest restricted to row rules + conditionals (no table-grain)."""
+    from schema_enforcer_spark.manifest import Manifest
+
+    keep = tuple(r for r in manifest.rules if r.is_row_rule or r.kind == "conditional")
+    return Manifest(id=manifest.id, rules=keep, table=manifest.table, columns=manifest.columns)
+
+
+def test_clean_data_all_pass(spark, transcripts, base_manifest):
+    report = _engine(base_manifest).validate(transcripts)
+    assert report.violations.count() == 0
+    verdicts = report.verdicts.collect()
+    assert len(verdicts) > 0
+    assert all(v["result"] == "PASS" for v in verdicts)
+    assert report.passes()
+
+
+def test_invalid_enum(spark, transcripts, base_manifest):
+    df = inject(transcripts, "invalid_enum")
+    viols = ValidationEngine(_row_only(base_manifest)).violations(df).collect()
+    (conv, turn), = INJECTION_KEYS["invalid_enum"]
+    assert len(viols) == 1
+    v = viols[0]
+    assert v["schema_id"].endswith("/enum/role")
+    assert v["absolute_path"] == [conv, str(turn), "role"]
+    assert v["failing_value"] == "operator"
+    assert v["message"] == "'operator' is not one of ['system', 'user', 'assistant', 'tool']"
+
+
+def test_missing_required(spark, transcripts, base_manifest):
+    df = inject(transcripts, "missing_required")
+    viols = ValidationEngine(_row_only(base_manifest)).violations(df).collect()
+    msgs = sorted(v["message"] for v in viols)
+    assert msgs == ["'role' is a required property", "'text' is a required property"]
+
+
+def test_invalid_pattern(spark, transcripts, base_manifest):
+    df = inject(transcripts, "invalid_pattern")
+    viols = ValidationEngine(_row_only(base_manifest)).violations(df).collect()
+    assert len(viols) == 1
+    v = viols[0]
+    assert v["failing_value"] == "Bad-Tool!"
+    assert v["message"] == "'Bad-Tool!' does not match '^[a-z][a-z0-9_]{0,63}$'"
+
+
+def test_out_of_range(spark, transcripts, base_manifest):
+    df = inject(transcripts, "out_of_range")
+    viols = ValidationEngine(_row_only(base_manifest)).violations(df).collect()
+    assert len(viols) == 1
+    assert viols[0]["message"] == "-1 is less than the minimum of 0"
+
+
+def test_conditional_tool_required(spark, transcripts, base_manifest):
+    # break: a 'tool' role turn with NULL tool
+    from pyspark.sql import functions as F
+
+    df = transcripts.withColumn(
+        "tool",
+        F.when((F.col("conv_id") == "conv-00000009") & (F.col("role") == "tool"), F.lit(None)).otherwise(F.col("tool")),
+    )
+    viols = ValidationEngine(_row_only(base_manifest)).violations(df).collect()
+    assert all(v["message"] == "'tool' is a required property" for v in viols)
+    n_tool_turns = df.filter("conv_id = 'conv-00000009' and role = 'tool'").count()
+    assert len(viols) == n_tool_turns
+
+
+def test_verdict_fail_partition_only(spark, transcripts, base_manifest):
+    df = inject(transcripts, "invalid_enum")
+    eng = ValidationEngine(_row_only(base_manifest))
+    report = eng.validate(df)
+    verdicts = {v["instance_name"]: v["result"] for v in report.verdicts.collect()}
+    viol = report.violations.collect()[0]
+    assert verdicts[viol["instance_name"]] == "FAIL"
+    assert sum(1 for r in verdicts.values() if r == "FAIL") == 1
+    assert not report.passes()
+
+
+# ---------------------------------------------------------------------------
+# jsonschema oracle cross-check: run a real Draft7Validator over the rows the
+# engine flagged (and a sample it didn't) and compare messages + paths.
+# ---------------------------------------------------------------------------
+
+TURN_JSONSCHEMA = {
+    "type": "object",
+    "required": ["conv_id", "turn_idx", "role", "text", "ts"],
+    "properties": {
+        "conv_id": {"type": "string", "pattern": "^conv-[0-9]{8}$"},
+        "turn_idx": {"type": "integer", "minimum": 0},
+        "role": {"enum": ["system", "user", "assistant", "tool"]},
+        "text": {"type": "string", "minLength": 1, "maxLength": 8000},
+        "tool": {"type": "string", "pattern": "^[a-z][a-z0-9_]{0,63}$"},
+    },
+}
+
+
+def _to_instance(row) -> dict:
+    # NULL column ≈ missing property at table grain (SURVEY.md §2.2 P6)
+    d = {k: row[k] for k in ("conv_id", "turn_idx", "role", "text", "tool") if row[k] is not None}
+    if row["ts"] is not None:
+        d["ts"] = str(row["ts"])
+    return d
+
+
+@pytest.mark.parametrize("case", ["invalid_enum", "missing_required", "invalid_pattern", "out_of_range"])
+def test_jsonschema_oracle_parity(spark, transcripts, base_manifest, case):
+    df = inject(transcripts, case)
+    eng = ValidationEngine(_row_only(base_manifest))
+    viols = eng.violations(df).collect()
+    validator = jsonschema.Draft7Validator(TURN_JSONSCHEMA)
+
+    flagged_keys = {(v["absolute_path"][0], int(v["absolute_path"][1])) for v in viols}
+    flagged_rows = df.filter(
+        df.conv_id.isin([k[0] for k in flagged_keys])
+    ).collect()
+
+    oracle_msgs, engine_msgs = set(), {v["message"] for v in viols}
+    for row in flagged_rows:
+        if (row["conv_id"], row["turn_idx"]) not in flagged_keys:
+            continue
+        for err in validator.iter_errors(_to_instance(row)):
+            oracle_msgs.add(err.message)
+    assert engine_msgs == oracle_msgs
+
+
+def test_oracle_no_false_positives(spark, transcripts, base_manifest):
+    """Every clean row must also satisfy the jsonschema oracle."""
+    validator = jsonschema.Draft7Validator(TURN_JSONSCHEMA)
+    sample = transcripts.limit(200).collect()
+    for row in sample:
+        errs = list(validator.iter_errors(_to_instance(row)))
+        assert errs == [], f"oracle flagged clean row {row}: {[e.message for e in errs]}"

@@ -1,0 +1,159 @@
+"""Table-grain rule tests: uniqueness (U1), referential (J4), ordering +
+contiguity (W1), aggregate thresholds (A1/A2), strict columns (P12),
+manifest fail-fast."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import InvalidManifest, Manifest, Rule, load_manifest
+from schema_enforcer_spark.synth import INJECTION_KEYS, inject
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _m(rules, mid="schemas/t", **kw):
+    return Manifest(id=mid, rules=tuple(Rule(kind=k, params=p) for k, p in rules), **kw)
+
+
+def test_unique_rule(spark, transcripts):
+    df = inject(transcripts, "dup_turn")
+    m = _m([("unique", {"columns": ["conv_id", "turn_idx"]})])
+    viols = ValidationEngine(m).violations(df).collect()
+    (conv, turn), = INJECTION_KEYS["dup_turn"]
+    assert len(viols) == 1
+    v = viols[0]
+    assert v["absolute_path"] == [conv, str(turn)]
+    assert "appears 2 times" in v["message"]
+    assert "(conv_id, turn_idx) must be unique" in v["message"]
+
+
+def test_referential_rule(spark, transcripts, conversations):
+    df = inject(transcripts, "orphan_conv")
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_referential.yml"))
+    viols = ValidationEngine(m).violations(df, ref_tables={"conversations": conversations}).collect()
+    assert len(viols) == 1
+    assert viols[0]["failing_value"] == "conv-99999999"
+    assert viols[0]["message"] == "'conv-99999999' is not present in conversations(conv_id)"
+    # clean data: no orphans
+    clean = ValidationEngine(m).violations(transcripts, ref_tables={"conversations": conversations})
+    assert clean.count() == 0
+
+
+def test_referential_missing_ref_table_raises(spark, transcripts):
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_referential.yml"))
+    with pytest.raises(KeyError):
+        ValidationEngine(m).violations(transcripts).collect()
+
+
+def test_ordering_rule(spark, transcripts):
+    df = inject(transcripts, "disordered")
+    m = _m([("ordering", {"column": "ts", "partition_by": ["conv_id"], "order_by": ["turn_idx"], "strictly": True})])
+    viols = ValidationEngine(m).violations(df).collect()
+    (conv, turn), = INJECTION_KEYS["disordered"]
+    # the shifted turn is earlier than its predecessor AND its successor is
+    # earlier than it — at least the shifted turn must be flagged
+    paths = {tuple(v["absolute_path"]) for v in viols}
+    assert (conv, str(turn), "ts") in paths
+    assert all(v["schema_id"].endswith("/ordering/ts") for v in viols)
+
+
+def test_contiguous_rule(spark, transcripts):
+    df = inject(transcripts, "non_contiguous")
+    m = _m([("contiguous", {"column": "turn_idx", "partition_by": ["conv_id"]})])
+    viols = ValidationEngine(m).violations(df).collect()
+    (conv, _), = INJECTION_KEYS["non_contiguous"]
+    # every displaced position is flagged (sorted turn_idx vs 0..n-1)
+    idxs = sorted(r["turn_idx"] for r in df.filter(df.conv_id == conv).collect())
+    expected_bad = {str(v) for i, v in enumerate(idxs) if v != i}
+    assert {v["failing_value"] for v in viols} == expected_bad
+    assert all(v["absolute_path"][0] == conv for v in viols)
+    assert "20" in expected_bad
+
+
+def test_aggregate_rule(spark, transcripts):
+    df = inject(transcripts, "agg_threshold")
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_agg.yml"))
+    viols = ValidationEngine(m).violations(df).collect()
+    (conv,) = INJECTION_KEYS["agg_threshold"]
+    # expected: every conv with zero assistant turns (synth data may contain
+    # some naturally — tiny convs can be all system/user/tool)
+    expected = {
+        r["conv_id"]
+        for r in df.groupBy("conv_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count_if(df.role == "assistant").alias("n")
+        ).filter("n = 0").collect()
+    }
+    assert {v["absolute_path"][0] for v in viols} == expected
+    assert conv in expected
+    assert all(v["message"] == "conversation has no assistant turns" for v in viols)
+    assert all(v["failing_value"] == "0" for v in viols)
+
+
+def test_aggregate_rhs_expression(spark, transcripts):
+    # rhs as a second aggregate (validator.py rhs-JMESPath parity,
+    # /root/reference/tests/fixtures/test_validators/validators/check_interfaces_ipv4.py:30-38):
+    # assistant turns must be >= tool turns per conversation — holds for synth
+    # data? assert engine runs and flags only convs where it fails vs a
+    # hand-computed pandas check.
+    m = _m(
+        [
+            (
+                "aggregate",
+                {
+                    "group_by": ["conv_id"],
+                    "left": {"fn": "count", "filter": "role = 'assistant'"},
+                    "operator": "gte",
+                    "right": {"fn": "count", "filter": "role = 'tool'"},
+                },
+            )
+        ]
+    )
+    viols = {v["absolute_path"][0] for v in ValidationEngine(m).violations(transcripts).collect()}
+    pdf = transcripts.groupBy("conv_id").count().toPandas()  # just conv list
+    import pandas as pd
+
+    raw = transcripts.select("conv_id", "role").toPandas()
+    g = raw.groupby("conv_id")["role"]
+    expected = {
+        cid
+        for cid, roles in g
+        if not (roles == "assistant").sum() >= (roles == "tool").sum()
+    }
+    assert viols == expected
+    assert set(pdf["conv_id"]) >= viols
+
+
+def test_strict_columns(spark, transcripts):
+    df = inject(transcripts, "extra_column")
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_strict.yml"))
+    viols = ValidationEngine(m).violations(df).collect()
+    assert len(viols) == 1
+    assert viols[0]["message"] == "Additional properties are not allowed ('debug_blob' was unexpected)"
+    # clean column set: no strict violations
+    assert ValidationEngine(m).violations(transcripts).count() == 0
+
+
+def test_invalid_manifest_fails_before_any_job(spark):
+    with pytest.raises(InvalidManifest) as ei:
+        load_manifest(os.path.join(REPO, "manifests", "invalid_manifest.yml"))
+    joined = "\n".join(ei.value.errors)
+    assert "no_such_kind" in joined
+    assert "values" in joined
+
+
+def test_full_base_manifest_catches_everything(spark, transcripts, base_manifest):
+    """Run the WHOLE base manifest over a table with several defects at once;
+    every expected rule fires; verdict map flags exactly the hit partitions."""
+    df = inject(inject(inject(transcripts, "invalid_enum"), "dup_turn"), "disordered")
+    report = ValidationEngine(base_manifest).validate(df)
+    by_rule = {}
+    for v in report.violations.collect():
+        by_rule.setdefault(v["schema_id"].split("/")[-2] + "/" + v["schema_id"].split("/")[-1], []).append(v)
+    kinds = {k.split("/")[0] for k in by_rule}
+    assert {"enum", "unique", "ordering"} <= kinds
+    fails = [v for v in report.verdicts.collect() if v["result"] == "FAIL"]
+    assert 1 <= len(fails) <= 3
