@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 via
+the schema_enforcer_spark engine over the driver's testdata tables; the
+matching ``oracle_sql()`` entry reproduces it in ANSI SQL for DuckDB.
+
+Design notes for oracle parity:
+- instance ids use SQL-replicable expressions (``user_id % 16``), never
+  Spark's ``hash()``.
+- timestamps surface as epoch seconds (bigint) — timezone-proof.
+- double aggregations go through decimal casts or same-order folds so both
+  engines produce identical bits.
+- ``absolute_path`` is flattened with ':' (the reference's ``[PROPERTY]``
+  rendering, /root/reference/schema_enforcer/validation.py:74).
 """
 
 from __future__ import annotations
@@ -12,27 +19,496 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import manifest_from_dict
+from schema_enforcer_spark.functions import textops
+from schema_enforcer_spark.functions.dedup import simhash, minhash_near_dups, embedding_near_dups
+from schema_enforcer_spark.functions.similarity import brute_force_topk, lsh_topk
+from schema_enforcer_spark.stats import exact_column_stats, column_stats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Events constraint manifest (rules chosen so some genuinely fire on the
+# driver's clean synthetic data: 'error' events violate the enum, value>350
+# violates the range cap).
+# ---------------------------------------------------------------------------
+
+EVENTS_MANIFEST = manifest_from_dict(
+    {
+        "id": "schemas/events_base",
+        "table": "events",
+        "rules": [
+            {"kind": "enum", "column": "event_type", "values": ["click", "purchase", "signup", "view"]},
+            {"kind": "range", "column": "value", "maximum": 350.0},
+            {"kind": "required", "column": "user_id"},
+            {"kind": "pattern", "column": "props", "pattern": '^\\{"k": [0-9]+\\}$'},
+        ],
+    }
+)
+
+EVENTS_REFERENTIAL = manifest_from_dict(
+    {
+        "id": "schemas/events_ref",
+        "table": "events",
+        "rules": [
+            {"kind": "referential", "columns": ["user_id"], "ref_table": "supplier", "ref_columns": ["s_suppkey"]},
+        ],
+    }
+)
+
+EVENTS_ORDERING = manifest_from_dict(
+    {
+        "id": "schemas/events_ordering",
+        "table": "events",
+        "rules": [
+            {"kind": "ordering", "column": "ts_epoch", "partition_by": ["user_id"], "order_by": ["event_id"], "strictly": False},
+        ],
+    }
+)
+
+EVENTS_AGG = manifest_from_dict(
+    {
+        "id": "schemas/events_agg",
+        "table": "events",
+        "rules": [
+            {
+                "kind": "aggregate",
+                "group_by": ["user_id"],
+                "left": {"fn": "count", "filter": "event_type = 'error'"},
+                "operator": "lte",
+                "right": 13,
+                "message": "user exceeded the error-event budget of 13",
+            },
+        ],
+    }
+)
+
+_INST = "CAST(pmod(user_id, 16) AS STRING)"
+
+
+def _events_engine(manifest) -> ValidationEngine:
+    return ValidationEngine(manifest, key_columns=["event_id"], instance_expr=_INST)
+
+
+def _flat(v: DataFrame) -> DataFrame:
+    return v.select(
+        "schema_id",
+        "result",
+        "instance_name",
+        F.array_join("absolute_path", ":").alias("path"),
+        "failing_value",
+        "message",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # multiply in DECIMAL (exact) — a double product then decimal-cast picks
+    # up engine-specific rounding that breaks oracle parity
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+        * (F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_validate_events_violations(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _flat(_events_engine(EVENTS_MANIFEST).violations(ev))
+
+
+def q03_validate_events_verdicts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    eng = _events_engine(EVENTS_MANIFEST)
+    return eng.verdicts(ev, eng.violations(ev))
+
+
+def q04_unique_dup_keys(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/docs_unique",
+            "table": "documents",
+            "rules": [{"kind": "unique", "columns": ["lang", "n_chars"]}],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["doc_id"], instance_expr="'documents'")
+    return _flat(eng.violations(docs))
+
+
+def q05_referential_orphans(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    eng = _events_engine(EVENTS_REFERENTIAL)
+    return _flat(eng.violations(ev, ref_tables={"supplier": sup}))
+
+
+def q06_ordering_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_epoch", F.unix_timestamp("ts"))
+    return _flat(_events_engine(EVENTS_ORDERING).violations(ev))
+
+
+def q07_agg_rule_error_budget(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _flat(_events_engine(EVENTS_AGG).violations(ev))
+
+
+def q08_column_stats_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_epoch", F.unix_timestamp("ts"))
+    return exact_column_stats(ev, ["event_id", "user_id", "event_type", "value", "ts_epoch"]).select(
+        F.col("column").alias("col_name"), F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+        "null_rate", "n_distinct",
+    )
+
+
+def q09_window_gaps(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_epoch", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    gaps = ev.select("user_id", (F.col("ts_epoch") - F.lag("ts_epoch").over(w)).alias("gap"))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap").alias("sum_gap_s"),
+            F.max("gap").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q10_hist_doc_len(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.floor(F.col("n_chars") / 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q11_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_c"),
+        textops.token_count(t).alias("n_tokens"),
+        textops.stopword_count(t).alias("n_stop"),
+        textops.punct_count(t).alias("n_punct"),
+    )
+
+
+def q12_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textops.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q13_dedup_exact(spark, sf_dir):
+    from schema_enforcer_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "keep_id", "group_size", "is_duplicate")
+
+
+QUERY_VEC = [1.0 if i % 2 == 0 else 0.0 for i in range(64)]
+
+
+def q14_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, QUERY_VEC, k=20).select("vec_id", F.round("cosine", 5).alias("cos5"))
+
+
+def q15_psi_drift(spark, sf_dir):
+    """PSI of n_chars distribution: sources src0-src9 vs src10-src19, fixed
+    buckets of width 50, eps smoothing — all in Spark SQL expressions."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp", F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b")
+    )
+    hist = (
+        docs.select("grp", F.floor(F.col("n_chars") / 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("grp") == "a").alias("na"),
+            F.count_if(F.col("grp") == "b").alias("nb"),
+        )
+    )
+    tot = hist.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    joined = hist.crossJoin(tot)
+    p = F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6))
+    q = F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6))
+    return joined.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+
+
+# --- non-SQL-expressible ops: driver records rows-only checks ---------------
+
+
+def q16_minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5, num_hashes=64, bands=16)
+
+
+def q17_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q18_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.9)
+
+
+def q19_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, QUERY_VEC, k=20)
+
+
+def q20_stats_hll(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return column_stats(ev, ["event_id", "user_id", "event_type"])
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: manifest validation over events at sf0.001 — violation rows
+    with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
+    return q02_validate_events_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_validate_events_violations": q02_validate_events_violations,
+        "q03_validate_events_verdicts": q03_validate_events_verdicts,
+        "q04_unique_dup_keys": q04_unique_dup_keys,
+        "q05_referential_orphans": q05_referential_orphans,
+        "q06_ordering_check": q06_ordering_check,
+        "q07_agg_rule_error_budget": q07_agg_rule_error_budget,
+        "q08_column_stats_events": q08_column_stats_events,
+        "q09_window_gaps": q09_window_gaps,
+        "q10_hist_doc_len": q10_hist_doc_len,
+        "q11_text_quality": q11_text_quality,
+        "q12_lang_id": q12_lang_id,
+        "q13_dedup_exact": q13_dedup_exact,
+        "q14_topk_cosine": q14_topk_cosine,
+        "q15_psi_drift": q15_psi_drift,
+        "q16_minhash_near_dups": q16_minhash_near_dups,
+        "q17_simhash": q17_simhash,
+        "q18_embedding_near_dups": q18_embedding_near_dups,
+        "q19_ann_topk": q19_ann_topk,
+        "q20_stats_hll": q20_stats_hll,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ENUM_MSG = (
+    "'' || event_type || ''' is not one of [''click'', ''purchase'', ''signup'', ''view'']'"
+)
+
+_Q02_VIOL_CTE = """
+WITH viol AS (
+  SELECT 'schemas/events_base/enum/event_type' AS schema_id, 'FAIL' AS result,
+         CAST(user_id % 16 AS VARCHAR) AS instance_name,
+         CAST(event_id AS VARCHAR) || ':event_type' AS path,
+         event_type AS failing_value,
+         '''' || event_type || ''' is not one of [''click'', ''purchase'', ''signup'', ''view'']' AS message
+  FROM events WHERE event_type NOT IN ('click','purchase','signup','view')
+  UNION ALL
+  SELECT 'schemas/events_base/range/value', 'FAIL',
+         CAST(user_id % 16 AS VARCHAR),
+         CAST(event_id AS VARCHAR) || ':value',
+         CAST(value AS VARCHAR),
+         CAST(value AS VARCHAR) || ' is greater than the maximum of 350.0'
+  FROM events WHERE value > 350.0
+  UNION ALL
+  SELECT 'schemas/events_base/required/user_id', 'FAIL',
+         CAST(user_id % 16 AS VARCHAR),
+         CAST(event_id AS VARCHAR) || ':user_id',
+         CAST(user_id AS VARCHAR),
+         '''user_id'' is a required property'
+  FROM events WHERE user_id IS NULL
+  UNION ALL
+  SELECT 'schemas/events_base/pattern/props', 'FAIL',
+         CAST(user_id % 16 AS VARCHAR),
+         CAST(event_id AS VARCHAR) || ':props',
+         props,
+         '''' || props || ''' does not match ''^\\{{"k": [0-9]+\\}}$''' AS message
+  FROM events WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{{"k": [0-9]+\\}}$')
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+    sqls["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                   * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(28,6))) AS sum_charge,
+               COUNT(*) AS count_order,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+    q02 = _Q02_VIOL_CTE.format() + " SELECT * FROM viol"
+    sqls["q02_validate_events_violations"] = q02
+    sqls["q03_validate_events_verdicts"] = (
+        _Q02_VIOL_CTE.format()
+        + """
+        , per_inst AS (SELECT instance_name, COUNT(*) AS n FROM viol GROUP BY instance_name)
+        SELECT 'schemas/events_base' AS schema_id, u.instance_name,
+               CASE WHEN COALESCE(p.n, 0) > 0 THEN 'FAIL' ELSE 'PASS' END AS result,
+               COALESCE(p.n, 0) AS n_violations
+        FROM (SELECT DISTINCT CAST(user_id % 16 AS VARCHAR) AS instance_name FROM events) u
+        LEFT JOIN per_inst p USING (instance_name)
+    """
+    )
+    sqls["q04_unique_dup_keys"] = """
+        SELECT 'schemas/docs_unique/unique/lang+n_chars' AS schema_id, 'FAIL' AS result,
+               'documents' AS instance_name,
+               lang || ':' || CAST(n_chars AS VARCHAR) AS path,
+               lang || '|' || CAST(n_chars AS VARCHAR) AS failing_value,
+               '(' || lang || '|' || CAST(n_chars AS VARCHAR) || ') appears ' || CAST(COUNT(*) AS VARCHAR)
+                   || ' times; (lang, n_chars) must be unique' AS message
+        FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+    """
+    sqls["q05_referential_orphans"] = """
+        SELECT 'schemas/events_ref/referential/user_id' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(user_id AS VARCHAR) AS path,
+               CAST(user_id AS VARCHAR) AS failing_value,
+               '''' || CAST(user_id AS VARCHAR) || ''' is not present in supplier(s_suppkey)' AS message
+        FROM (SELECT DISTINCT user_id FROM events) e
+        WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+    """
+    sqls["q06_ordering_check"] = """
+        WITH w AS (
+          SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+                 LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+          FROM events
+        )
+        SELECT 'schemas/events_ordering/ordering/ts_epoch' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':ts_epoch' AS path,
+               CAST(ts_epoch AS VARCHAR) AS failing_value,
+               '''ts_epoch'' value ' || CAST(ts_epoch AS VARCHAR) || ' is not non-decreasing (previous '
+                   || CAST(prev AS VARCHAR) || ')' AS message
+        FROM w WHERE ts_epoch < prev
+    """
+    sqls["q07_agg_rule_error_budget"] = """
+        SELECT 'schemas/events_agg/aggregate/user_id' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(user_id AS VARCHAR) AS path,
+               CAST(n AS VARCHAR) AS failing_value,
+               'user exceeded the error-event budget of 13' AS message
+        FROM (SELECT user_id, COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n
+              FROM events GROUP BY user_id) t
+        WHERE NOT (n <= 13)
+    """
+    stats_cols = ["event_id", "user_id", "event_type", "value", "ts_epoch"]
+    parts = []
+    for c in stats_cols:
+        src = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)" if c == "ts_epoch" else c
+        parts.append(
+            f"""SELECT '{c}' AS col_name, CAST(MIN({src}) AS VARCHAR) AS min_val,
+                CAST(MAX({src}) AS VARCHAR) AS max_val,
+                ROUND(AVG(CASE WHEN {src} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                COUNT(DISTINCT {src}) AS n_distinct FROM events"""
+        )
+    sqls["q08_column_stats_events"] = " UNION ALL ".join(parts)
+    sqls["q09_window_gaps"] = """
+        WITH w AS (
+          SELECT user_id,
+                 CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS gap
+          FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events, SUM(gap) AS sum_gap_s, MAX(gap) AS max_gap_s
+        FROM w GROUP BY user_id ORDER BY user_id
+    """
+    sqls["q10_hist_doc_len"] = """
+        SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+    stop = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+    sqls["q11_text_quality"] = f"""
+        SELECT doc_id, LENGTH(text) AS n_chars_c,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LENGTH(x) > 0)) AS n_tokens,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x IN ({stop}))) AS n_stop,
+               LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct
+        FROM documents
+    """
+    marker_exprs = []
+    for lang, words in textops.LANG_MARKERS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        marker_exprs.append(
+            f"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x IN ({wl}))) AS c_{lang}"
+        )
+    sqls["q12_lang_id"] = f"""
+        WITH c AS (SELECT doc_id, lang, {', '.join(marker_exprs)} FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(c_en, c_es, c_fr, c_de, c_zh) = 0 THEN 'und'
+                    WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de, c_zh) THEN 'en'
+                    WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de, c_zh) THEN 'es'
+                    WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de, c_zh) THEN 'fr'
+                    WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de, c_zh) THEN 'de'
+                    ELSE 'zh' END AS pred_lang
+        FROM c
+    """
+    sqls["q13_dedup_exact"] = """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id,
+               COUNT(*) OVER (PARTITION BY MD5(text)) AS group_size,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY MD5(text)) AS is_duplicate
+        FROM documents
+    """
+    qv = ", ".join(str(float(x)) for x in QUERY_VEC)
+    sqls["q14_topk_cosine"] = f"""
+        WITH s AS (
+          SELECT vec_id,
+                 LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, [{qv}]),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+                 / (SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                    * SQRT(LIST_REDUCE(LIST_TRANSFORM([{qv}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+                 AS cosine
+          FROM embeddings
+        )
+        SELECT vec_id, ROUND(ROUND(cosine, 6), 5) AS cos5 FROM s
+        ORDER BY ROUND(cosine, 6) DESC, vec_id ASC LIMIT 20
+    """
+    sqls["q15_psi_drift"] = """
+        WITH h AS (
+          SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+                 COUNT(CASE WHEN CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) < 10 THEN 1 END) AS na,
+                 COUNT(CASE WHEN CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) >= 10 THEN 1 END) AS nb
+          FROM documents GROUP BY 1
+        ), t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h)
+        SELECT ROUND(SUM((GREATEST(na / ta, 1e-6) - GREATEST(nb / tb, 1e-6))
+                   * LN(GREATEST(na / ta, 1e-6) / GREATEST(nb / tb, 1e-6))), 6) AS psi
+        FROM h, t
+    """
+    return sqls

@@ -1,0 +1,294 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB / 10^12 rows):
+- Exact dedup is a hash-groupBy: one shuffle on the content hash; map-side
+  partial aggregation collapses duplicates before the exchange.
+- MinHash+LSH never compares all pairs: shingle → K minhashes (pure
+  expressions over xxhash64 with per-permutation seeds) → B bands → shuffle
+  on (band, band_hash) buckets → pairs emitted only within buckets, then
+  exact-Jaccard verified. The only O(n²) work is within-bucket, which LSH
+  keeps tiny.
+- SimHash is one Arrow-vectorized pandas UDF (numpy bit math per batch) —
+  the documented escape hatch where expression trees get unwieldy; still
+  no per-row Python.
+- Embedding near-dup uses deterministic random-hyperplane LSH (seeded,
+  driver-generated plane matrix broadcast as literals) then exact cosine
+  within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from schema_enforcer_spark.functions.textops import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Assign each row to its duplicate group: (id, keep_id, group_size).
+    keep_id = min id per content hash; a row is a duplicate iff id != keep_id.
+    One shuffle on md5(text)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(text_col)).alias("_h")
+    w = Window.partitionBy("_h")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "keep_id", "group_size", (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"))
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Only the duplicate groups: (content_hash, n_docs, keep_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-token shingles (distinct) as the MinHash universe."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            cnt >= n,
+            F.transform(F.sequence(F.lit(0), cnt - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """K minhashes: min over shingles of xxhash64(shingle, seed+i). Pure
+    expressions — K × |shingles| hash evals inside codegen, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id, band) via banded LSH.
+
+    rows/band-bucket is the shuffle key: hot buckets (boilerplate docs) are
+    the skew risk; downstream exact-verify should cap bucket size or salt.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .dropDuplicates()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """LSH candidates + exact n-gram-Jaccard verification ≥ threshold:
+    (a_id, b_id, jaccard). The verify join broadcasts nothing — shingle sets
+    travel with the candidate pair via two shuffled joins on id."""
+    shingle_n = lsh_kwargs.get("shingle_n", 3)
+    cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    verified = (
+        cands.join(sh.withColumnsRenamed({"_id": "a_id", "_sh": "_sha"}), "a_id")
+        .join(sh.withColumnsRenamed({"_id": "b_id", "_sh": "_shb"}), "b_id")
+        .select("a_id", "b_id", F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold — the small-data oracle for
+    minhash_near_dups (O(n²); never run this at scale, that's what LSH is for)."""
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        toks = [w for w in str(t).lower().split() if w]
+        if not toks:
+            out.append(0)
+            continue
+        # 64-bit FNV-1a per token, numpy bit unpack, signed vote per bit
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, w in enumerate(toks):
+            h = np.uint64(1469598103934665603)
+            for ch in w.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+            hs[i] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for bit_idx in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(bit_idx)
+        out.append(_struct.unpack("q", _struct.pack("Q", int(sim)))[0])
+    return pd.Series(out, dtype="object")
+
+
+def _simhash_udf():
+    # built lazily: pandas_udf needs an active SparkSession to parse the DDL
+    return pandas_udf(_simhash_batch, "long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long) via one Arrow-batched vectorized UDF."""
+    return df.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dups by simhash hamming distance ≤ max_hamming, bucketed on
+    16-bit chunks (a pair within distance 3 must agree on ≥1 of 4 chunks —
+    pigeonhole) so the join is bucket-local, not all-pairs."""
+    sigs = simhash(df, text_col, id_col).withColumnsRenamed({id_col: "_id"})
+    chunks = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("chunk"), F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val")) for i in range(4)])
+        ).alias("c"),
+    ).select("_id", "simhash", "c.chunk", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"), hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (deterministic hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from a seeded LCG —
+    driver-side tiny matrix, broadcast into the plan as literals."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_lsh_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 12, dim: int = 64, seed: int = 42) -> DataFrame:
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.concat(*[F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes])
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95, n_planes: int = 12, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Cosine ≥ threshold pairs via hyperplane-bucket join + exact verify."""
+    b = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,78 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector — one
+  scan, the dot product entirely in codegen (zip_with/aggregate), top-k via
+  orderBy+limit (Spark's TakeOrderedAndProject — no full sort, each
+  partition keeps k candidates then the driver merges k·P rows).
+- ``lsh_topk``: the scale path — deterministic hyperplane LSH buckets
+  (shared with dedup); the query probes only its own bucket (+ optional
+  multi-probe neighbors at hamming distance 1), turning a 10^12-row scan
+  into a bucket-pruned one. Recall < 1.0 by construction; the bench
+  measures recall vs the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.functions.dedup import _hyperplanes, _dot_lit, cosine
+
+
+def _query_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    q = _query_lit(query_vec)
+    sim = F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only rows whose hyperplane bucket is the query's
+    (or differs in one bit when multiprobe). The bucket predicate is a plain
+    string comparison ⇒ pushes into the scan after bucketing is materialized."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = "".join("1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in planes)
+    probes = {qbits}
+    if multiprobe:
+        for i in range(n_planes):
+            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+            probes.add(flipped)
+    bucket = F.concat(*[F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes])
+    q = _query_lit(query_vec)
+    return (
+        df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bucket"))
+        .filter(F.col("_bucket").isin(*sorted(probes)))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def topk_per_probe_recall(df: DataFrame, query_vec: list[float], k: int, **kw) -> float:
+    """Recall@k of lsh_topk vs brute force — bench/diagnostic helper."""
+    exact = {r[0] for r in brute_force_topk(df, query_vec, k, **{k_: v for k_, v in kw.items() if k_ in ("vec_col", "id_col")}).collect()}
+    approx = {r[0] for r in lsh_topk(df, query_vec, k, **kw).collect()}
+    return len(exact & approx) / max(len(exact), 1)

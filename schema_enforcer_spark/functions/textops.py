@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path functions are pure Catalyst column expressions (JVM-side,
+whole-stage codegen); nothing here drops to per-row Python. Operates on the
+``documents`` table shape (doc_id, text, lang, source, n_chars) but takes
+plain Columns so it composes with any schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the n-gram/stopword language
+# heuristic. Deterministic, self-contained (public common-word lists).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "to", "and", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "zu"],
+    "zh": ["的", "是", "了", "在", "我", "不"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "at", "by"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Cheap BPE-style proxy: count word pieces + punctuation runs using a
+    regex segmentation (letters runs, digit runs, single punct), the common
+    public approximation of tokenizer counts without shipping a vocab."""
+    return F.size(
+        F.filter(
+            F.split(F.regexp_replace(text, r"([^\sA-Za-z0-9]|\d)", r" $1 "), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    words = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*words)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / token / punct / stopword features for quality scoring."""
+    n_tok = token_count(text)
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n_tok,
+        "n_stopwords": stopword_count(text),
+        "n_punct": punct_count(text),
+        "mean_token_len": F.when(n_tok > 0, (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: penalize too-short/too-long docs, low
+    stopword ratio, high punctuation density."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_chars"] >= 50) & (f["n_chars"] <= 20000), 1.0).otherwise(0.3)
+    tok = f["n_tokens"]
+    stop_ratio = F.when(tok > 0, f["n_stopwords"] / tok).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.5)
+    punct_ratio = F.when(f["n_chars"] > 0, f["n_punct"] / f["n_chars"]).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.4)
+    return F.round((len_ok + stop_ok + punct_ok) / 3.0, 4)
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    low_tokens = tokens(F.lower(text))
+
+    def _count(words: list[str]) -> Column:
+        # single-arg lambda factory: F.filter treats a 2-arg lambda as
+        # (value, index), so a default-arg closure would misbind
+        return F.size(F.filter(low_tokens, lambda t: t.isin(*words)))
+
+    return {lang: _count(words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language heuristic: argmax marker count, 'und'
+    (undetermined) when nothing matches. Pure expressions — a greatest-of
+    chain over the five marker counts."""
+    counts = lang_marker_counts(text)
+    best = None
+    for lang, c in counts.items():
+        pair = F.struct(c.alias("n"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(pair["n"] > best["n"], pair).otherwise(best)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+    md5 (not xxhash64) so external SQL engines reproduce it bit-for-bit."""
+    t = F.regexp_replace(F.lower(text), r"\s+", " ") if normalize else text
+    return F.md5(F.trim(t))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: md5 of each `window`-token
+    shingle — the building block for near-dup shingle sets."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))

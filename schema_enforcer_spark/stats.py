@@ -32,8 +32,8 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = []
     for c in columns:
         aggs += [
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_rate"),
             F.approx_count_distinct(c).alias(f"{c}__distinct"),
         ]
@@ -60,9 +60,11 @@ def exact_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     columns = columns or df.columns
     aggs = []
     for c in columns:
+        # min/max on the NATIVE type (numeric order), cast to string after —
+        # string-cast-then-min would compare lexicographically ("99" > "149")
         aggs += [
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
         ]
