@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Measures:
+1. Headline queries from __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1), each fully materialized via the noop
+   writer (no driver collect in the hot path).
+2. The north-star metric: validated turns/sec — full base-manifest
+   validation (row rules + uniqueness + ordering + contiguity + verdicts)
+   over a generated transcripts table (~1.9M turns incl. hot-conversation
+   skew), violations + verdicts materialized.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_TRANSCRIPT_CONVS (default 200_000), BENCH_SKIP_QUERIES=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "200000"))
+TRANSCRIPTS_PATH = os.environ.get("BENCH_TRANSCRIPTS_PATH", f"/tmp/bench_transcripts_{N_CONVS}")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_validate_events_violations",
+    "q03_validate_events_verdicts",
+    "q04_unique_dup_keys",
+    "q05_referential_orphans",
+    "q06_ordering_check",
+    "q07_agg_rule_error_budget",
+    "q08_column_stats_events",
+    "q09_window_gaps",
+    "q10_hist_doc_len",
+    "q11_text_quality",
+    "q12_lang_id",
+    "q13_dedup_exact",
+    "q14_topk_cosine",
+    "q15_psi_drift",
+    "q16_minhash_near_dups",
+    "q17_simhash",
+    "q18_embedding_near_dups",
+    "q19_ann_topk",
+    "q20_stats_hll",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.manifest import load_manifest
+    from schema_enforcer_spark.synth import gen_transcripts
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"schema-enforcer-spark-bench-{CPUS}")
+        .config("spark.sql.shuffle.partitions", str(2 * CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # -- transcripts validation throughput (north-star metric) -------------
+    if not os.path.exists(TRANSCRIPTS_PATH):
+        # materialize once so generation cost never pollutes the measurement;
+        # 1% hot conversations with 2000 turns = the skew mix
+        gen_transcripts(
+            spark, n_convs=N_CONVS, seed=42, hot_convs=max(N_CONVS // 1000, 1), hot_turns=2000
+        ).write.mode("overwrite").parquet(TRANSCRIPTS_PATH)
+    tdf = spark.read.parquet(TRANSCRIPTS_PATH)
+    n_turns = tdf.count()
+    manifest = load_manifest(os.path.join(REPO, "manifests", "transcripts_base.yml"))
+    eng = ValidationEngine(manifest)
+    t0 = time.monotonic()
+    report = eng.validate(tdf)
+    _noop(report.violations)
+    _noop(report.verdicts)
+    validate_sec = time.monotonic() - t0
+    timings["validate_transcripts"] = round(validate_sec, 3)
+    turns_per_sec = n_turns / validate_sec
+
+    # -- headline queries ---------------------------------------------------
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        qs = entry.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            _noop(qs[name](spark, SF_DIR))
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validated turns/sec (base manifest incl. row rules + uniqueness + ordering + contiguity + verdicts)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "turns": n_turns,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Resumable per-partition checkpoint lineage (SURVEY.md §4.2 #3).
+
+A lineage manifest table records, per (partition, rule_set_hash): verdict,
+row/violation counts, and completion time. A resumed run anti-joins the
+input's partitions against completed lineage and validates ONLY pending
+partitions — the engine-level analogue of Iceberg partition pruning; an
+interrupted 10^12-turn run skips everything already validated.
+
+Correctness note: partition-grain resume is sound because every
+conversation-grain rule (uniqueness on (conv_id, turn_idx), ordering,
+contiguity, per-conv aggregates) is partition-LOCAL under bucket(conv_id)
+partitioning — a conversation never spans partitions. Referential rules
+join against the full reference table regardless of which fact partitions
+are pending, so they stay correct too.
+
+Storage is a plain parquet directory (append-mode) — the TableIO seam for
+Iceberg (`snapshot_id` lineage) when a runtime jar is present (§7.0).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
+
+LINEAGE_SCHEMA_DDL = (
+    "partition_id string, rule_set_hash string, schema_id string, verdict string, "
+    "n_rows bigint, n_violations bigint, snapshot_id string, validated_at timestamp"
+)
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def lineage(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
+        return self.spark.read.parquet(self.path)
+
+    def completed_partitions(self, rule_set_hash: str) -> DataFrame:
+        return (
+            self.lineage()
+            .filter(F.col("rule_set_hash") == rule_set_hash)
+            .select("partition_id")
+            .dropDuplicates()
+        )
+
+    def pending(self, df: DataFrame, engine: ValidationEngine) -> DataFrame:
+        """Rows of *df* in partitions NOT yet validated under the engine's
+        current rule-set hash. Broadcast anti-join: the lineage key set is
+        partition-count-sized (thousands), never row-sized."""
+        h = engine.manifest.rule_set_hash()
+        done = self.completed_partitions(h)
+        keyed = df.withColumn("_inst", engine._instance_col(df))
+        out = keyed.join(
+            F.broadcast(done.withColumnRenamed("partition_id", "_inst")), "_inst", "left_anti"
+        ).drop("_inst")
+        return out
+
+    def record(self, df: DataFrame, engine: ValidationEngine, report: ValidationReport) -> None:
+        """Append lineage rows for every partition in this run (call after
+        the report's outputs are materialized)."""
+        h = engine.manifest.rule_set_hash()
+        rows_per_part = (
+            df.groupBy(engine._instance_col(df).alias("instance_name"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        lineage = (
+            report.verdicts.join(rows_per_part, "instance_name", "left")
+            .select(
+                F.col("instance_name").alias("partition_id"),
+                F.lit(h).alias("rule_set_hash"),
+                F.col("schema_id"),
+                F.col("result").alias("verdict"),
+                F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                F.lit(None).cast("string").alias("snapshot_id"),
+                F.current_timestamp().alias("validated_at"),
+            )
+        )
+        lineage.write.mode("append").parquet(self.path)
+
+    def run(
+        self,
+        df: DataFrame,
+        engine: ValidationEngine,
+        ref_tables: dict[str, DataFrame] | None = None,
+    ) -> tuple[ValidationReport | None, int]:
+        """Validate only pending partitions; record lineage; return
+        (report, n_pending_rows). report is None when nothing is pending
+        (fully resumed run)."""
+        pend = self.pending(df, engine)
+        n = pend.count()
+        if n == 0:
+            return None, 0
+        report = engine.validate(pend, ref_tables)
+        # materialize before recording so lineage never claims un-finished work
+        report.violations.count()
+        report.verdicts.count()
+        self.record(pend, engine, report)
+        return report, n

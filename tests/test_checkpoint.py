@@ -1,0 +1,63 @@
+"""Checkpoint/resume: interrupted runs skip validated partitions; changed
+manifests invalidate lineage (rule_set_hash key)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.checkpoint import CheckpointManager
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import Manifest, Rule
+
+
+def _m(values):
+    return Manifest(
+        id="schemas/ckpt",
+        rules=(Rule(kind="enum", params={"column": "role", "values": values}),),
+    )
+
+
+def test_resume_skips_validated_partitions(spark, transcripts):
+    eng = ValidationEngine(_m(["system", "user", "assistant", "tool"]))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/lineage"
+        cm = CheckpointManager(spark, path)
+
+        # simulate an interrupted run: validate only half the partitions
+        insts = sorted(r[0] for r in transcripts.select(eng._instance_col(transcripts)).distinct().collect())
+        half = insts[: len(insts) // 2]
+        part_df = transcripts.withColumn("_i", eng._instance_col(transcripts))
+        first_half = part_df.filter(F.col("_i").isin(half)).drop("_i")
+        report = eng.validate(first_half)
+        cm.record(first_half, eng, report)
+
+        # resume: pending must be exactly the other half
+        pend = cm.pending(transcripts, eng)
+        pend_insts = {r[0] for r in pend.select(eng._instance_col(pend)).distinct().collect()}
+        assert pend_insts == set(insts) - set(half)
+
+        # full resumed run completes the table, second run is a no-op
+        rep2, n2 = cm.run(transcripts, eng)
+        assert rep2 is not None and n2 > 0
+        rep3, n3 = cm.run(transcripts, eng)
+        assert rep3 is None and n3 == 0
+
+        # lineage covers every partition exactly once
+        lin = cm.lineage().collect()
+        assert {r["partition_id"] for r in lin} == set(insts)
+        assert all(r["rule_set_hash"] == eng.manifest.rule_set_hash() for r in lin)
+
+
+def test_changed_manifest_invalidates_lineage(spark, transcripts):
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        eng1 = ValidationEngine(_m(["system", "user", "assistant", "tool"]))
+        rep, n = cm.run(transcripts, eng1)
+        assert n > 0
+        # same data, different rule set → everything pending again
+        eng2 = ValidationEngine(_m(["system", "user"]))
+        assert eng2.manifest.rule_set_hash() != eng1.manifest.rule_set_hash()
+        pend = cm.pending(transcripts, eng2)
+        assert pend.count() == transcripts.count()
