@@ -33,6 +33,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Defend compute-heavy ops against tiny-file inputs: a single small
+    parquet file arrives as ONE partition, serializing all expression work
+    onto one core. Repartition only when the scan is narrower than the
+    cluster — at real scale (many files) this is a no-op, so the extra
+    shuffle never appears in the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Events constraint manifest (rules chosen so some genuinely fire on the
 # driver's clean synthetic data: 'error' events violate the enum, value>350
@@ -212,7 +224,7 @@ def q10_hist_doc_len(spark, sf_dir):
 
 
 def q11_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -224,7 +236,7 @@ def q11_text_quality(spark, sf_dir):
 
 
 def q12_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", textops.lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -239,7 +251,7 @@ QUERY_VEC = [1.0 if i % 2 == 0 else 0.0 for i in range(64)]
 
 
 def q14_topk_cosine(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, QUERY_VEC, k=20).select("vec_id", F.round("cosine", 5).alias("cos5"))
 
 
@@ -268,22 +280,22 @@ def q15_psi_drift(spark, sf_dir):
 
 
 def q16_minhash_near_dups(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return minhash_near_dups(docs, threshold=0.5, num_hashes=64, bands=16)
 
 
 def q17_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return simhash(docs)
 
 
 def q18_embedding_near_dups(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return embedding_near_dups(emb, threshold=0.9)
 
 
 def q19_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return lsh_topk(emb, QUERY_VEC, k=20)
 
 

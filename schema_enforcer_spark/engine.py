@@ -311,6 +311,87 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _fused_window_violations(self, df: DataFrame, rules: list[Rule]) -> DataFrame:
+        """ALL ordering/contiguous rules that share a partition_by evaluate
+        in ONE pass: one exchange on the partition key, window functions
+        stacked on it, violations emitted as an array → explode (the same
+        single-scan trick as the row-rule projection). Separate passes would
+        shuffle the full table once per rule."""
+        from pyspark.sql.window import Window
+
+        part = rules[0].params["partition_by"]
+        aux: list[Column] = []
+        specs = []  # (rule, kind, col_name, aux_name, extra)
+        for i, rule in enumerate(rules):
+            col_name = rule.params["column"]
+            col = F.col(col_name)
+            if rule.kind == "ordering":
+                w = Window.partitionBy(*part).orderBy(*rule.params["order_by"])
+                aux_name = f"_prev_{i}"
+                aux.append(F.lag(col).over(w).alias(aux_name))
+                specs.append((rule, "ordering", col_name, aux_name, rule.get("strictly", True)))
+            else:  # contiguous
+                w = Window.partitionBy(*part).orderBy(col.asc())
+                aux_name = f"_exp_{i}"
+                aux.append((F.row_number().over(w) - 1).alias(aux_name))
+                specs.append((rule, "contiguous", col_name, aux_name, None))
+        needed = list(dict.fromkeys([*part, *[s[2] for s in specs], *[k for k in self.key_columns if k in df.columns],
+                                     *[o for r in rules if r.kind == "ordering" for o in r.params["order_by"] if o in df.columns]]))
+        base = df.select(*needed, self._instance_col(df).alias("instance_name"), *aux)
+
+        structs = []
+        for rule, kind, col_name, aux_name, strictly in specs:
+            col, ref = F.col(col_name), F.col(aux_name)
+            if kind == "ordering":
+                bad = (col <= ref) if strictly else (col < ref)
+                word = "strictly increasing" if strictly else "non-decreasing"
+                message = rule.get("message")
+                msg = (
+                    F.lit(message)
+                    if message
+                    else F.concat(
+                        F.lit(f"'{col_name}' value "), col.cast("string"),
+                        F.lit(f" is not {word} (previous "), ref.cast("string"), F.lit(")"),
+                    )
+                )
+                rid = rule.get("id") or f"{self.manifest.id}/ordering/{col_name}"
+            else:
+                bad = col != ref
+                message = rule.get("message")
+                msg = (
+                    F.lit(message)
+                    if message
+                    else F.concat(
+                        F.lit(f"'{col_name}' value "), col.cast("string"),
+                        F.lit(" breaks contiguity (expected "), ref.cast("string"), F.lit(")"),
+                    )
+                )
+                rid = rule.get("id") or f"{self.manifest.id}/contiguous/{col_name}"
+            structs.append(
+                F.when(
+                    F.coalesce(bad, F.lit(False)),
+                    F.struct(
+                        F.lit(rid).alias("schema_id"),
+                        self._path(base, col_name).alias("absolute_path"),
+                        col.cast("string").alias("failing_value"),
+                        msg.alias("message"),
+                    ),
+                )
+            )
+        exploded = base.select(
+            "instance_name", F.explode(F.array_compact(F.array(*structs))).alias("v")
+        )
+        return exploded.select(
+            F.col("v.schema_id").alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.col("v.absolute_path").alias("absolute_path"),
+            F.col("v.failing_value").alias("failing_value"),
+            F.col("v.message").alias("message"),
+        )
+
     def _ordering_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
         # W1 ordering window: value must be (strictly) increasing with
         # order_by within partition_by (north_star stable-turn-ordering invariant).
@@ -450,15 +531,20 @@ class ValidationEngine:
         if self.manifest.strict or strict_rule is not None:
             if (sv := self._strict_violations(df, strict_rule)) is not None:
                 parts.append(sv)
+        # fuse window rules by partition key: one shuffle per key, not per rule
+        window_groups: dict[tuple, list[Rule]] = {}
+        for rule in self.manifest.table_rules:
+            if rule.kind in ("ordering", "contiguous"):
+                window_groups.setdefault(tuple(rule.params["partition_by"]), []).append(rule)
+        for group in window_groups.values():
+            parts.append(self._fused_window_violations(df, group))
         for rule in self.manifest.table_rules:
             if rule.kind == "unique":
                 parts.append(self._unique_violations(df, rule))
             elif rule.kind == "referential":
                 parts.append(self._referential_violations(df, rule, ref_tables))
-            elif rule.kind == "ordering":
-                parts.append(self._ordering_violations(df, rule))
-            elif rule.kind == "contiguous":
-                parts.append(self._contiguous_violations(df, rule))
+            elif rule.kind in ("ordering", "contiguous"):
+                pass  # handled by the fused window pass above
             elif rule.kind == "aggregate":
                 parts.append(self._aggregate_violations(df, rule))
             elif rule.kind == "drift":
@@ -484,6 +570,19 @@ class ValidationEngine:
             )
         )
 
-    def validate(self, df: DataFrame, ref_tables: dict[str, DataFrame] | None = None) -> ValidationReport:
+    def validate(
+        self,
+        df: DataFrame,
+        ref_tables: dict[str, DataFrame] | None = None,
+        cache_violations: bool = True,
+    ) -> ValidationReport:
+        """Full report. Violations feed BOTH the violations output and the
+        verdict aggregation; without persistence Spark would recompute every
+        rule for each consumer — persist by default (violation sets are
+        tiny relative to input; spill-safe MEMORY_AND_DISK)."""
         violations = self.violations(df, ref_tables)
+        if cache_violations:
+            from pyspark.storagelevel import StorageLevel
+
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         return ValidationReport(violations=violations, verdicts=self.verdicts(df, violations))

@@ -77,14 +77,47 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# splitmix64-style constants for deriving the K universal-hash permutations
+_MH_MULT = 0x9E3779B97F4A7C15
+_MH_MIX = 0xBF58476D1CE4E5B9
+
+
+def _perm_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """(a_i odd 31-bit, b_i 32-bit) pairs: with 32-bit hash operands the
+    products stay < 2^63, so ANSI-mode long arithmetic (Spark 4 default)
+    never overflows."""
+    out = []
+    for i in range(num_hashes):
+        a = (((2 * (seed + i) + 1) * _MH_MULT) & 0x7FFFFFFF) | 1
+        b = ((seed + i) * _MH_MIX + 0x94D049BB133111EB) & 0xFFFFFFFF
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """K minhashes: min over shingles of xxhash64(shingle, seed+i). Pure
-    expressions — K × |shingles| hash evals inside codegen, no UDF."""
-    return F.array(
+    """K minhashes via universal hashing in a SINGLE fold.
+
+    Shape matters: building K separate ``array_min(transform(...))``
+    expressions re-inlines the shingle + hash computation into every
+    element after projection collapse (no CSE across array elements for
+    higher-order functions) — measured ~10× slower. Instead: one
+    ``transform`` hashes each shingle once (xxhash64, masked to 32 bits so
+    ANSI long arithmetic can't overflow), then one ``aggregate`` folds the
+    hash array into the K-wide minimum vector via zip_with against a
+    literal (a_i, b_i) constant array. Work: |shingles| string hashes +
+    K·|shingles| multiply-adds, all codegen, no UDF."""
+    consts = F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
-            for i in range(num_hashes)
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_consts(num_hashes, seed)
         ]
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0xFFFFFFFF)))
+    init = F.array_repeat(F.lit(1 << 62), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(acc, consts, lambda m, c: F.least(m, h * c["a"] + c["b"])),
     )
 
 
@@ -179,6 +212,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import hashlib
+
     import numpy as np
 
     out = []
@@ -190,13 +225,11 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
         if not toks:
             out.append(0)
             continue
-        # 64-bit FNV-1a per token, numpy bit unpack, signed vote per bit
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for i, w in enumerate(toks):
-            h = np.uint64(1469598103934665603)
-            for ch in w.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-            hs[i] = h
+        # blake2b (C-speed, deterministic) per token → numpy bit votes
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest() for w in toks),
+            dtype=np.uint64,
+        )
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         sim = np.uint64(0)

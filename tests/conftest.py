@@ -8,7 +8,14 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+# Executor python workers must import test modules (cloudpickle pickles
+# plugin classes defined in tests by module reference)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [REPO, TESTS, os.environ.get("PYTHONPATH")] if p
+)
 
 
 @pytest.fixture(scope="session")

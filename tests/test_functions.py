@@ -1,0 +1,131 @@
+"""Training-data ops tests: exact dedup, MinHash+LSH recall vs exact
+Jaccard, SimHash hamming, embedding near-dup, ANN top-k recall, text ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.functions import textops
+from schema_enforcer_spark.functions.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from schema_enforcer_spark.functions.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a completely different document about spark sql aggregation and shuffles",
+        "language models need deduplicated training data at massive scale to work",
+        "el rapido zorro marron salta sobre el perro perezoso cerca del rio",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        # near-dup: one word changed
+        rows.append((i * 10 + 1, t.replace("the ", "one ", 1).replace("a ", "an ", 1)))
+    rows.append((100, base[0]))  # exact dup of doc 0
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[100]["keep_id"] == 0 and out[100]["is_duplicate"]
+    assert out[0]["keep_id"] == 0 and not out[0]["is_duplicate"]
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    threshold = 0.5
+    exact = {(r["a_id"], r["b_id"]) for r in ngram_jaccard_pairs(docs, n=3, threshold=threshold).collect()}
+    approx = {(r["a_id"], r["b_id"]) for r in minhash_near_dups(docs, threshold=threshold, num_hashes=64, bands=16).collect()}
+    assert exact, "fixture must contain near-dup pairs"
+    # verified candidates are a subset of exact (no false positives post-verify)
+    assert approx <= exact
+    # banded LSH at r=4,b=16 has ~99.9% recall at s=0.5+
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall} too low: exact={exact}, approx={approx}"
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[100]  # identical text → identical simhash
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    assert pairs[(0, 100)] == 0
+    # every returned pair respects the hamming cap and popcount ground truth
+    for (a, b), h in pairs.items():
+        assert h <= 16
+        assert bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") == h
+
+
+def test_embedding_near_dups_and_ann(spark):
+    import math
+
+    # deterministic vectors: 3 clusters + exact dup pair
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.1] * 62
+
+    rows = [(i, vec(0.001 * i)) for i in range(20)]  # tight cluster
+    rows += [(100 + i, vec(2.0 + 0.001 * i)) for i in range(20)]  # far cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dups = embedding_near_dups(emb, threshold=0.999, dim=64, n_planes=6)
+    got = {(r["a_id"], r["b_id"]) for r in dups.collect()}
+    # within-cluster pairs only
+    assert got and all((a < 100) == (b < 100) for a, b in got)
+
+    q = vec(0.0)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    assert exact[0] == 0  # identical vector wins
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=5, dim=64, n_planes=6).collect()]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.6, f"ANN recall {recall}: exact={exact} approx={approx}"
+
+
+def test_textops(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox! It runs."), (2, ""), (3, "der die und das ein zu haus")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textops.token_count(F.col("text")).alias("n_tok"),
+            textops.punct_count(F.col("text")).alias("n_punct"),
+            textops.lang_id(F.col("text")).alias("lang"),
+            textops.fingerprint(F.col("text")).alias("fp"),
+            textops.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1]["n_tok"] == 6
+    assert out[1]["n_punct"] == 2  # '!' and '.'
+    assert out[1]["lang"] == "en"
+    assert out[2]["n_tok"] == 0
+    assert out[3]["lang"] == "de"
+    assert out[1]["q"] > out[2]["q"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", textops.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(12)))], "doc_id long, text string")
+    row = df.select(textops.rolling_fingerprints(F.col("text"), window=8).alias("fp")).collect()[0]
+    assert len(row["fp"]) == 5  # 12 - 8 + 1
+    assert len(set(row["fp"])) == 5
