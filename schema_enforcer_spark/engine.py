@@ -212,6 +212,18 @@ class ValidationEngine:
             )
         return out
 
+    def row_fail_count(self, df: DataFrame) -> Column:
+        """Number of row rules the row fails — the streaming-verdict
+        building block (windowed sum of this = per-window fail count)."""
+        compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
+        if not compiled:
+            return F.lit(0)
+        flags = [(~F.coalesce(cr.predicate, F.lit(True))).cast("int") for cr in compiled]
+        out = flags[0]
+        for f_ in flags[1:]:
+            out = out + f_
+        return out
+
     def row_violations(self, df: DataFrame) -> DataFrame | None:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         if not compiled:

@@ -1,0 +1,62 @@
+"""TableIO seam (SURVEY.md §7.0): Iceberg when a runtime jar is present,
+Parquet directory layout with an explicit ``partition_id`` column otherwise.
+
+The sandbox ships no iceberg-spark-runtime jar, so the Parquet path is the
+tested one; the Iceberg path uses only the documented public catalog API
+(``spark.read.table`` / ``writeTo``) and keeps identical semantics:
+``bucket(N, conv_id)`` partitioning ↔ ``partition_id = pmod(hash(conv_id), N)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class TableIO:
+    """Read/write the transcripts + results tables behind one interface.
+
+    mode='parquet': table name → ``<root>/<name>`` parquet dir.
+    mode='iceberg': table name → catalog table (requires runtime jar).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32, mode: str | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.num_buckets = num_buckets
+        self.mode = mode or ("iceberg" if _iceberg_available(spark) else "parquet")
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        if self.mode == "iceberg":
+            return self.spark.read.table(f"{self.root}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def write(self, df: DataFrame, name: str, bucket_col: str | None = "conv_id", mode: str = "overwrite") -> None:
+        if self.mode == "iceberg":
+            w = df.writeTo(f"{self.root}.{name}")
+            if bucket_col:
+                w = w.partitionedBy(F.bucket(self.num_buckets, bucket_col))
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+            return
+        out = df
+        if bucket_col and "partition_id" not in df.columns:
+            out = df.withColumn("partition_id", F.pmod(F.hash(bucket_col), F.lit(self.num_buckets)))
+        writer = out.write.mode(mode)
+        if bucket_col:
+            writer = writer.partitionBy("partition_id")
+        writer.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str, bucket_col: str | None = None) -> None:
+        self.write(df, name, bucket_col=bucket_col, mode="append")

@@ -1,0 +1,81 @@
+"""Structured Streaming validation (SURVEY.md §2.10 — greenfield; the
+reference is batch-only CLI).
+
+The row-rule compiler emits plain Column expressions, so the single-pass
+violation projection applies to a streaming DataFrame unchanged — Catalyst
+doesn't care that the source is ``readStream``. What changes for streams:
+
+- U1 uniqueness → ``dropDuplicatesWithinWatermark`` on the key (state
+  bounded by the watermark instead of a global groupBy).
+- verdicts → windowed aggregation over event time with a watermark (late
+  data within the watermark still lands in its window).
+- ordering/contiguity windows need offline passes or
+  ``applyInPandasWithState``; v1 validates those in the batch engine over
+  closed (watermark-expired) partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import Manifest
+
+
+def stream_row_violations(stream_df: DataFrame, manifest: Manifest, **engine_kw) -> DataFrame:
+    """Row-rule violations on a streaming DataFrame — identical plan to the
+    batch path (stateless projection + explode; no shuffle, no state)."""
+    eng = ValidationEngine(manifest, **engine_kw)
+    out = eng.row_violations(stream_df)
+    if out is None:
+        raise ValueError("manifest has no row rules")
+    return out
+
+
+def stream_verdicts(
+    stream_df: DataFrame,
+    manifest: Manifest,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    **engine_kw,
+) -> DataFrame:
+    """Per-(event-time-window × partition) FAIL counts with late-data
+    handling: watermark bounds state; a window's verdict finalizes when the
+    watermark passes. Default-PASS semantics need the partition universe,
+    so streaming verdicts report fail counts per observed partition; PASS
+    for silent partitions is a batch-side reconciliation."""
+    eng = ValidationEngine(manifest, **engine_kw)
+    marked = stream_df.withWatermark(ts_col, watermark)
+    return (
+        marked.select(
+            F.col(ts_col),
+            eng._instance_col(marked).alias("instance_name"),
+            eng.row_fail_count(marked).alias("_nf"),
+        )
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("instance_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_nf").alias("n_violations"),
+        )
+        .select(
+            F.lit(manifest.id).alias("schema_id"),
+            F.col("win.start").alias("window_start"),
+            F.col("instance_name"),
+            F.when(F.col("n_violations") > 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("result"),
+            "n_rows",
+            "n_violations",
+        )
+    )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_columns: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming U1: drop duplicate (conv_id, turn_idx) arrivals within the
+    watermark — bounded state, exactly the hypertable-ingest dedup path."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_columns)

@@ -1,0 +1,81 @@
+"""Structured Streaming validation: file-source stream → violations /
+windowed verdicts / watermark dedup, driven with availableNow + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.manifest import manifest_from_dict
+from schema_enforcer_spark.streaming import stream_dedup, stream_row_violations, stream_verdicts
+from schema_enforcer_spark.synth import gen_transcripts, inject
+
+MANIFEST = manifest_from_dict(
+    {
+        "id": "schemas/stream_base",
+        "table": "transcripts",
+        "rules": [
+            {"kind": "enum", "column": "role", "values": ["system", "user", "assistant", "tool"]},
+            {"kind": "required", "column": "text"},
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    df = inject(gen_transcripts(spark, n_convs=20, seed=42), "invalid_enum")
+    df.write.mode("overwrite").parquet(path)
+    return path, df.schema
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "viol" or name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_row_violations(spark, stream_src):
+    path, schema = stream_src
+    src = spark.readStream.schema(schema).parquet(path)
+    assert src.isStreaming
+    _run(stream_row_violations(src, MANIFEST), "viol")
+    rows = spark.sql("select * from viol").collect()
+    assert len(rows) == 1
+    assert rows[0]["message"] == "'operator' is not one of ['system', 'user', 'assistant', 'tool']"
+
+
+def test_stream_verdicts(spark, stream_src):
+    path, schema = stream_src
+    src = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_verdicts(src, MANIFEST, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("verd")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from verd").collect()
+    assert rows
+    fails = [r for r in rows if r["result"] == "FAIL"]
+    assert sum(r["n_violations"] for r in fails) == 1
+    assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_stream_dedup(spark, stream_src, tmp_path):
+    path = str(tmp_path / "dups")
+    df = inject(gen_transcripts(spark, n_convs=10, seed=42), "dup_turn")
+    df.write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    _run(stream_dedup(src, ["conv_id", "turn_idx"]), "dedup")
+    n = spark.sql("select count(*) c from dedup").collect()[0]["c"]
+    assert n == df.count() - 1  # the duplicated turn collapsed
