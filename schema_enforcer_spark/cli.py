@@ -1,0 +1,111 @@
+"""spark-submit entry point.
+
+Packaging (north_rule: ``spark-submit --py-files`` on a multi-executor
+cluster)::
+
+    cd /root/repo && zip -qr /tmp/sev.zip schema_enforcer_spark
+    spark-submit --py-files /tmp/sev.zip schema_enforcer_spark/cli.py \
+        --manifest manifests/transcripts_base.yml \
+        --input /data/transcripts \
+        --output /data/validation_results \
+        --checkpoint /data/validation_lineage \
+        --ref-table conversations=/data/conversations
+
+Behavior mirrors the reference CLI (/root/reference/schema_enforcer/cli.py:49-107):
+validate everything the manifest binds, print FAIL lines + a green summary,
+exit 1 iff any violation exists. Adds: resumable checkpoint skip and
+violations/verdicts written to parquet sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="schema-enforcer-spark")
+    p.add_argument("--manifest", required=True, help="YAML/JSON constraint manifest")
+    p.add_argument("--input", required=True, help="input parquet path (or table with --iceberg)")
+    p.add_argument("--output", default=None, help="results root; writes <output>/violations and <output>/verdicts")
+    p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
+    p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
+    p.add_argument("--key-columns", default="conv_id,turn_idx")
+    p.add_argument("--instance-expr", default=None)
+    p.add_argument("--show-failures", type=int, default=20, help="max FAIL lines printed")
+    p.add_argument("--master", default=None, help="override spark master (default: from spark-submit)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from schema_enforcer_spark.checkpoint import CheckpointManager
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.manifest import InvalidManifest, load_manifest
+
+    try:
+        manifest = load_manifest(args.manifest)
+    except InvalidManifest as e:
+        # fail before any Spark job, like the reference's InvalidJSONSchema
+        # exit (/root/reference/schema_enforcer/cli.py:66-68)
+        for err in e.errors:
+            print(f"ERROR | invalid manifest | {err}", file=sys.stderr)
+        return 1
+
+    builder = SparkSession.builder.appName(f"schema-enforcer-spark:{manifest.id}")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+
+    df = spark.read.parquet(args.input)
+    ref_tables = {}
+    for spec in args.ref_table:
+        name, _, path = spec.partition("=")
+        ref_tables[name] = spark.read.parquet(path)
+
+    eng = ValidationEngine(
+        manifest,
+        key_columns=[c for c in args.key_columns.split(",") if c],
+        instance_expr=args.instance_expr,
+    )
+
+    if args.checkpoint:
+        cm = CheckpointManager(spark, args.checkpoint)
+        report, n_pending = cm.run(df, eng, ref_tables)
+        if report is None:
+            print(f"ALL PARTITIONS ALREADY VALIDATED [{manifest.id}] — nothing pending")
+            return 0
+        print(f"validated {n_pending} pending rows")
+    else:
+        report = eng.validate(df, ref_tables)
+
+    if args.output:
+        report.violations.write.mode("overwrite").parquet(f"{args.output.rstrip('/')}/violations")
+        report.verdicts.write.mode("overwrite").parquet(f"{args.output.rstrip('/')}/verdicts")
+
+    # FAIL-line format mirrors ValidationResult.print
+    # (/root/reference/schema_enforcer/validation.py:53-91)
+    failures = report.violations.orderBy("message").limit(args.show_failures).collect()
+    for v in failures:
+        prop = ":".join(v["absolute_path"] or [])
+        print(f"FAIL | [ERROR] {v['message']} [{v['instance_type']}] {v['instance_location']}/{v['instance_name']} [PROPERTY] {prop}")
+
+    any_fail = bool(failures) or not report.passes()
+    if any_fail:
+        n = report.violations.count()
+        print(f"{n} violation(s) [{manifest.id}]")
+        return 1
+    print(f"ALL SCHEMA VALIDATION CHECKS PASSED [{manifest.id}]")
+    return 0
+
+
+if __name__ == "__main__":
+    # direct `python schema_enforcer_spark/cli.py` puts the package dir (not
+    # its parent) on sys.path; under spark-submit --py-files the zip already
+    # provides the package
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(main())

@@ -324,17 +324,41 @@ class ValidationEngine:
         )
 
     def _fused_window_violations(self, df: DataFrame, rules: list[Rule]) -> DataFrame:
-        """ALL ordering/contiguous rules that share a partition_by evaluate
-        in ONE pass: one exchange on the partition key, window functions
-        stacked on it, violations emitted as an array → explode (the same
-        single-scan trick as the row-rule projection). Separate passes would
-        shuffle the full table once per rule."""
+        """ALL ordering/contiguous/unique rules that share a partition-key
+        prefix evaluate in ONE pass over ONE exchange:
+
+        - ordering → lag, contiguous → row_number, both over
+          ``partitionBy(part)``;
+        - unique(cols ⊇ part) → count + row_number over
+          ``partitionBy(cols)`` — HashPartitioning(part) already satisfies
+          ClusteredDistribution(cols), so Catalyst inserts NO second
+          exchange (verified: 1 Exchange in the physical plan), just an
+          extra in-partition sort. This removes the standalone uniqueness
+          groupBy, which hash-aggregates |table| nearly-unique keys — the
+          single most expensive stage at bench scale.
+
+        Violations are emitted as an array → explode, the same single-scan
+        trick as the row-rule projection."""
         from pyspark.sql.window import Window
 
-        part = rules[0].params["partition_by"]
+        part = rules[0].params["partition_by"] if rules[0].kind != "unique" else list(rules[0].params["columns"][:1])
+        for r in rules:
+            if r.kind != "unique":
+                part = r.params["partition_by"]
+                break
         aux: list[Column] = []
         specs = []  # (rule, kind, col_name, aux_name, extra)
+        unique_cols_all: list[str] = []
         for i, rule in enumerate(rules):
+            if rule.kind == "unique":
+                cols = rule.params["columns"]
+                unique_cols_all.extend(cols)
+                wu = Window.partitionBy(*cols)
+                wu_ord = Window.partitionBy(*cols).orderBy(F.col(cols[-1]).asc())
+                aux.append(F.count(F.lit(1)).over(wu).alias(f"_n_{i}"))
+                aux.append(F.row_number().over(wu_ord).alias(f"_rn_{i}"))
+                specs.append((rule, "unique", cols[-1], f"_n_{i}", cols))
+                continue
             col_name = rule.params["column"]
             col = F.col(col_name)
             if rule.kind == "ordering":
@@ -347,12 +371,41 @@ class ValidationEngine:
                 aux_name = f"_exp_{i}"
                 aux.append((F.row_number().over(w) - 1).alias(aux_name))
                 specs.append((rule, "contiguous", col_name, aux_name, None))
-        needed = list(dict.fromkeys([*part, *[s[2] for s in specs], *[k for k in self.key_columns if k in df.columns],
+        needed = list(dict.fromkeys([*part, *[s[2] for s in specs if s[1] != "unique"], *unique_cols_all,
+                                     *[k for k in self.key_columns if k in df.columns],
                                      *[o for r in rules if r.kind == "ordering" for o in r.params["order_by"] if o in df.columns]]))
         base = df.select(*needed, self._instance_col(df).alias("instance_name"), *aux)
 
         structs = []
-        for rule, kind, col_name, aux_name, strictly in specs:
+        for i, (rule, kind, col_name, aux_name, extra) in enumerate(specs):
+            if kind == "unique":
+                cols = extra
+                n = F.col(aux_name)
+                rn = F.col(f"_rn_{i}")
+                key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+                message = rule.get("message")
+                msg = (
+                    F.lit(message)
+                    if message
+                    else F.concat(
+                        F.lit("("), key_str, F.lit(") appears "), n.cast("string"),
+                        F.lit(f" times; ({', '.join(cols)}) must be unique"),
+                    )
+                )
+                rid = rule.get("id") or f"{self.manifest.id}/unique/{'+'.join(cols)}"
+                structs.append(
+                    F.when(
+                        (n > 1) & (rn == 1),
+                        F.struct(
+                            F.lit(rid).alias("schema_id"),
+                            F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
+                            key_str.alias("failing_value"),
+                            msg.alias("message"),
+                        ),
+                    )
+                )
+                continue
+            strictly = extra
             col, ref = F.col(col_name), F.col(aux_name)
             if kind == "ordering":
                 bad = (col <= ref) if strictly else (col < ref)
@@ -543,16 +596,29 @@ class ValidationEngine:
         if self.manifest.strict or strict_rule is not None:
             if (sv := self._strict_violations(df, strict_rule)) is not None:
                 parts.append(sv)
-        # fuse window rules by partition key: one shuffle per key, not per rule
+        # fuse window rules by partition key: one shuffle per key, not per
+        # rule; a unique rule whose columns extend a group's partition key
+        # rides the same exchange (ClusteredDistribution satisfied) for free
         window_groups: dict[tuple, list[Rule]] = {}
         for rule in self.manifest.table_rules:
             if rule.kind in ("ordering", "contiguous"):
                 window_groups.setdefault(tuple(rule.params["partition_by"]), []).append(rule)
+        fused_uniques = set()
+        for rule in self.manifest.table_rules:
+            if rule.kind != "unique":
+                continue
+            cols = tuple(rule.params["columns"])
+            for part_key, group in window_groups.items():
+                if cols[: len(part_key)] == part_key:
+                    group.append(rule)
+                    fused_uniques.add(id(rule))
+                    break
         for group in window_groups.values():
             parts.append(self._fused_window_violations(df, group))
         for rule in self.manifest.table_rules:
             if rule.kind == "unique":
-                parts.append(self._unique_violations(df, rule))
+                if id(rule) not in fused_uniques:
+                    parts.append(self._unique_violations(df, rule))
             elif rule.kind == "referential":
                 parts.append(self._referential_violations(df, rule, ref_tables))
             elif rule.kind in ("ordering", "contiguous"):

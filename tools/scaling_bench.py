@@ -34,6 +34,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", "48g")
+         .config("spark.local.dir", "/dev/shm/spark-local")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
