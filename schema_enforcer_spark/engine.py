@@ -528,15 +528,46 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _salted_group(self, df: DataFrame, rule: Rule, group: list[str], specs: list) -> DataFrame:
+        """Two-phase salted aggregation for hot-key skew (north_rule):
+        phase 1 partial-aggregates on (group, salt) — a hot conversation's
+        rows split across `salt` reducers — phase 2 merges the tiny
+        (|groups| × salt) partials. Decomposable fns only; the salt is
+        deterministic (hash of key columns), never rand()."""
+        salt_n = int(rule.params["salt"])
+        salt_cols = [c for c in self.key_columns if c in df.columns and c not in group] or [df.columns[0]]
+        salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_n)))
+        partials, finals = [], []
+        for alias, spec in specs:
+            fn = spec.get("fn", "count") if isinstance(spec, dict) else None
+            if fn == "count_distinct":
+                raise ValueError("salt is not supported with count_distinct (non-decomposable); use approx via hll instead")
+            if fn == "avg":
+                # decompose avg = sum/count
+                partials.append(_agg_side({**spec, "fn": "sum"}).alias(f"{alias}_s"))
+                partials.append(_agg_side({**spec, "fn": "count"}).alias(f"{alias}_c"))
+                finals.append((F.sum(f"{alias}_s") / F.sum(f"{alias}_c")).alias(alias))
+            else:
+                partials.append(_agg_side(spec).alias(alias) if isinstance(spec, dict) else F.first(F.lit(spec)).alias(alias))
+                merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max, None: F.first}[fn]
+                finals.append(merge(alias).alias(alias))
+        return salted.groupBy(*group, "_salt").agg(*partials).groupBy(*group).agg(*finals)
+
     def _aggregate_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
         group = rule.get("group_by", ["conv_id"])
         rid = rule.get("id") or f"{self.manifest.id}/aggregate/{'+'.join(group)}"
-        left = _agg_side(rule.params["left"]).alias("_left")
         right_spec = rule.params["right"]
         # Both sides compile into ONE agg() — no second scan (SURVEY.md §4.2 #4,
         # rhs-as-expression parity with check_interfaces_ipv4.py:30-38).
-        aggs = [left] if not isinstance(right_spec, dict) else [left, _agg_side(right_spec).alias("_right")]
-        grouped = df.groupBy(*group).agg(*aggs)
+        if rule.get("salt"):
+            specs = [("_left", rule.params["left"])]
+            if isinstance(right_spec, dict):
+                specs.append(("_right", right_spec))
+            grouped = self._salted_group(df, rule, group, specs)
+        else:
+            left = _agg_side(rule.params["left"]).alias("_left")
+            aggs = [left] if not isinstance(right_spec, dict) else [left, _agg_side(right_spec).alias("_right")]
+            grouped = df.groupBy(*group).agg(*aggs)
         right = F.col("_right") if isinstance(right_spec, dict) else F.lit(right_spec)
         failing = grouped.filter(~F.coalesce(_comparison(rule.params["operator"], F.col("_left"), right), F.lit(False)))
         msg = rule.get("message")

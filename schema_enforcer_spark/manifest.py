@@ -101,6 +101,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "order_by": {"type": "array", "items": {"type": "string"}},
                     "strictly": {"type": "boolean"},
                     "group_by": {"type": "array", "items": {"type": "string"}},
+                    "salt": {"type": "integer", "minimum": 2},
                     "left": {},
                     "operator": {"enum": sorted(_COMPARISON_OPS)},
                     "right": {},
