@@ -304,6 +304,74 @@ def q20_stats_hll(spark, sf_dir):
     return column_stats(ev, ["event_id", "user_id", "event_type"])
 
 
+def q21_salted_agg(spark, sf_dir):
+    """Same rule as q07 but through the salted two-phase aggregation path
+    (hot-key skew defense) — must produce identical results."""
+    ev = _t(spark, sf_dir, "events")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_agg",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "aggregate",
+                    "group_by": ["user_id"],
+                    "left": {"fn": "count", "filter": "event_type = 'error'"},
+                    "operator": "lte",
+                    "right": 13,
+                    "salt": 8,
+                    "message": "user exceeded the error-event budget of 13",
+                },
+            ],
+        }
+    )
+    return _flat(_events_engine(m).violations(ev))
+
+
+def q22_topk_per_group(spark, sf_dir):
+    """Per-customer top-3 orders by price (window row_number — O/W family)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def q23_set_ops(spark, sf_dir):
+    """E1-E3 set operations: users who clicked but never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers).orderBy("user_id")
+
+
+def q24_json_extract(spark, sf_dir):
+    """JSON payload extraction (the from_json/load_file analogue, S2):
+    pull props.k and aggregate it per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count_if(F.col("k").isNull()).alias("null_k"))
+        .orderBy("event_type")
+    )
+
+
+def q25_fingerprint(spark, sf_dir):
+    """Document fingerprint groups (rolling-hash family, textops.fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .orderBy("keep_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -332,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_embedding_near_dups": q18_embedding_near_dups,
         "q19_ann_topk": q19_ann_topk,
         "q20_stats_hll": q20_stats_hll,
+        "q21_salted_agg": q21_salted_agg,
+        "q22_topk_per_group": q22_topk_per_group,
+        "q23_set_ops": q23_set_ops,
+        "q24_json_extract": q24_json_extract,
+        "q25_fingerprint": q25_fingerprint,
     }
 
 
@@ -511,6 +584,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, ROUND(ROUND(cosine, 6), 5) AS cos5 FROM s
         ORDER BY ROUND(cosine, 6) DESC, vec_id ASC LIMIT 20
+    """
+    sqls["q21_salted_agg"] = sqls["q07_agg_rule_error_budget"]
+    sqls["q22_topk_per_group"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) t
+        WHERE rk <= 3
+    """
+    sqls["q23_set_ops"] = """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+    """
+    sqls["q24_json_extract"] = """
+        SELECT event_type,
+               SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NULL THEN 1 END) AS null_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    sqls["q25_fingerprint"] = """
+        SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY keep_id
     """
     sqls["q15_psi_drift"] = """
         WITH h AS (
