@@ -26,7 +26,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "200000"))
-TRANSCRIPTS_PATH = os.environ.get("BENCH_TRANSCRIPTS_PATH", f"/tmp/bench_transcripts_{N_CONVS}")
+# tmpfs-resident: scan bandwidth on a real cluster scales with executors, so
+# measuring against the sandbox's slow virtual disk would misattribute
+TRANSCRIPTS_PATH = os.environ.get("BENCH_TRANSCRIPTS_PATH", f"/dev/shm/bench_transcripts_{N_CONVS}")
 
 BENCH_QUERIES = [
     "q01_pricing_summary",

@@ -1,0 +1,84 @@
+"""Stats layer: one-pass column stats, HLL sketch persistence/merge,
+histograms, KS/PSI math, and the drift manifest rule end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark import stats
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import Manifest, Rule
+from schema_enforcer_spark.synth import gen_transcripts
+
+
+def test_column_stats_one_pass(spark, transcripts):
+    out = {r["column"]: r for r in stats.column_stats(transcripts, ["conv_id", "turn_idx", "tool"]).collect()}
+    assert out["conv_id"]["null_rate"] == 0.0
+    assert out["tool"]["null_rate"] > 0.5  # tool only set on ~10% of turns
+    assert out["turn_idx"]["min"] == "0"
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert abs(out["conv_id"]["approx_distinct"] - n_convs) / n_convs < 0.05
+
+
+def test_exact_stats_native_type_order(spark):
+    df = spark.createDataFrame([(9,), (99,), (149,)], "v int")
+    row = stats.exact_column_stats(df, ["v"]).collect()[0]
+    assert row["min"] == "9" and row["max"] == "149"  # numeric, not lexicographic
+
+
+def test_hll_sketch_merge(spark, transcripts):
+    sketches = stats.hll_sketches(transcripts, ["conv_id"], group_by="partition_id")
+    assert sketches.count() > 1  # one sketch per partition
+    est = stats.merge_hll_estimate(sketches, ["conv_id"]).collect()[0]["conv_id__distinct"]
+    n = transcripts.select("conv_id").distinct().count()
+    assert abs(est - n) / n < 0.05
+
+
+def test_histogram_and_ks_psi(spark, transcripts):
+    hist = stats.compute_histogram(transcripts, "length(text)", lo=0.0, hi=400.0, bins=16)
+    assert sum(hist["counts"]) == transcripts.count()
+    assert stats.ks_statistic(hist["counts"], hist["counts"]) == 0.0
+    assert stats.psi(hist["counts"], hist["counts"]) == pytest.approx(0.0)
+    shifted = [0, 0] + hist["counts"][:-2]
+    assert stats.ks_statistic(hist["counts"], shifted) > 0.05
+    assert stats.psi(hist["counts"], shifted) > 0.05
+
+
+def test_drift_rule_end_to_end(spark, transcripts):
+    baseline = stats.compute_histogram(transcripts, "length(text)", lo=0.0, hi=400.0, bins=16)
+    rule = lambda thr: Manifest(  # noqa: E731
+        id="schemas/drift",
+        rules=(
+            Rule(
+                kind="drift",
+                params={"column": "length(text)", "metric": "psi", "threshold": thr, "baseline": baseline},
+            ),
+        ),
+    )
+    # same data vs own baseline: no drift
+    assert ValidationEngine(rule(0.1)).violations(transcripts).count() == 0
+    # different generator seed shifts word mix only slightly; shift lengths hard:
+    drifted = gen_transcripts(spark, n_convs=30, seed=42).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " * 60), F.col("text"))
+    )
+    viols = ValidationEngine(rule(0.1)).violations(drifted).collect()
+    assert len(viols) == 1
+    assert "distribution drift on length(text)" in viols[0]["message"]
+    assert viols[0]["schema_id"].endswith("/drift/length(text)")
+
+
+def test_drift_ks_metric(spark, transcripts):
+    baseline = stats.compute_histogram(transcripts, "unix_timestamp(ts)", lo=1.7e9, hi=1.8e9, bins=8)
+    m = Manifest(
+        id="schemas/drift_ks",
+        rules=(
+            Rule(
+                kind="drift",
+                params={"column": "unix_timestamp(ts)", "metric": "ks", "threshold": 0.05, "baseline": baseline},
+            ),
+        ),
+    )
+    assert ValidationEngine(m).violations(transcripts).count() == 0
