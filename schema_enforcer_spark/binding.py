@@ -1,0 +1,89 @@
+"""Data↔manifest binding (SURVEY.md §2.3 J1/J2/J5).
+
+The reference binds data files to schemas three ways
+(/root/reference/docs/mapping_data_files_to_schemas.md): automap on shared
+top-level keys (instances/file.py:164-176), a static filename→schema-id map
+(instances/file.py:38-44), and declared ids
+(ansible_inventory.py:128-132 with SchemaNotDefined on unknown ids,
+schemas/manager.py:289-299). At table grain the analogues are: column-set
+intersection automap, a static table→manifest-ids map, and explicit
+declared ids — all driver-side (binding a table to rule sets is a
+planning-time concern, not a Spark job).
+"""
+
+from __future__ import annotations
+
+from schema_enforcer_spark.manifest import Manifest
+
+
+class ManifestNotDefined(Exception):
+    """Declared manifest id is not registered (mirror of SchemaNotDefined,
+    /root/reference/schema_enforcer/exceptions.py + manager.py:289-299)."""
+
+
+class ManifestRegistry:
+    """The SchemaManager analogue: id → Manifest
+    (/root/reference/schema_enforcer/schemas/manager.py:23-53)."""
+
+    def __init__(self, manifests: list[Manifest] | None = None):
+        self._by_id: dict[str, Manifest] = {}
+        for m in manifests or []:
+            self.add(m)
+
+    def add(self, manifest: Manifest) -> None:
+        if manifest.id in self._by_id:
+            raise ValueError(f"duplicate manifest id {manifest.id!r}")
+        self._by_id[manifest.id] = manifest
+
+    def get(self, manifest_id: str) -> Manifest:
+        try:
+            return self._by_id[manifest_id]
+        except KeyError:
+            raise ManifestNotDefined(
+                f"manifest {manifest_id!r} is declared but not defined; known: {sorted(self._by_id)}"
+            ) from None
+
+    def ids(self) -> list[str]:
+        return sorted(self._by_id)
+
+    # -- binding mechanisms -------------------------------------------------
+
+    def automap(self, columns: list[str]) -> list[Manifest]:
+        """J1: a manifest binds iff its declared/ruled columns intersect the
+        table's columns (the top-level-properties intersection automap,
+        instances/file.py:173)."""
+        out = []
+        cols = set(columns)
+        for m in self._by_id.values():
+            declared = set(m.columns) or {
+                c
+                for r in m.rules
+                for c in ([r.get("column")] if r.get("column") else r.get("columns", []))
+                if c
+            }
+            if declared & cols:
+                out.append(m)
+        return sorted(out, key=lambda m: m.id)
+
+    def bind(
+        self,
+        columns: list[str],
+        table: str | None = None,
+        static_map: dict[str, list[str]] | None = None,
+        declared: list[str] | None = None,
+        use_automap: bool = True,
+    ) -> list[Manifest]:
+        """Union of the three mechanisms, deduplicated — mirrors
+        matches.update(...) accumulation (instances/file.py:145,176)."""
+        chosen: dict[str, Manifest] = {}
+        for mid in declared or []:
+            m = self.get(mid)  # unknown declared id raises, like the reference
+            chosen[m.id] = m
+        if static_map and table and table in static_map:
+            for mid in static_map[table]:
+                m = self.get(mid)
+                chosen[m.id] = m
+        if use_automap:
+            for m in self.automap(columns):
+                chosen[m.id] = m
+        return [chosen[k] for k in sorted(chosen)]

@@ -72,14 +72,14 @@ _SPARK_TYPE_CHECK = {
     "integer": lambda c, dt: (
         F.lit(True)
         if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType))
-        else (c.isNull() | F.try_cast(c, "long").isNotNull() & ~c.rlike(r"[^\s0-9+-]"))
+        else (c.isNull() | c.try_cast("long").isNotNull() & ~c.rlike(r"[^\s0-9+-]"))
         if isinstance(dt, T.StringType)
         else F.lit(False)
     ),
     "number": lambda c, dt: (
         F.lit(True)
         if isinstance(dt, T.NumericType)
-        else (c.isNull() | F.try_cast(c, "double").isNotNull())
+        else (c.isNull() | c.try_cast("double").isNotNull())
         if isinstance(dt, T.StringType)
         else F.lit(False)
     ),

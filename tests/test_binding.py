@@ -1,0 +1,93 @@
+"""Binding mechanisms (J1 automap / J2 static map / J5 declared ids) +
+row-rule kinds not covered elsewhere (type on string column, unique_items)."""
+
+from __future__ import annotations
+
+import pytest
+
+from schema_enforcer_spark.binding import ManifestNotDefined, ManifestRegistry
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import Manifest, Rule
+
+
+def _m(mid, columns=(), rules=()):
+    return Manifest(id=mid, rules=tuple(rules) or (Rule(kind="required", params={"column": columns[0]}),), columns=tuple(columns))
+
+
+@pytest.fixture()
+def registry(base_manifest):
+    return ManifestRegistry(
+        [
+            base_manifest,                      # columns: conv_id..ts
+            _m("schemas/events", columns=("event_id", "event_type")),
+            _m("schemas/other", columns=("zzz",)),
+        ]
+    )
+
+
+def test_automap_on_column_intersection(registry):
+    got = [m.id for m in registry.automap(["conv_id", "turn_idx", "role", "text", "tool", "ts"])]
+    assert got == ["schemas/transcripts_base"]
+    got2 = [m.id for m in registry.automap(["event_id", "value"])]
+    assert got2 == ["schemas/events"]
+
+
+def test_declared_unknown_id_raises(registry):
+    with pytest.raises(ManifestNotDefined, match="schemas/nope"):
+        registry.bind(["conv_id"], declared=["schemas/nope"])
+
+
+def test_bind_union_of_mechanisms(registry):
+    got = [
+        m.id
+        for m in registry.bind(
+            ["conv_id", "turn_idx"],
+            table="transcripts",
+            static_map={"transcripts": ["schemas/other"]},
+            declared=["schemas/events"],
+        )
+    ]
+    # declared ∪ static ∪ automap, deduped + sorted
+    assert got == ["schemas/events", "schemas/other", "schemas/transcripts_base"]
+
+
+def test_duplicate_manifest_id_rejected(base_manifest):
+    reg = ManifestRegistry([base_manifest])
+    with pytest.raises(ValueError, match="duplicate manifest id"):
+        reg.add(base_manifest)
+
+
+# -- row-rule kinds without coverage elsewhere -------------------------------
+
+
+def test_type_rule_on_string_column(spark):
+    df = spark.createDataFrame(
+        [(1, "12"), (2, "notanint"), (3, None), (4, "-5")], "id long, v string"
+    )
+    m = Manifest(id="m", rules=(Rule(kind="type", params={"column": "v", "type": "integer"}),))
+    viols = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    assert len(viols) == 1
+    assert viols[0]["failing_value"] == "notanint"
+    assert viols[0]["message"] == "'notanint' is not of type 'integer'"
+
+
+def test_type_rule_boolean_and_number(spark):
+    df = spark.createDataFrame([(1, "true", "1.5"), (2, "yes", "abc")], "id long, b string, n string")
+    m = Manifest(
+        id="m",
+        rules=(
+            Rule(kind="type", params={"column": "b", "type": "boolean"}),
+            Rule(kind="type", params={"column": "n", "type": "number"}),
+        ),
+    )
+    msgs = sorted(v["message"] for v in ValidationEngine(m, key_columns=["id"]).violations(df).collect())
+    assert msgs == ["'abc' is not of type 'number'", "'yes' is not of type 'boolean'"]
+
+
+def test_unique_items_rule(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["a", "a"])], "id long, tags array<string>")
+    m = Manifest(id="m", rules=(Rule(kind="unique_items", params={"column": "tags"}),))
+    viols = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    assert len(viols) == 1
+    assert viols[0]["absolute_path"] == ["2", "tags"]
+    assert viols[0]["message"] == '["a","a"] has non-unique elements'
