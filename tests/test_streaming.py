@@ -3,6 +3,7 @@ windowed verdicts / watermark dedup, driven with availableNow + memory sink."""
 
 from __future__ import annotations
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -79,3 +80,52 @@ def test_stream_dedup(spark, stream_src, tmp_path):
     _run(stream_dedup(src, ["conv_id", "turn_idx"]), "dedup")
     n = spark.sql("select count(*) c from dedup").collect()[0]["c"]
     assert n == df.count() - 1  # the duplicated turn collapsed
+
+
+def test_stateful_contiguity(spark, tmp_path):
+    """applyInPandasWithState: duplicates arriving in a LATER micro-batch
+    are caught via per-conversation state (stateless windows can't)."""
+    from schema_enforcer_spark.streaming.stateful import stream_stateful_contiguity
+
+    base = gen_transcripts(spark, n_convs=8, seed=42)
+    p1 = str(tmp_path / "b1")
+    p2 = str(tmp_path / "b2")
+    base.write.parquet(p1)
+    # second batch: re-deliver one existing turn of conv 3
+    base.filter("conv_id = 'conv-00000003' and turn_idx = 2").write.parquet(p2)
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    import shutil
+
+    for f in os.listdir(p1):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p1, f), os.path.join(src_dir, "a_" + f))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "100").parquet(src_dir)
+
+    def run_once():
+        q = (
+            stream_stateful_contiguity(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    assert run_once() == []  # clean first batch
+
+    # deliver the duplicate as a second availableNow run over the SAME
+    # checkpoint — the conversation's state survives across runs
+    for f in os.listdir(p2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p2, f), os.path.join(src_dir, "b_" + f))
+    rows = run_once()
+    assert len(rows) >= 1
+    dup = [r for r in rows if r["kind"] == "duplicate_or_regressed"]
+    assert dup and dup[0]["conv_id"] == "conv-00000003" and dup[0]["turn_idx"] == 2
