@@ -372,6 +372,27 @@ def q25_fingerprint(spark, sf_dir):
     )
 
 
+def q26_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts after a >1h gap; the
+    session id is a running sum of session-start flags per user (W-family)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_epoch", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    flagged = ev.select(
+        "user_id", "event_id", "ts_epoch",
+        F.when(gap.isNull() | (gap > 3600), 1).otherwise(0).alias("new_sess"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.select("user_id", "event_id", F.sum("new_sess").over(w2).alias("session_id"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -405,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_set_ops": q23_set_ops,
         "q24_json_extract": q24_json_extract,
         "q25_fingerprint": q25_fingerprint,
+        "q26_sessionize": q26_sessionize,
     }
 
 
@@ -609,6 +631,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
                COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1 ORDER BY keep_id
+    """
+    sqls["q26_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+                 CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS gap
+          FROM events
+        ), f AS (
+          SELECT user_id, event_id, ts_epoch,
+                 CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END AS new_sess
+          FROM g
+        ), s AS (
+          SELECT user_id, event_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """
     sqls["q15_psi_drift"] = """
         WITH h AS (

@@ -71,6 +71,87 @@ def lsh_topk(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+    sample_fraction: float = 0.1,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: deterministic centroids via one Lloyd refinement of
+    a hash-sampled seed set, then assign each vector to its nearest cell.
+
+    Returns (assigned_df with a ``_cell`` column, centroids). At scale the
+    assigned table is written bucketed by ``_cell`` so probes prune whole
+    files; the centroid refinement is one groupBy over a sample — the
+    k-means analogue without iterative driver loops (1 refinement pass is
+    the standard IVF-flat recipe; more passes = marginal recall).
+    """
+    # seed centroids: hash-deterministic sample, first n_cells by id hash
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    def _nearest(vec: Column, cents: list[list[float]]) -> Column:
+        # argmin over squared L2 distance, expressed as a fold over literal
+        # centroid structs — all codegen, no UDF
+        best = None
+        for ci, c in enumerate(cents):
+            d = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            pair = F.struct(d.alias("d"), F.lit(ci).alias("cell"))
+            best = pair if best is None else F.when(pair["d"] < best["d"], pair).otherwise(best)
+        return best["cell"]
+
+    sample = df.sample(fraction=sample_fraction, seed=seed).withColumn("_cell", _nearest(F.col(vec_col), centroids))
+    refined_rows = (
+        sample.groupBy("_cell")
+        .agg(*[F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(dim)])
+        .collect()
+    )
+    refined = list(centroids)
+    for r in refined_rows:
+        refined[r["_cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+
+    assigned = df.withColumn("_cell", _nearest(F.col(vec_col), refined))
+    return assigned, refined
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the nprobe cells whose centroids are closest
+    to the query — the scan prunes to ~nprobe/n_cells of the table."""
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda ci: sum((a - b) ** 2 for a, b in zip(query_vec, centroids[ci])),
+    )
+    probe_cells = dists[:nprobe]
+    q = _query_lit(query_vec)
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def topk_per_probe_recall(df: DataFrame, query_vec: list[float], k: int, **kw) -> float:
     """Recall@k of lsh_topk vs brute force — bench/diagnostic helper."""
     exact = {r[0] for r in brute_force_topk(df, query_vec, k, **{k_: v for k_, v in kw.items() if k_ in ("vec_col", "id_col")}).collect()}

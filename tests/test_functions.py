@@ -129,3 +129,25 @@ def test_rolling_fingerprints(spark):
     row = df.select(textops.rolling_fingerprints(F.col("text"), window=8).alias("fp")).collect()[0]
     assert len(row["fp"]) == 5  # 12 - 8 + 1
     assert len(set(row["fp"])) == 5
+
+
+def test_ivf_ann(spark):
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.1] * 62
+
+    rows = [(i, vec(i * 0.02)) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    from schema_enforcer_spark.functions.similarity import ivf_build, ivf_topk, brute_force_topk
+
+    assigned, centroids = ivf_build(emb, n_cells=8, dim=64, sample_fraction=0.5)
+    assert assigned.select("_cell").distinct().count() <= 8
+    q = vec(1.0)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"IVF recall {recall}: exact={exact} approx={approx}"
+    # determinism: rebuilding gives the same assignment
+    assigned2, centroids2 = ivf_build(emb, n_cells=8, dim=64, sample_fraction=0.5)
+    assert centroids == centroids2
