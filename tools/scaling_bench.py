@@ -97,7 +97,7 @@ def main() -> None:
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
     n_low = int(os.environ.get("SCALE_N_LOW", "1"))
     n_high = int(os.environ.get("SCALE_N_HIGH", "4"))
-    cores = int(os.environ.get("SCALE_CORES", "4"))
+    cores = int(os.environ.get("SCALE_CORES", "1"))
     path = f"/dev/shm/bench_transcripts_{n_convs}"
     if not os.path.exists(path):
         print(f"generating {n_convs} convs at {path} ...", file=sys.stderr)
