@@ -34,6 +34,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--instance-expr", default=None)
     p.add_argument("--show-failures", type=int, default=20, help="max FAIL lines printed")
     p.add_argument("--master", default=None, help="override spark master (default: from spark-submit)")
+    p.add_argument(
+        "--show-checks",
+        action="store_true",
+        help="print which manifests bind to the input's columns and exit "
+        "(mirror of the reference's --show-checks, cli.py:86-88)",
+    )
     return p.parse_args(argv)
 
 
@@ -60,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = builder.getOrCreate()
 
     df = spark.read.parquet(args.input)
+    if args.show_checks:
+        from schema_enforcer_spark.binding import ManifestRegistry
+
+        reg = ManifestRegistry([manifest])
+        bound = reg.automap(df.columns)
+        print(f"{'Instance':<40} Schema ID")
+        print("-" * 80)
+        print(f"{args.input:<40} {[m.id for m in bound]}")
+        return 0
     ref_tables = {}
     for spec in args.ref_table:
         name, _, path = spec.partition("=")

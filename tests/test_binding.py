@@ -91,3 +91,22 @@ def test_unique_items_rule(spark):
     assert len(viols) == 1
     assert viols[0]["absolute_path"] == ["2", "tags"]
     assert viols[0]["message"] == '["a","a"] has non-unique elements'
+
+
+def test_merge_defaults(spark):
+    from schema_enforcer_spark.sources.defaults import merge_defaults
+
+    rows = spark.createDataFrame(
+        [("c1", 0, None, "hello"), ("c1", 1, "web", None), ("c2", 0, None, None)],
+        "conv_id string, turn_idx int, channel string, text string",
+    )
+    defaults = spark.createDataFrame(
+        [("c1", "api", "en"), ("c2", "batch", "de")],
+        "conv_id string, channel string, lang string",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in merge_defaults(rows, defaults, ["conv_id"]).collect()}
+    assert out[("c1", 0)]["channel"] == "api"      # default fills NULL
+    assert out[("c1", 1)]["channel"] == "web"      # row value wins
+    assert out[("c2", 0)]["channel"] == "batch"
+    assert out[("c1", 0)]["lang"] == "en"          # new column appended
+    assert out[("c1", 1)]["text"] is None          # untouched columns stay
