@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "q18_embedding_near_dups",
     "q19_ann_topk",
     "q20_stats_hll",
+    "q21_salted_agg",
+    "q22_topk_per_group",
+    "q23_set_ops",
+    "q24_json_extract",
+    "q25_fingerprint",
+    "q26_sessionize",
 ]
 
 

@@ -62,3 +62,48 @@ def test_table_io_roundtrip(spark, transcripts, tmp_path):
     # partition pruning: filter on partition_id hits the directory layout
     one = back.filter(F.col("partition_id") == back.select("partition_id").first()[0])
     assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+
+
+def test_bucketed_join_no_shuffle(spark, transcripts, conversations, tmp_path):
+    """Two tables bucketed on conv_id with equal bucket counts join with
+    ZERO exchanges — the co-located-join path for 100TB conv-keyed work."""
+    import re
+
+    io = TableIO(spark, str(tmp_path), num_buckets=8)
+    io.write_bucketed(transcripts.drop("partition_id"), "bt_transcripts", "conv_id", "turn_idx")
+    io.write_bucketed(conversations, "bt_conversations", "conv_id", sort_col=None)
+    t = io.read_bucketed("bt_transcripts")
+    c = io.read_bucketed("bt_conversations")
+    joined = t.join(c, "conv_id")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 0, f"bucketed join produced {n_ex} exchanges:\n{plan[:1500]}"
+    assert joined.count() == transcripts.count()
+    spark.sql("DROP TABLE IF EXISTS bt_transcripts")
+    spark.sql("DROP TABLE IF EXISTS bt_conversations")
+
+
+def test_validation_on_bucketed_table_no_exchange(spark, transcripts, base_manifest, tmp_path):
+    """Pre-bucketing transcripts on conv_id makes even the window-shaped
+    rules exchange-free: the bucketed scan reports HashPartitioning(conv_id)
+    which satisfies the window's ClusteredDistribution — the 100TB recipe
+    (validate in place, zero shuffle)."""
+    import re
+
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.manifest import Manifest
+
+    io = TableIO(spark, str(tmp_path), num_buckets=8)
+    io.write_bucketed(transcripts.drop("partition_id"), "bt_val", "conv_id", "turn_idx")
+    t = io.read_bucketed("bt_val")
+    win_m = Manifest(
+        id=base_manifest.id,
+        rules=tuple(r for r in base_manifest.rules if r.kind in ("ordering", "contiguous", "unique")),
+        table=base_manifest.table,
+    )
+    v = ValidationEngine(win_m).violations(t)
+    plan = v._sc._jvm.PythonSQLUtils.explainString(v._jdf.queryExecution(), "formatted")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 0, f"window pass on bucketed table produced {n_ex} exchanges"
+    assert v.count() == 0
+    spark.sql("DROP TABLE IF EXISTS bt_val")
