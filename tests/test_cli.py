@@ -1,0 +1,74 @@
+"""CLI surface: exit codes, FAIL-line format, checkpoint resume, fail-fast
+on invalid manifests (reference cli.py parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from schema_enforcer_spark.cli import main
+from schema_enforcer_spark.synth import gen_transcripts, gen_conversations, inject
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "manifests", "transcripts_base.yml")
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    bad = str(root / "bad")
+    clean = str(root / "clean")
+    convs = str(root / "convs")
+    inject(gen_transcripts(spark, n_convs=15, seed=42), "invalid_enum").write.parquet(bad)
+    gen_transcripts(spark, n_convs=5, seed=42).write.parquet(clean)
+    gen_conversations(spark, 15).write.parquet(convs)
+    return {"bad": bad, "clean": clean, "convs": convs, "root": str(root)}
+
+
+def test_cli_fail_exit_code_and_output(spark, data, capsys):
+    rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--output", data["root"] + "/out"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL | [ERROR] 'operator' is not one of" in out
+    assert "[PROPERTY] conv-00000001:1:role" in out
+    # sinks written
+    assert spark.read.parquet(data["root"] + "/out/violations").count() >= 1
+    verdicts = spark.read.parquet(data["root"] + "/out/verdicts")
+    assert verdicts.filter("result = 'FAIL'").count() >= 1
+
+
+def test_cli_pass(spark, data, capsys):
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"]])
+    assert rc == 0
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" in capsys.readouterr().out
+
+
+def test_cli_checkpoint_resume(spark, data, capsys):
+    ckpt = data["root"] + "/ckpt"
+    rc1 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt])
+    assert rc1 == 1
+    rc2 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt])
+    out = capsys.readouterr().out
+    assert rc2 == 0
+    assert "ALL PARTITIONS ALREADY VALIDATED" in out
+
+
+def test_cli_invalid_manifest_fails_fast(spark, data, capsys):
+    rc = main(["--manifest", os.path.join(REPO, "manifests", "invalid_manifest.yml"), "--input", data["clean"]])
+    assert rc == 1
+    assert "invalid manifest" in capsys.readouterr().err
+
+
+def test_cli_referential_and_show_checks(spark, data, capsys):
+    rc = main(
+        [
+            "--manifest", os.path.join(REPO, "manifests", "transcripts_referential.yml"),
+            "--input", data["bad"],
+            "--ref-table", f"conversations={data['convs']}",
+        ]
+    )
+    assert rc == 0  # enum defect doesn't violate referential rule
+    rc2 = main(["--manifest", MANIFEST, "--input", data["clean"], "--show-checks"])
+    out = capsys.readouterr().out
+    assert rc2 == 0 and "schemas/transcripts_base" in out
