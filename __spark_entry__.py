@@ -393,6 +393,22 @@ def q26_sessionize(spark, sf_dir):
     )
 
 
+def q27_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (regex word/digit/punct segmentation)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", textops.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
+def q28_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check): deterministic fake media →
+    Arrow-batched image feature extraction (real schema/batching, stubbed
+    codec)."""
+    from schema_enforcer_spark.functions.multimodal import gen_fake_media, image_features
+
+    media = gen_fake_media(spark, n=200)
+    return image_features(media, fake=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -427,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_json_extract": q24_json_extract,
         "q25_fingerprint": q25_fingerprint,
         "q26_sessionize": q26_sessionize,
+        "q27_bpe_token_count": q27_bpe_token_count,
+        "q28_multimodal_features": q28_multimodal_features,
     }
 
 
@@ -651,6 +669,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """
+    sqls["q27_bpe_token_count"] = r"""
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(
+                   REGEXP_REPLACE(text, '([^\sA-Za-z0-9]|\d)', ' \1 ', 'g'),
+                   '\s+'), x -> LENGTH(x) > 0)) AS n_bpe
+        FROM documents
     """
     sqls["q15_psi_drift"] = """
         WITH h AS (

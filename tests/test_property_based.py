@@ -1,0 +1,122 @@
+"""Property-based correctness: for randomized rule parameters and row data,
+the engine's per-row verdict must equal a real jsonschema Draft7Validator's
+(hypothesis-driven; the reference has no property tests — SURVEY §5 — so
+this strengthens the correctness case beyond its golden corpus)."""
+
+from __future__ import annotations
+
+import jsonschema
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import Manifest, Rule
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_text = st.text(alphabet="abcxyz- _", min_size=0, max_size=12)
+
+
+def _run_engine(spark, rules, rows):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], "id long, v string")
+    m = Manifest(id="prop", rules=tuple(rules))
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    return flagged
+
+
+def _oracle(schema, rows):
+    v = jsonschema.Draft7Validator(schema)
+    out = set()
+    for i, val in enumerate(rows):
+        inst = {} if val is None else {"v": val}
+        if any(True for _ in v.iter_errors(inst)):
+            out.add(i)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(st.one_of(st.none(), _text), min_size=1, max_size=15),
+    values=st.lists(_text, min_size=1, max_size=4, unique=True),
+    required=st.booleans(),
+)
+def test_enum_required_matches_jsonschema(spark, rows, values, required):
+    rules = [Rule(kind="enum", params={"column": "v", "values": list(values)})]
+    schema = {"type": "object", "properties": {"v": {"enum": list(values)}}}
+    if required:
+        rules.append(Rule(kind="required", params={"column": "v"}))
+        schema["required"] = ["v"]
+    assert _run_engine(spark, rules, rows) == _oracle(schema, rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(st.one_of(st.none(), _text), min_size=1, max_size=15),
+    min_len=st.integers(min_value=0, max_value=6),
+    max_len=st.integers(min_value=6, max_value=14),
+)
+def test_length_matches_jsonschema(spark, rows, min_len, max_len):
+    rules = [Rule(kind="length", params={"column": "v", "min_length": min_len, "max_length": max_len})]
+    schema = {"type": "object", "properties": {"v": {"minLength": min_len, "maxLength": max_len}}}
+    assert _run_engine(spark, rules, rows) == _oracle(schema, rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(min_value=-50, max_value=50)), min_size=1, max_size=15),
+    lo=st.integers(min_value=-20, max_value=0),
+    hi=st.integers(min_value=0, max_value=20),
+)
+def test_range_matches_jsonschema(spark, vals, lo, hi):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v int")
+    m = Manifest(id="prop", rules=(Rule(kind="range", params={"column": "v", "minimum": lo, "maximum": hi}),))
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    schema = {"type": "object", "properties": {"v": {"minimum": lo, "maximum": hi}}}
+    v = jsonschema.Draft7Validator(schema)
+    expected = {
+        i for i, val in enumerate(vals)
+        if val is not None and any(True for _ in v.iter_errors({"v": val}))
+    }
+    assert flagged == expected
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.one_of(st.none(), _text), min_size=1, max_size=15))
+def test_pattern_matches_jsonschema(spark, rows):
+    pattern = "^[a-c]+$"
+    rules = [Rule(kind="pattern", params={"column": "v", "pattern": pattern})]
+    schema = {"type": "object", "properties": {"v": {"pattern": pattern}}}
+    assert _run_engine(spark, rules, rows) == _oracle(schema, rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    convs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_unique_rule_matches_set_semantics(spark, convs):
+    """Fused-or-standalone unique: flagged keys == keys occurring > once."""
+    df = spark.createDataFrame(
+        [(f"c{c}", t) for c, t in convs], "conv_id string, turn_idx int"
+    )
+    m = Manifest(id="prop", rules=(Rule(kind="unique", params={"columns": ["conv_id", "turn_idx"]}),))
+    viols = ValidationEngine(m).violations(df).collect()
+    flagged = {tuple(v["absolute_path"]) for v in viols}
+    from collections import Counter
+
+    counts = Counter((f"c{c}", t) for c, t in convs)
+    expected = {(c, str(t)) for (c, t), n in counts.items() if n > 1}
+    assert flagged == expected
