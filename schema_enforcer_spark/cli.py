@@ -26,7 +26,7 @@ import sys
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="schema-enforcer-spark")
     p.add_argument("--manifest", required=True, help="YAML/JSON constraint manifest")
-    p.add_argument("--input", required=True, help="input parquet path (or table with --iceberg)")
+    p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
     p.add_argument("--output", default=None, help="results root; writes <output>/violations and <output>/verdicts")
     p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
     p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
@@ -39,6 +39,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="print which manifests bind to the input's columns and exit "
         "(mirror of the reference's --show-checks, cli.py:86-88)",
+    )
+    p.add_argument(
+        "--selftest",
+        metavar="CORPUS_DIR",
+        default=None,
+        help="run the manifest's golden corpus (valid/ + invalid/) and exit — "
+        "the `schema --check` analogue (manager.py:128-256)",
+    )
+    p.add_argument(
+        "--generate-invalid",
+        metavar="CORPUS_DIR",
+        default=None,
+        help="write results.json goldens for every invalid corpus case — "
+        "the `schema --generate-invalid` analogue (manager.py:258-287)",
     )
     return p.parse_args(argv)
 
@@ -65,6 +79,29 @@ def main(argv: list[str] | None = None) -> int:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
 
+    eng_kw = dict(
+        key_columns=[c for c in args.key_columns.split(",") if c],
+        instance_expr=args.instance_expr,
+    )
+    if args.selftest or args.generate_invalid:
+        from schema_enforcer_spark.engine import ValidationEngine as _VE
+        from schema_enforcer_spark.selftest import generate_invalid, test_manifest
+
+        eng = _VE(manifest, **eng_kw)
+        if args.generate_invalid:
+            written = generate_invalid(spark, eng, args.generate_invalid)
+            print(f"wrote {len(written)} golden file(s)")
+            return 0
+        res = test_manifest(spark, eng, args.selftest)
+        for case in res.passed:
+            print(f"PASS | {case} [{manifest.id}]")
+        for case, reason in res.failed:
+            print(f"FAIL | {case} [{manifest.id}] {reason}")
+        return 0 if res.ok else 1
+
+    if not args.input:
+        print("ERROR | --input is required", file=sys.stderr)
+        return 2
     df = spark.read.parquet(args.input)
     if args.show_checks:
         from schema_enforcer_spark.binding import ManifestRegistry
@@ -80,11 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         name, _, path = spec.partition("=")
         ref_tables[name] = spark.read.parquet(path)
 
-    eng = ValidationEngine(
-        manifest,
-        key_columns=[c for c in args.key_columns.split(",") if c],
-        instance_expr=args.instance_expr,
-    )
+    eng = ValidationEngine(manifest, **eng_kw)
 
     if args.checkpoint:
         cm = CheckpointManager(spark, args.checkpoint)

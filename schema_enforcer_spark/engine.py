@@ -60,6 +60,14 @@ class ValidationReport:
         (/root/reference/schema_enforcer/cli.py:104-107)."""
         return self.violations.limit(1).count() == 0
 
+    def unpersist(self) -> None:
+        """Release the cached violations (validate() persists them so the
+        verdict aggregation doesn't recompute every rule)."""
+        try:
+            self.violations.unpersist()
+        except Exception:  # noqa: BLE001 - not cached / session gone
+            pass
+
 
 def _comparison(op: str, left: Column, right: Column) -> Column:
     # Operator set mirrors JmesPathModelValidation

@@ -72,3 +72,17 @@ def test_cli_referential_and_show_checks(spark, data, capsys):
     rc2 = main(["--manifest", MANIFEST, "--input", data["clean"], "--show-checks"])
     out = capsys.readouterr().out
     assert rc2 == 0 and "schemas/transcripts_base" in out
+
+
+def test_cli_selftest_and_generate(spark, data, capsys):
+    corpus = data["root"] + "/corpus"
+    # build a tiny corpus: one valid + one invalid case
+    spark.read.parquet(data["clean"]).write.parquet(corpus + "/valid/clean.parquet")
+    spark.read.parquet(data["bad"]).write.parquet(corpus + "/invalid/enum_case/data.parquet")
+    rc_gen = main(["--manifest", MANIFEST, "--generate-invalid", corpus])
+    assert rc_gen == 0
+    rc = main(["--manifest", MANIFEST, "--selftest", corpus])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS | valid/clean.parquet" in out
+    assert "PASS | invalid/enum_case" in out
