@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q24_json_extract",
     "q25_fingerprint",
     "q26_sessionize",
+    "q27_bpe_token_count",
+    "q28_multimodal_features",
 ]
 
 

@@ -99,6 +99,33 @@ def merge_hll_estimate(sketches: DataFrame, columns: list[str]) -> DataFrame:
     return merged.select(*[F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}__distinct") for c in columns])
 
 
+def numeric_profile(df: DataFrame, columns: list[str], percentiles: list[float] | None = None) -> DataFrame:
+    """Approximate percentile profile per numeric column — one pass via
+    approx_percentile (t-digest-backed, mergeable across partitions).
+    Complements column_stats for distribution-aware quality gates."""
+    pcts = percentiles or [0.01, 0.25, 0.5, 0.75, 0.99]
+    aggs = []
+    for c in columns:
+        aggs.append(
+            F.percentile_approx(F.col(c).cast("double"), pcts, 10000).alias(f"{c}__p")
+        )
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+        aggs.append(F.stddev_pop(F.col(c).cast("double")).alias(f"{c}__std"))
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__std").alias("std"),
+                *[F.col(f"{c}__p")[i].alias(f"p{int(p*100):02d}") for i, p in enumerate(pcts)],
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
 # ---------------------------------------------------------------------------
 # Histograms + drift
 # ---------------------------------------------------------------------------

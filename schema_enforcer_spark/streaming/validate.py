@@ -70,6 +70,31 @@ def stream_verdicts(
     )
 
 
+def stream_session_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-conversation session windows (session closes after `gap` of
+    silence): turn counts + role mix per session. The streaming analogue of
+    q26's batch sessionization — state bounded by the watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_if(F.col("role") == "assistant").alias("n_assistant"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id", F.col("sess.start").alias("session_start"), F.col("sess.end").alias("session_end"),
+            "n_turns", "n_assistant", "first_turn", "last_turn",
+        )
+    )
+
+
 def stream_dedup(
     stream_df: DataFrame,
     key_columns: list[str],

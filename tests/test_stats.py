@@ -82,3 +82,10 @@ def test_drift_ks_metric(spark, transcripts):
         ),
     )
     assert ValidationEngine(m).violations(transcripts).count() == 0
+
+
+def test_numeric_profile(spark, transcripts):
+    out = {r["column"]: r for r in stats.numeric_profile(transcripts, ["turn_idx"]).collect()}
+    r = out["turn_idx"]
+    assert r["p01"] <= r["p25"] <= r["p50"] <= r["p75"] <= r["p99"]
+    assert r["mean"] > 0 and r["std"] > 0

@@ -129,3 +129,31 @@ def test_stateful_contiguity(spark, tmp_path):
     assert len(rows) >= 1
     dup = [r for r in rows if r["kind"] == "duplicate_or_regressed"]
     assert dup and dup[0]["conv_id"] == "conv-00000003" and dup[0]["turn_idx"] == 2
+
+
+def test_stream_session_stats(spark, stream_src):
+    from schema_enforcer_spark.streaming import stream_session_stats
+
+    path, schema = stream_src
+    src = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_session_stats(src, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess").collect()
+    assert rows
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], 0)
+        by_conv[r["conv_id"]] += r["n_turns"]
+        assert r["session_end"] > r["session_start"]
+    # per-conv turn totals across sessions == table counts
+    import pyspark.sql.functions as SF
+
+    expected = {r["conv_id"]: r["n"] for r in spark.read.parquet(path).groupBy("conv_id").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    assert by_conv == expected
