@@ -55,12 +55,13 @@ class ManifestRegistry:
         out = []
         cols = set(columns)
         for m in self._by_id.values():
-            declared = set(m.columns) or {
-                c
-                for r in m.rules
-                for c in ([r.get("column")] if r.get("column") else r.get("columns", []))
-                if c
-            }
+            declared = set(m.columns)
+            if not declared:
+                for r in m.rules:
+                    if r.get("column"):
+                        declared.add(r.get("column"))
+                    for key in ("columns", "group_by", "partition_by", "order_by"):
+                        declared.update(r.get(key) or [])
             if declared & cols:
                 out.append(m)
         return sorted(out, key=lambda m: m.id)
@@ -87,3 +88,34 @@ class ManifestRegistry:
             for m in self.automap(columns):
                 chosen[m.id] = m
         return [chosen[k] for k in sorted(chosen)]
+
+    def validate_all(
+        self,
+        df,
+        ref_tables=None,
+        table: str | None = None,
+        static_map: dict[str, list[str]] | None = None,
+        declared: list[str] | None = None,
+        **engine_kw,
+    ):
+        """Bind → validate with every applicable manifest → ONE unioned
+        report (the reference's per-instance loop over matched schemas,
+        /root/reference/schema_enforcer/instances/file.py:190-201, as a
+        single unioned plan). Verdicts are per (manifest × partition)."""
+        from functools import reduce
+
+        from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
+
+        manifests = self.bind(df.columns, table=table, static_map=static_map, declared=declared)
+        if not manifests:
+            raise ManifestNotDefined(f"no manifest binds to columns {df.columns}")
+        viols, verds = [], []
+        for m in manifests:
+            eng = ValidationEngine(m, **engine_kw)
+            v = eng.violations(df, ref_tables)
+            viols.append(v)
+            verds.append(eng.verdicts(df, v))
+        return ValidationReport(
+            violations=reduce(lambda a, b: a.unionByName(b), viols),
+            verdicts=reduce(lambda a, b: a.unionByName(b), verds),
+        )

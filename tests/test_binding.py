@@ -110,3 +110,26 @@ def test_merge_defaults(spark):
     assert out[("c2", 0)]["channel"] == "batch"
     assert out[("c1", 0)]["lang"] == "en"          # new column appended
     assert out[("c1", 1)]["text"] is None          # untouched columns stay
+
+
+def test_validate_all_union(spark, transcripts, conversations, base_manifest):
+    from schema_enforcer_spark.manifest import load_manifest
+    import os
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reg = ManifestRegistry(
+        [base_manifest, load_manifest(os.path.join(REPO, "manifests", "transcripts_agg.yml"))]
+    )
+    from schema_enforcer_spark.synth import inject
+
+    df = inject(transcripts, "invalid_enum")
+    report = reg.validate_all(df, ref_tables={"conversations": conversations})
+    viols = report.violations.collect()
+    ids = {v["schema_id"].split("/")[1] for v in viols}
+    assert "transcripts_base" in ids  # enum violation from the base manifest
+    verdicts = report.verdicts.collect()
+    schemas = {v["schema_id"] for v in verdicts}
+    assert schemas == {"schemas/transcripts_base", "schemas/transcripts_agg"}
+    # per (manifest x partition) verdicts: FAIL only where the enum defect sits
+    base_fails = [v for v in verdicts if v["schema_id"] == "schemas/transcripts_base" and v["result"] == "FAIL"]
+    assert len(base_fails) == 1
