@@ -134,17 +134,27 @@ def q01_pricing_summary(spark, sf_dir):
         * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
         * (F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)"))
     ).cast("decimal(28,6)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    # DECIMAL sums surface as strings: DuckDB's pandas bridge degrades any
+    # DECIMAL (and HUGEINT) column to float64, so a decimal-typed Spark
+    # column can never hash-match the oracle — the exact decimal *rendering*
+    # ("1524135.00") is engine-independent. avg_disc uses pure integer
+    # half-up rounding at 1e-6 (no double round() in either engine).
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("string").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("string").alias("sum_base_price"),
+        F.sum(charge).cast("string").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+        (F.sum(dec("l_discount")) * 100).cast("long").alias("_disc_cents"),
     )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_charge",
+        "count_order",
+        F.expr("(_disc_cents * 20000 + count_order) DIV (2 * count_order)").alias("avg_disc_e6"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q02_validate_events_violations(spark, sf_dir):
@@ -400,13 +410,23 @@ def q27_bpe_token_count(spark, sf_dir):
 
 
 def q28_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only check): deterministic fake media →
-    Arrow-batched image feature extraction (real schema/batching, stubbed
-    codec)."""
+    """Multimodal plumbing: deterministic fake media → Arrow-batched image
+    feature extraction (real schema/batching, stubbed codec). Output keeps
+    scalar columns only — the driver's canonicalizer sorts every column, and
+    an array<float> column can't be factorized — with the feature vector
+    surfaced as f0 + an order-stable fold sum."""
     from schema_enforcer_spark.functions.multimodal import gen_fake_media, image_features
 
     media = gen_fake_media(spark, n=200)
-    return image_features(media, fake=True)
+    feats = image_features(media, fake=True)
+    fsum = F.aggregate(F.col("feat"), F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.col("feat")[0].cast("double"), 6).alias("f0"),
+        F.round(fsum, 6).alias("fsum"),
+    ).orderBy("media_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -488,15 +508,21 @@ WITH viol AS (
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["q01_pricing_summary"] = """
-        SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                   * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(28,6))) AS sum_charge,
-               COUNT(*) AS count_order,
-               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
-        FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        WITH agg AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_qty,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_base_price,
+                 CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                     * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(28,6)))
+                   AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
+                 COUNT(*) AS count_order,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS disc_cents
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_charge, count_order,
+               CAST((disc_cents * 20000 + count_order) // (2 * count_order) AS BIGINT) AS avg_disc_e6
+        FROM agg ORDER BY l_returnflag, l_linestatus
     """
     q02 = _Q02_VIOL_CTE.format() + " SELECT * FROM viol"
     sqls["q02_validate_events_violations"] = q02
@@ -572,7 +598,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS gap
           FROM events
         )
-        SELECT user_id, COUNT(*) AS n_events, SUM(gap) AS sum_gap_s, MAX(gap) AS max_gap_s
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_s, MAX(gap) AS max_gap_s
         FROM w GROUP BY user_id ORDER BY user_id
     """
     sqls["q10_hist_doc_len"] = """
@@ -641,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["q24_json_extract"] = """
         SELECT event_type,
-               SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NULL THEN 1 END) AS null_k
         FROM events GROUP BY event_type ORDER BY event_type
     """
@@ -663,8 +690,8 @@ def oracle_sql() -> dict[str, str]:
           FROM g
         ), s AS (
           SELECT user_id, event_id,
-                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM f
         )
         SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
@@ -676,6 +703,23 @@ def oracle_sql() -> dict[str, str]:
                    REGEXP_REPLACE(text, '([^\sA-Za-z0-9]|\d)', ' \1 ', 'g'),
                    '\s+'), x -> LENGTH(x) > 0)) AS n_bpe
         FROM documents
+    """
+    sqls["q28_multimodal_features"] = """
+        WITH m AS (
+          SELECT CAST(range AS BIGINT) AS media_id,
+                 CASE CAST(range % 3 AS INT) WHEN 0 THEN 'image/png'
+                      WHEN 1 THEN 'image/jpeg' ELSE 'video/mp4' END AS mime,
+                 REPEAT(PRINTF('m%d|', range), 64) AS s
+          FROM range(200)
+        ), f AS (
+          SELECT media_id, mime, CAST(LENGTH(s) AS INT) AS n_bytes,
+                 LIST_TRANSFORM(RANGE(1, 9),
+                     j -> CAST(CAST(ASCII(SUBSTR(s, CAST(j AS INT), 1)) / 255.0 AS REAL) AS DOUBLE)) AS feat
+          FROM m WHERE mime LIKE 'image/%'
+        )
+        SELECT media_id, mime, n_bytes, ROUND(feat[1], 6) AS f0,
+               ROUND(LIST_REDUCE(feat, (a, b) -> a + b), 6) AS fsum
+        FROM f ORDER BY media_id
     """
     sqls["q15_psi_drift"] = """
         WITH h AS (

@@ -41,13 +41,15 @@ FRAME_SAMPLE_DDL = "media_id long, frame_idx int, frame_bytes binary"
 
 
 def gen_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: content = repeatable pseudo-bytes."""
+    """Deterministic fake media table: content = repeatable pseudo-bytes.
+    Every column is a plain arithmetic function of media_id (no engine-
+    specific hash) so an ANSI-SQL oracle can regenerate the exact table."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.get(F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")), F.pmod(F.hash(F.lit(seed), "id"), F.lit(3))).alias("mime"),
-        (32 + F.pmod(F.hash(F.lit(seed + 1), "id"), F.lit(64))).cast("int").alias("width"),
-        (32 + F.pmod(F.hash(F.lit(seed + 2), "id"), F.lit(64))).cast("int").alias("height"),
-        F.when(F.col("id") % 3 == 2, (1000 + F.pmod(F.hash(F.lit(seed + 3), "id"), F.lit(9000))).cast("int")).alias("duration_ms"),
+        F.get(F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")), F.pmod(F.col("id"), F.lit(3)).cast("int")).alias("mime"),
+        (32 + F.pmod(F.col("id") * 7 + seed, F.lit(64))).cast("int").alias("width"),
+        (32 + F.pmod(F.col("id") * 13 + seed, F.lit(64))).cast("int").alias("height"),
+        F.when(F.col("id") % 3 == 2, (1000 + F.pmod(F.col("id") * 31 + seed, F.lit(9000))).cast("int")).alias("duration_ms"),
         F.encode(F.repeat(F.format_string("m%d|", F.col("id")), 64), "utf-8").alias("content"),
     )
 

@@ -2,6 +2,16 @@
 __spark_entry__.queries() entry on Spark AND its oracle_sql() on DuckDB at
 sf0.01, compare row count + column names + order-insensitive values.
 
+The comparison is deliberately REPRESENTATION-SENSITIVE, mirroring the
+driver's pandas canonicalizer: both sides go through the same pandas
+bridges the driver uses (Spark ``toPandas()``, DuckDB ``.df()``), every
+cell is tagged with its Python type, and floats compare by exact bits
+(``float.hex()``).  Round 1 proved why: DuckDB's ``.df()`` degrades any
+DECIMAL or HUGEINT column to float64, so a Spark decimal/long column can
+pass a value-level check and still hash-mismatch at the driver.  A list
+valued column is flagged too — the driver sorts every column and pandas
+cannot factorize lists (the round-1 q28 crash).
+
 Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
 """
 
@@ -18,24 +28,53 @@ sys.path.insert(0, REPO)
 
 
 def _norm(v):
-    if isinstance(v, decimal.Decimal):
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+    """Type-tagged canonical cell value: two cells compare equal only if the
+    pandas bridge delivered the same representation to both engines."""
+    import numpy as np
+
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, np.bool_):
+        v = bool(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+            return "f|nan"
+        return f"f|{v.hex()}"
     if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    return str(v)
+        return f"b|{v}"
+    if isinstance(v, int):
+        return f"i|{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec|{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts|{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bin|{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s|{v}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "LIST[" + ",".join(_norm(x) for x in v) + "]"
+    return f"{type(v).__name__}|{v}"
 
 
-def _rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+def _is_listy(v):
+    return isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+
+
+def _pdf_rowset(pdf):
+    import pandas as pd  # noqa: F401
+
+    cols = sorted(pdf.columns)
+    listy = [c for c in cols if pdf[c].map(_is_listy).any()]
+    rows = Counter(
+        tuple(_norm(None if v is None or (isinstance(v, float) and math.isnan(v)) else v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return rows, listy
 
 
 def main():
@@ -68,39 +107,41 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             continue
+        srows, s_listy = _pdf_rowset(spdf)
         if name not in oracles:
-            print(f"{name}: rows-only (no oracle) — {len(srows)} rows, cols={scols}")
+            tag = f" DRIVER-UNSAFE list columns {s_listy}" if s_listy else ""
+            print(f"{name}: rows-only (no oracle) — {len(spdf)} rows, cols={list(spdf.columns)}{tag}")
+            if s_listy:
+                failures.append(name)
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
             continue
+        drows, _ = _pdf_rowset(dpdf)
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            s, d = _rowset(scols, srows), _rowset(dcols, drows)
-            if s != d:
-                extra_s = list((s - d).items())[:3]
-                extra_d = list((d - s).items())[:3]
-                problems.append(f"values: only-spark={extra_s} only-duck={extra_d}")
+        if s_listy:
+            problems.append(f"DRIVER-UNSAFE list columns {s_listy}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(f"cols spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+        if not problems and srows != drows:
+            extra_s = list((srows - drows).items())[:2]
+            extra_d = list((drows - srows).items())[:2]
+            problems.append(f"values: only-spark={extra_s} only-duck={extra_d}")
         if problems:
             failures.append(name)
             print(f"{name}: MISMATCH — " + " | ".join(problems))
         else:
-            print(f"{name}: MATCH ({len(srows)} rows)")
+            print(f"{name}: MATCH ({len(spdf)} rows)")
     print()
     if failures:
         print(f"FAILED: {failures}")
