@@ -286,12 +286,14 @@ def q15_psi_drift(spark, sf_dir):
     return joined.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
 
 
-# --- non-SQL-expressible ops: driver records rows-only checks ---------------
-
-
 def q16_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs at threshold 0.8, banded so recall is
+    oracle-safe: with 64 hashes / 32 bands (2 rows per band) a true pair at
+    Jaccard 0.9 — the lowest that exists in the corpus — is missed with
+    probability (1-0.9²)³² ≈ 1e-23, so the exact all-pairs Jaccard oracle
+    is a deterministic twin."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return minhash_near_dups(docs, threshold=0.5, num_hashes=64, bands=16)
+    return minhash_near_dups(docs, threshold=0.8, num_hashes=64, bands=32).orderBy("a_id", "b_id")
 
 
 def q17_simhash(spark, sf_dir):
@@ -300,8 +302,11 @@ def q17_simhash(spark, sf_dir):
 
 
 def q18_embedding_near_dups(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs with exact cosine verify; 6 planes /
+    threshold 0.3 so the synthetic random embeddings actually produce pairs
+    the oracle can cross-check (at 12 planes every bucket is a singleton)."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    return embedding_near_dups(emb, threshold=0.9)
+    return embedding_near_dups(emb, threshold=0.3, n_planes=6).orderBy("a_id", "b_id")
 
 
 def q19_ann_topk(spark, sf_dir):
@@ -731,5 +736,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT ROUND(SUM((GREATEST(na / ta, 1e-6) - GREATEST(nb / tb, 1e-6))
                    * LN(GREATEST(na / ta, 1e-6) / GREATEST(nb / tb, 1e-6))), 6) AS psi
         FROM h, t
+    """
+    # q16: exact all-pairs 3-gram Jaccard — a deterministic twin of the LSH
+    # path because every true pair in the corpus sits at Jaccard ≥ 0.9 and
+    # 32 bands × 2 rows miss such a pair with probability ≈ 1e-23.
+    sqls["q16_minhash_near_dups"] = r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(t.toks) - 1),
+                        i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2])
+                   ELSE [ARRAY_TO_STRING(t.toks, ' ')] END) AS sh
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+                FROM documents) t
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 LEN(LIST_INTERSECT(a.sh, b.sh)) AS inter,
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id,
+               ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) >= 0.8
+        ORDER BY a_id, b_id
+    """
+
+    # q18/q19: the hyperplane-LSH replicas need the same deterministic plane
+    # matrix the Spark side embeds as literals.
+    from schema_enforcer_spark.functions.dedup import _hyperplanes
+
+    def _sql_dot(vec_expr: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({vec_expr}, [{lits}]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+        )
+
+    def _sql_bucket(vec_expr: str, planes: list[list[float]]) -> str:
+        bits = " || ".join(
+            f"(CASE WHEN {_sql_dot(vec_expr, p)} >= 0 THEN '1' ELSE '0' END)" for p in planes
+        )
+        return f"({bits})"
+
+    def _sql_cosine(a: str, b: str) -> str:
+        dot = (
+            f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+        )
+        sq = "LIST_REDUCE(LIST_TRANSFORM({v}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y)"
+        return f"({dot} / (SQRT({sq.format(v=a)}) * SQRT({sq.format(v=b)})))"
+
+    planes18 = _hyperplanes(64, 6, 42)
+    sqls["q18_embedding_near_dups"] = f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {_sql_bucket('embedding', planes18)} AS bucket
+          FROM embeddings
+        ), p AS (
+          SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+                 ROUND({_sql_cosine('l.embedding', 'r.embedding')}, 6) AS cosine
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        )
+        SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3 ORDER BY a_id, b_id
+    """
+
+    planes19 = _hyperplanes(64, 8, 42)
+    qbits = "".join("1" if sum(a * b for a, b in zip(QUERY_VEC, p)) >= 0 else "0" for p in planes19)
+    probes = {qbits}
+    for i in range(8):
+        probes.add(qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:])
+    probe_list = ", ".join(f"'{p}'" for p in sorted(probes))
+    qv = ", ".join(str(float(x)) for x in QUERY_VEC)
+    sqls["q19_ann_topk"] = f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {_sql_bucket('embedding', planes19)} AS bucket
+          FROM embeddings
+        )
+        SELECT vec_id, ROUND({_sql_cosine('embedding', f'[{qv}]')}, 6) AS cosine
+        FROM b WHERE bucket IN ({probe_list})
+        ORDER BY ROUND({_sql_cosine('embedding', f'[{qv}]')}, 6) DESC, vec_id ASC LIMIT 20
     """
     return sqls

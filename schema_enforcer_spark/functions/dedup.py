@@ -80,12 +80,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # splitmix64-style constants for deriving the K universal-hash permutations
 _MH_MULT = 0x9E3779B97F4A7C15
 _MH_MIX = 0xBF58476D1CE4E5B9
+# smallest prime > 2^32: the modulus that makes (a·h + b) mod p an actual
+# permutation of the 32-bit hash space. Without the mod, a·h+b is MONOTONIC
+# in h, so min() picks the same argmin shingle for every i and the K
+# "permutations" collapse to one — two sets at Jaccard 0.9 can then agree on
+# 0/K positions (observed on the sf0.01 corpus before the fix).
+_MH_PRIME = 4294967311
 
 
 def _perm_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """(a_i odd 31-bit, b_i 32-bit) pairs: with 32-bit hash operands the
     products stay < 2^63, so ANSI-mode long arithmetic (Spark 4 default)
-    never overflows."""
+    never overflows, and a_i ∈ [1, 2^31) keeps (a·h + b) mod _MH_PRIME a
+    permutation family."""
     out = []
     for i in range(num_hashes):
         a = (((2 * (seed + i) + 1) * _MH_MULT) & 0x7FFFFFFF) | 1
@@ -117,30 +124,20 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
     return F.aggregate(
         hashes,
         init,
-        lambda acc, h: F.zip_with(acc, consts, lambda m, c: F.least(m, h * c["a"] + c["b"])),
+        lambda acc, h: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MH_PRIME)))
+        ),
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-dup pairs (a_id < b_id, band) via banded LSH.
-
-    rows/band-bucket is the shuffle key: hot buckets (boilerplate docs) are
-    the skew risk; downstream exact-verify should cap bucket size or salt.
-    """
+def _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed) -> DataFrame:
+    """(_id, band, bucket) rows: one LSH bucket assignment per band."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed).alias("_sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -154,6 +151,57 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket_size BEFORE pair generation.
+
+    Within-bucket pair emission is O(b²): one boilerplate-heavy bucket of
+    10^5 rows at 100 TB would emit 10^10 pairs into a single task. Capping
+    bounds the worst task at max_bucket_size² pairs; the cost is one extra
+    aggregation on the same shuffle key the join needs anyway (AQE coalesces
+    both into one exchange reuse). Dropped buckets are observable via
+    lsh_bucket_stats() — dropping is lossy by design, the cap should sit
+    well above the true near-dup group size."""
+    if max_bucket_size is None:
+        return banded
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    return banded.join(counts.filter(F.col("_bsz") <= max_bucket_size), keys).drop("_bsz")
+
+
+def lsh_bucket_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """Bucket-size histogram (bucket_size, n_buckets) — the skew diagnostic
+    for choosing max_bucket_size; run before a large dedup job."""
+    banded = _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) via banded LSH.
+
+    rows/band-bucket is the shuffle key; buckets larger than
+    max_bucket_size (boilerplate clusters) are dropped before the self-join
+    so no task ever materializes an unbounded pair blow-up."""
+    banded = _cap_buckets(
+        _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
@@ -177,7 +225,9 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH candidates + exact n-gram-Jaccard verification ≥ threshold:
     (a_id, b_id, jaccard). The verify join broadcasts nothing — shingle sets
-    travel with the candidate pair via two shuffled joins on id."""
+    travel with the candidate pair via two shuffled joins on id. Buckets are
+    capped at 5000 rows by default (override via max_bucket_size)."""
+    lsh_kwargs.setdefault("max_bucket_size", 5000)
     shingle_n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
     sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
@@ -312,9 +362,11 @@ def embedding_lsh_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
-def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95, n_planes: int = 12, dim: int = 64, seed: int = 42) -> DataFrame:
-    """Cosine ≥ threshold pairs via hyperplane-bucket join + exact verify."""
-    b = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed)
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95, n_planes: int = 12, dim: int = 64, seed: int = 42, max_bucket_size: int | None = 5000) -> DataFrame:
+    """Cosine ≥ threshold pairs via hyperplane-bucket join + exact verify.
+    max_bucket_size bounds within-bucket pair blow-up exactly like the
+    minhash path (see _cap_buckets)."""
+    b = _cap_buckets(embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed), ["bucket"], max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))

@@ -151,3 +151,43 @@ def test_ivf_ann(spark):
     # determinism: rebuilding gives the same assignment
     assigned2, centroids2 = ivf_build(emb, n_cells=8, dim=64, sample_fraction=0.5)
     assert centroids == centroids2
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression: (a·h+b) without a modulus is monotonic in h, so every
+    'permutation' picks the same argmin shingle — two sets at Jaccard 0.9
+    then agree on ~0/K positions instead of ~0.9·K. With the mod-p fix the
+    per-position agreement must estimate the true Jaccard."""
+    from schema_enforcer_spark.functions.dedup import minhash_signature, word_shingles
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a + " nu"  # adds one trailing shingle: Jaccard = 10/11 ≈ 0.91
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 128, 42).alias("sig")
+        ).collect()
+    }
+    agree = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y) / 128
+    assert 0.75 <= agree <= 1.0, f"signature agreement {agree} should estimate Jaccard ~0.91"
+
+
+def test_lsh_bucket_cap_bounds_boilerplate(spark):
+    """A boilerplate cluster (many identical docs) lands in one LSH bucket;
+    max_bucket_size must drop it (bounded pair count) while normal near-dup
+    pairs are still found."""
+    from schema_enforcer_spark.functions.dedup import minhash_lsh_candidates
+
+    boiler = [(1000 + i, "standard legal disclaimer text repeated verbatim in every crawl page footer") for i in range(40)]
+    normal = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    ]
+    df = spark.createDataFrame(boiler + normal, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, max_bucket_size=10).collect()
+    ids = {r["a_id"] for r in capped} | {r["b_id"] for r in capped}
+    assert (0, 1) in {(r["a_id"], r["b_id"]) for r in capped}, "normal near-dup must survive the cap"
+    assert not any(i >= 1000 for i in ids), "boilerplate bucket (40 > cap 10) must be dropped"
+    uncapped = minhash_lsh_candidates(df, max_bucket_size=None).count()
+    assert uncapped >= 40 * 39 / 2, "without a cap the boilerplate cluster emits O(b²) pairs"
