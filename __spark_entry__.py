@@ -297,8 +297,13 @@ def q16_minhash_near_dups(spark, sf_dir):
 
 
 def q17_simhash(spark, sf_dir):
+    """SimHash fingerprints, hex-rendered so the DuckDB oracle can replicate
+    them (a 64-bit value with the sign bit set can't round-trip through
+    engines that overflow-check 1<<63)."""
+    from schema_enforcer_spark.functions.dedup import simhash_hex
+
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return simhash(docs)
+    return simhash_hex(docs)
 
 
 def q18_embedding_near_dups(spark, sf_dir):
@@ -761,6 +766,34 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) >= 0.8
         ORDER BY a_id, b_id
+    """
+
+    # q17: SimHash replica — same spec as dedup._simhash_votes: bit k of a
+    # token = (hexdigit[k div 4] of md5 >> (k mod 4)) & 1, frequency-weighted
+    # votes over whitespace tokens of lower(text), output as 16 hex chars.
+    sqls["q17_simhash"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+          FROM documents
+        ), v AS (
+          SELECT doc_id,
+                 LIST_TRANSFORM(RANGE(0, 64), k ->
+                   COALESCE(LIST_SUM(LIST_TRANSFORM(toks, tok ->
+                     2 * (((STRPOS('0123456789abcdef',
+                                   SUBSTR(MD5(tok), CAST(k // 4 AS INT) + 1, 1)) - 1)
+                           >> CAST(k % 4 AS INT)) & 1) - 1)), 0)) AS votes
+          FROM t
+        )
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 16), n ->
+                 SUBSTR('0123456789abcdef',
+                        CAST(1 + (CASE WHEN votes[CAST(4*n+1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+2 AS INT)] > 0 THEN 2 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+3 AS INT)] > 0 THEN 4 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
+                        1)), '') AS simhash_hex
+        FROM v
     """
 
     # q18/q19: the hyperplane-LSH replicas need the same deterministic plane

@@ -9,9 +9,9 @@ Scale design (100 TB / 10^12 rows):
   on (band, band_hash) buckets → pairs emitted only within buckets, then
   exact-Jaccard verified. The only O(n²) work is within-bucket, which LSH
   keeps tiny.
-- SimHash is one Arrow-vectorized pandas UDF (numpy bit math per batch) —
-  the documented escape hatch where expression trees get unwieldy; still
-  no per-row Python.
+- SimHash is pure Catalyst expressions (md5-nibble bit votes folded over
+  the token array) — whole-stage codegen, zero Python, and ANSI-SQL
+  replicable for the oracle gate.
 - Embedding near-dup uses deterministic random-hyperplane LSH (seeded,
   driver-generated plane matrix broadcast as literals) then exact cosine
   within buckets.
@@ -20,12 +20,9 @@ Scale design (100 TB / 10^12 rows):
 from __future__ import annotations
 
 import math
-import struct as _struct
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
 from schema_enforcer_spark.functions.textops import tokens
 
@@ -257,46 +254,76 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF)
+# SimHash (pure Catalyst expressions — zero Python in the hot path)
 # ---------------------------------------------------------------------------
+#
+# Spec (engine-independent, so an ANSI-SQL oracle can replicate it):
+# token hash = first 16 hex chars of md5(token) → 64 bits, where bit
+# k (0..63) = (hexdigit[k div 4] >> (k mod 4)) & 1. Per-document votes are
+# the frequency-weighted sum of (2·bit − 1) over all whitespace tokens of
+# lower(text); simhash bit k is set iff votes[k] > 0. The earlier
+# implementation hashed per-token in a pandas UDF (blake2b) — correct but
+# Python-bound (~17 s for 500k docs); this one is whole-stage codegen.
+
+_HEX = "0123456789abcdef"
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    import hashlib
+def _simhash_votes(text: Column) -> Column:
+    """64-wide vote vector: one fold over the token array, all codegen."""
+    toks = tokens(F.lower(text))
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
 
-    import numpy as np
-
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-            continue
-        toks = [w for w in str(t).lower().split() if w]
-        if not toks:
-            out.append(0)
-            continue
-        # blake2b (C-speed, deterministic) per token → numpy bit votes
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest() for w in toks),
-            dtype=np.uint64,
+    def bits(h: Column) -> Column:
+        nibbles = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.conv(F.substring(h, i, F.lit(1)), 16, 10).cast("int"),
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for bit_idx in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(bit_idx)
-        out.append(_struct.unpack("q", _struct.pack("Q", int(sim)))[0])
-    return pd.Series(out, dtype="object")
+        return F.flatten(
+            F.transform(
+                nibbles,
+                lambda v: F.array(v % 2, (v / 2).cast("int") % 2, (v / 4).cast("int") % 2, (v / 8).cast("int") % 2),
+            )
+        )
+
+    return F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + 2 * b - 1),
+    )
 
 
-def _simhash_udf():
-    # built lazily: pandas_udf needs an active SparkSession to parse the DDL
-    return pandas_udf(_simhash_batch, "long")
+def _votes_to_long(votes: Column) -> Column:
+    # distinct powers of two sum exactly into a signed long (bit 63 is the
+    # sign bit: its power is Long.MIN_VALUE, and adding it to the ≥0 partial
+    # sum of bits 0..62 cannot overflow)
+    powers = F.array(*[F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long") for k in range(64)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def _votes_to_hex(votes: Column) -> Column:
+    def nibble_char(n: int) -> Column:
+        val = sum(
+            (F.element_at(votes, 4 * n + j + 1) > 0).cast("int") * (1 << j) for j in range(4)
+        )
+        return F.substring(F.lit(_HEX), F.lit(1) + val, F.lit(1))
+
+    return F.concat(*[nibble_char(n) for n in range(16)])
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long) via one Arrow-batched vectorized UDF."""
-    return df.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
+    """(id, simhash long) — pure expressions, no UDF."""
+    return df.select(F.col(id_col), _votes_to_long(_simhash_votes(F.col(text_col))).alias("simhash"))
+
+
+def simhash_hex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash_hex 16-char string) — the oracle-friendly rendering (a
+    64-bit value with bit 63 set can't round-trip through engines that
+    check shift overflow)."""
+    return df.select(F.col(id_col), _votes_to_hex(_simhash_votes(F.col(text_col))).alias("simhash_hex"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
