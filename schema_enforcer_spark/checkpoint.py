@@ -43,24 +43,42 @@ class CheckpointManager:
         return self.spark.read.parquet(self.path)
 
     def completed_partitions(self, rule_set_hash: str) -> DataFrame:
+        """Partitions whose validation is DONE: a recorded PASS verdict under
+        this rule-set hash. FAILed partitions are deliberately NOT complete —
+        treating them as done would let a resumed run find nothing pending
+        and exit 0 while violations exist (masking the CLI's 'exit 1 iff any
+        violation' contract). A FAILed partition re-validates on resume: same
+        data → same FAIL → nonzero exit; fixed data → PASS and the lineage
+        gains the newer PASS row."""
         return (
             self.lineage()
-            .filter(F.col("rule_set_hash") == rule_set_hash)
-            .select("partition_id")
-            .dropDuplicates()
+            .filter((F.col("rule_set_hash") == rule_set_hash) & (F.col("verdict") == "PASS"))
+            .select("partition_id", "n_rows")
+            .dropDuplicates(["partition_id"])
         )
 
-    def pending(self, df: DataFrame, engine: ValidationEngine) -> DataFrame:
+    def pending(self, df: DataFrame, engine: ValidationEngine, verify_counts: bool = False) -> DataFrame:
         """Rows of *df* in partitions NOT yet validated under the engine's
         current rule-set hash. Broadcast anti-join: the lineage key set is
-        partition-count-sized (thousands), never row-sized."""
+        partition-count-sized (thousands), never row-sized.
+
+        verify_counts=True additionally re-validates any PASSed partition
+        whose current row count differs from the recorded one — the Parquet-
+        mode stand-in for Iceberg snapshot-id lineage (one extra count
+        aggregation over the input; with Iceberg, snapshot comparison makes
+        it free)."""
         h = engine.manifest.rule_set_hash()
-        done = self.completed_partitions(h)
+        done = self.completed_partitions(h).withColumnRenamed("partition_id", "_inst")
         keyed = df.withColumn("_inst", engine._instance_col(df))
-        out = keyed.join(
-            F.broadcast(done.withColumnRenamed("partition_id", "_inst")), "_inst", "left_anti"
-        ).drop("_inst")
-        return out
+        if verify_counts:
+            current = keyed.groupBy("_inst").agg(F.count(F.lit(1)).alias("_cur_rows"))
+            unchanged = (
+                done.join(F.broadcast(current), "_inst")
+                .filter(F.col("n_rows") == F.col("_cur_rows"))
+                .select("_inst")
+            )
+            return keyed.join(F.broadcast(unchanged), "_inst", "left_anti").drop("_inst")
+        return keyed.join(F.broadcast(done.select("_inst")), "_inst", "left_anti").drop("_inst")
 
     def record(self, df: DataFrame, engine: ValidationEngine, report: ValidationReport) -> None:
         """Append lineage rows for every partition in this run (call after
@@ -90,11 +108,13 @@ class CheckpointManager:
         df: DataFrame,
         engine: ValidationEngine,
         ref_tables: dict[str, DataFrame] | None = None,
+        verify_counts: bool = False,
     ) -> tuple[ValidationReport | None, int]:
         """Validate only pending partitions; record lineage; return
-        (report, n_pending_rows). report is None when nothing is pending
-        (fully resumed run)."""
-        pend = self.pending(df, engine)
+        (report, n_pending_rows). report is None when nothing is pending —
+        which, because only PASS verdicts complete a partition, means every
+        partition of the input has a recorded PASS."""
+        pend = self.pending(df, engine, verify_counts=verify_counts)
         n = pend.count()
         if n == 0:
             return None, 0

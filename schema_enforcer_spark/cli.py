@@ -123,7 +123,9 @@ def main(argv: list[str] | None = None) -> int:
         cm = CheckpointManager(spark, args.checkpoint)
         report, n_pending = cm.run(df, eng, ref_tables)
         if report is None:
-            print(f"ALL PARTITIONS ALREADY VALIDATED [{manifest.id}] — nothing pending")
+            # sound because only PASS verdicts complete a partition: FAILed
+            # partitions always re-validate, so nothing-pending ⇒ all PASS
+            print(f"ALL PARTITIONS ALREADY VALIDATED (PASS) [{manifest.id}] — nothing pending")
             return 0
         print(f"validated {n_pending} pending rows")
     else:

@@ -270,12 +270,18 @@ class ValidationEngine:
     # -- table rules -------------------------------------------------------
 
     def _unique_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        # Output contract (shared with the fused-window path so adding or
+        # removing an unrelated ordering/contiguous rule never changes a
+        # unique rule's violations): ONE row per duplicated key, message
+        # "(<key>) appears N times; (<cols>) must be unique". instance_name
+        # is min() over the group — F.first() would be nondeterministic when
+        # a duplicated key spans instances.
         cols = rule.params["columns"]
         rid = rule.get("id") or f"{self.manifest.id}/unique/{'+'.join(cols)}"
         key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
         dups = (
             df.groupBy(*cols)
-            .agg(F.count(F.lit(1)).alias("_n"), F.first(self._instance_col(df)).alias("instance_name"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.min(self._instance_col(df)).alias("instance_name"))
             .filter(F.col("_n") > 1)
         )
         msg = rule.get("message")
@@ -309,7 +315,13 @@ class ValidationEngine:
         rid = rule.get("id") or f"{self.manifest.id}/referential/{'+'.join(cols)}"
         ref_keys = ref_tables[ref_name].select(*[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]).dropDuplicates()
         # Distinct fact keys first: anti-join runs on |distinct keys|, not |rows|.
-        orphan_keys = df.select(*cols, self._instance_col(df).alias("instance_name")).dropDuplicates(cols)
+        # NULL foreign keys are not orphans (FK semantics: nullability is the
+        # 'required' rule's job; a left-anti join would otherwise report every
+        # NULL since NULL never matches). NULLs on the ref side are kept but
+        # match nothing — deliberately NOT SQL NOT-IN's "one NULL poisons the
+        # whole check" behavior.
+        non_null = reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
+        orphan_keys = df.filter(non_null).select(*cols, self._instance_col(df).alias("instance_name")).dropDuplicates(cols)
         orphans = orphan_keys.join(F.broadcast(ref_keys) if rule.get("broadcast", True) else ref_keys, on=cols, how="left_anti")
         key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
         msg = rule.get("message")
@@ -339,12 +351,13 @@ class ValidationEngine:
           ``partitionBy(part)``;
         - unique(cols) where cols[:-1] == part → duplicate ⇔ the last key
           column equals its ``lag`` under the SAME (part × order) window the
-          other rules use. Zero extra operators. (A ``partitionBy(cols)``
-          count-window would avoid neither: with |table| nearly-unique keys
-          WindowExec pays per-group buffer setup 23M times — measured ~7×
-          slower than even the standalone groupBy. The lag trick emits one
-          violation per EXTRA occurrence, which equals the groupBy
-          cardinality for the dominant N=2 case.)
+          other rules use, with the group size from a ties frame
+          (``rangeBetween(0,0)``) on that window. Zero extra exchanges or
+          sorts. (A ``partitionBy(cols)`` count-window would add neither
+          exchange nor sort but pays WindowExec per-group buffer setup on
+          |table| nearly-unique keys — measured ~7× slower than even the
+          standalone groupBy.) Output is normalized to the standalone
+          contract: one violation per duplicated key, "appears N times".
 
         Violations are emitted as an array → explode, the same single-scan
         trick as the row-rule projection."""
@@ -364,6 +377,14 @@ class ValidationEngine:
                 unique_cols_all.extend(cols)
                 wu = Window.partitionBy(*cols[:-1]).orderBy(F.col(cols[-1]).asc())
                 aux.append(F.lag(F.col(cols[-1])).over(wu).alias(f"_dup_{i}"))
+                # group size via a ties frame (rangeBetween(0,0) counts rows
+                # with the SAME order value) — rides the identical window
+                # spec, so no extra exchange, sort, or WindowExec group
+                aux.append(
+                    F.count(F.lit(1))
+                    .over(wu.rangeBetween(Window.currentRow, Window.currentRow))
+                    .alias(f"_cnt_{i}")
+                )
                 specs.append((rule, "unique", cols[-1], f"_dup_{i}", cols))
                 continue
             col_name = rule.params["column"]
@@ -386,22 +407,31 @@ class ValidationEngine:
         structs = []
         for i, (rule, kind, col_name, aux_name, extra) in enumerate(specs):
             if kind == "unique":
+                # Same contract as _unique_violations: ONE row per duplicated
+                # key (emitted at the group's first occurrence under the
+                # window sort) with the identical "appears N times" message,
+                # so fusing a unique rule into a window group never changes
+                # its output. Note the emitted instance_name is the first
+                # occurrence's — identical to the standalone min() whenever
+                # the instance derives from the key prefix (the fuse
+                # precondition cols[:-1] == partition key makes that the
+                # norm).
                 cols = extra
-                dup = F.col(cols[-1]).eqNullSafe(F.col(aux_name))
+                first_of_dup_group = (F.col(f"_cnt_{i}") > 1) & ~F.col(cols[-1]).eqNullSafe(F.col(aux_name))
                 key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
                 message = rule.get("message")
                 msg = (
                     F.lit(message)
                     if message
                     else F.concat(
-                        F.lit("("), key_str,
-                        F.lit(f") is duplicated; ({', '.join(cols)}) must be unique"),
+                        F.lit("("), key_str, F.lit(") appears "), F.col(f"_cnt_{i}").cast("string"),
+                        F.lit(f" times; ({', '.join(cols)}) must be unique"),
                     )
                 )
                 rid = rule.get("id") or f"{self.manifest.id}/unique/{'+'.join(cols)}"
                 structs.append(
                     F.when(
-                        dup,
+                        first_of_dup_group,
                         F.struct(
                             F.lit(rid).alias("schema_id"),
                             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
@@ -544,8 +574,10 @@ class ValidationEngine:
         deterministic (hash of key columns), never rand()."""
         salt_n = int(rule.params["salt"])
         salt_cols = [c for c in self.key_columns if c in df.columns and c not in group] or [df.columns[0]]
-        salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_n)))
-        partials, finals = [], []
+        salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_n))).withColumn(
+            "_inst_src", self._instance_col(df)
+        )
+        partials, finals = [F.min("_inst_src").alias("_inst")], [F.min("_inst").alias("_inst")]
         for alias, spec in specs:
             fn = spec.get("fn", "count") if isinstance(spec, dict) else None
             if fn == "count_distinct":
@@ -575,6 +607,11 @@ class ValidationEngine:
         else:
             left = _agg_side(rule.params["left"]).alias("_left")
             aggs = [left] if not isinstance(right_spec, dict) else [left, _agg_side(right_spec).alias("_right")]
+            # carry the instance through the aggregation so violation rows
+            # land on the same instance names the verdict universe uses
+            # (recomputing from hash(group[0]) would ignore an explicit
+            # partition_id column)
+            aggs.append(F.min(self._instance_col(df)).alias("_inst"))
             grouped = df.groupBy(*group).agg(*aggs)
         right = F.col("_right") if isinstance(right_spec, dict) else F.lit(right_spec)
         failing = grouped.filter(~F.coalesce(_comparison(rule.params["operator"], F.col("_left"), right), F.lit(False)))
@@ -587,11 +624,10 @@ class ValidationEngine:
                 F.lit(f" {rule.params['operator']} right="), right.cast("string"), F.lit(" is false"),
             )
         )
-        inst = F.pmod(F.hash(F.col(group[0])), F.lit(self.num_buckets)).cast("string") if not self.instance_expr else F.expr(self.instance_expr).cast("string")
         return failing.select(
             F.lit(rid).alias("schema_id"),
             F.lit("FAIL").alias("result"),
-            inst.alias("instance_name"),
+            F.col("_inst").alias("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
             F.lit("PARTITION").alias("instance_type"),
             F.array(*[F.col(g).cast("string") for g in group]).alias("absolute_path"),
@@ -673,7 +709,17 @@ class ValidationEngine:
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def verdicts(self, df: DataFrame, violations: DataFrame) -> DataFrame:
-        universe = df.select(self._instance_col(df).alias("instance_name")).dropDuplicates()
+        # The universe is every data partition PLUS any instance name that
+        # appears only in violations — table-grain rules (strict_columns,
+        # drift) attribute to instance 'table', which no data row carries; a
+        # plain left join from the data universe would silently drop those
+        # FAILs and report a passing run.
+        universe = (
+            df.select(self._instance_col(df).alias("instance_name"))
+            .dropDuplicates()
+            .unionByName(violations.select("instance_name").dropDuplicates())
+            .dropDuplicates()
+        )
         fails = violations.groupBy("instance_name").agg(F.count(F.lit(1)).alias("n_violations"))
         return (
             universe.join(fails, "instance_name", "left")

@@ -61,3 +61,44 @@ def test_changed_manifest_invalidates_lineage(spark, transcripts):
         assert eng2.manifest.rule_set_hash() != eng1.manifest.rule_set_hash()
         pend = cm.pending(transcripts, eng2)
         assert pend.count() == transcripts.count()
+
+
+def test_failed_partitions_revalidate_on_resume(spark, transcripts):
+    """FAILed partitions are not 'complete': a resumed run with unchanged
+    data re-validates them, fails again, and the CLI contract (exit 1 iff
+    violations) holds instead of reporting nothing-pending success."""
+    from schema_enforcer_spark.synth import inject
+
+    df = inject(transcripts, "invalid_enum").cache()
+    eng = ValidationEngine(_m(["system", "user", "assistant", "tool"]))
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        rep1, n1 = cm.run(df, eng)
+        assert rep1 is not None and not rep1.passes()
+        failed = {r["partition_id"] for r in cm.lineage().filter("verdict='FAIL'").collect()}
+        assert failed, "fixture must produce at least one FAILed partition"
+
+        # resume on the SAME data: exactly the failed partitions are pending
+        pend_insts = {
+            r[0] for r in cm.pending(df, eng).select(eng._instance_col(df)).distinct().collect()
+        }
+        assert pend_insts == failed
+        rep2, n2 = cm.run(df, eng)
+        assert rep2 is not None and n2 > 0 and not rep2.passes()
+
+
+def test_verify_counts_revalidates_changed_partitions(spark, transcripts):
+    eng = ValidationEngine(_m(["system", "user", "assistant", "tool"]))
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        rep, _ = cm.run(transcripts, eng)
+        assert rep is not None and rep.passes()
+        assert cm.pending(transcripts, eng, verify_counts=True).count() == 0
+
+        # grow one conversation: its partition's row count changes → pending
+        extra = transcripts.limit(1)
+        grown = transcripts.unionByName(extra)
+        pend = cm.pending(grown, eng, verify_counts=True)
+        changed = {r[0] for r in extra.select(eng._instance_col(extra)).collect()}
+        got = {r[0] for r in pend.select(eng._instance_col(pend)).distinct().collect()}
+        assert got == changed

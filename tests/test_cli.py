@@ -48,9 +48,17 @@ def test_cli_checkpoint_resume(spark, data, capsys):
     ckpt = data["root"] + "/ckpt"
     rc1 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt])
     assert rc1 == 1
+    # FAILed partitions are never 'complete': resuming on unchanged bad data
+    # re-validates them and still exits 1 — a resume must not mask violations
     rc2 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt])
+    assert rc2 == 1
+    # clean input: run 1 records PASS lineage, run 2 is a true no-op success
+    ckpt2 = data["root"] + "/ckpt_clean"
+    rc3 = main(["--manifest", MANIFEST, "--input", data["clean"], "--checkpoint", ckpt2])
+    assert rc3 == 0
+    rc4 = main(["--manifest", MANIFEST, "--input", data["clean"], "--checkpoint", ckpt2])
     out = capsys.readouterr().out
-    assert rc2 == 0
+    assert rc4 == 0
     assert "ALL PARTITIONS ALREADY VALIDATED" in out
 
 

@@ -157,3 +157,55 @@ def test_full_base_manifest_catches_everything(spark, transcripts, base_manifest
     assert {"enum", "unique", "ordering"} <= kinds
     fails = [v for v in report.verdicts.collect() if v["result"] == "FAIL"]
     assert 1 <= len(fails) <= 3
+
+
+def test_unique_rule_fused_matches_standalone(spark, transcripts):
+    """A unique rule's output must not depend on unrelated rules: fused into
+    a window group (ordering shares the conv_id partition key) it emits the
+    same one-row-per-key 'appears N times' violations as standalone."""
+    df = inject(transcripts, "dup_turn")
+    standalone = _m([("unique", {"columns": ["conv_id", "turn_idx"]})])
+    fused = _m(
+        [
+            ("unique", {"columns": ["conv_id", "turn_idx"]}),
+            ("ordering", {"column": "ts", "partition_by": ["conv_id"], "order_by": ["turn_idx"], "strictly": False}),
+        ]
+    )
+    key = lambda v: (v["schema_id"], v["failing_value"], v["message"], v["instance_name"])  # noqa: E731
+    s = sorted(key(v) for v in ValidationEngine(standalone).violations(df).collect() if "/unique/" in v["schema_id"])
+    f = sorted(key(v) for v in ValidationEngine(fused).violations(df).collect() if "/unique/" in v["schema_id"])
+    assert s == f and len(s) == 1
+
+
+def test_referential_null_keys_are_not_orphans(spark, conversations):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("conv-99999999", 0), (None, 1)], "conv_id string, turn_idx int"
+    )
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_referential.yml"))
+    viols = ValidationEngine(m).violations(df, ref_tables={"conversations": conversations}).collect()
+    assert [v["failing_value"] for v in viols] == ["conv-99999999"], "NULL FK must not be an orphan"
+    # a NULL on the ref side must not poison the check (unlike SQL NOT IN)
+    ref_with_null = conversations.unionByName(
+        spark.createDataFrame([(None,)], "conv_id string").withColumns(
+            {c: F.lit(None).cast(t) for c, t in conversations.drop("conv_id").dtypes}
+        ),
+        allowMissingColumns=True,
+    )
+    viols2 = ValidationEngine(m).violations(df, ref_tables={"conversations": ref_with_null}).collect()
+    assert [v["failing_value"] for v in viols2] == ["conv-99999999"]
+
+
+def test_table_grain_violations_reach_verdicts(spark, transcripts):
+    """strict_columns attributes to instance 'table' (no data row carries
+    it); the verdict universe must still surface it as a FAIL instead of
+    silently reporting an all-PASS run."""
+    df = transcripts.withColumn("rogue_col", transcripts["turn_idx"])
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_strict.yml"))
+    eng = ValidationEngine(m)
+    report = eng.validate(df)
+    assert report.violations.count() > 0
+    tbl = report.verdicts.filter("instance_name = 'table'").collect()
+    assert len(tbl) == 1 and tbl[0]["result"] == "FAIL"
+    assert not report.passes()
