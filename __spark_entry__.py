@@ -439,6 +439,44 @@ def q28_multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q29_nested_validation(spark, sf_dir):
+    """Nested-document validation (the reference's core JSONSchema-walk
+    semantics): from_json ingestion → dotted struct-path rules, plus an
+    ``items`` rule over an array-of-structs column with the element index in
+    the violation path (["events","0","value"] — parity with
+    /root/reference/tests/test_jsonschema.py:84-91)."""
+    from schema_enforcer_spark.sources.table_io import with_json_column
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = with_json_column(ev, "props", "k bigint", target="payload")
+    m1 = manifest_from_dict(
+        {
+            "id": "schemas/events_nested",
+            "table": "events",
+            "rules": [
+                {"kind": "required", "column": "payload"},
+                {"kind": "range", "column": "payload.k", "maximum": 90},
+            ],
+        }
+    )
+    v1 = _flat(ValidationEngine(m1, key_columns=["event_id"], instance_expr=_INST).violations(parsed))
+
+    nested = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("event_id"), F.col("value")))).alias("events")
+    )
+    m2 = manifest_from_dict(
+        {
+            "id": "schemas/events_items",
+            "table": "events",
+            "rules": [
+                {"kind": "items", "column": "events", "field": "value", "check": "range", "maximum": 350.0},
+            ],
+        }
+    )
+    v2 = _flat(ValidationEngine(m2, key_columns=["user_id"], instance_expr=_INST).violations(nested))
+    return v1.unionByName(v2).orderBy("schema_id", "path")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -475,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_sessionize": q26_sessionize,
         "q27_bpe_token_count": q27_bpe_token_count,
         "q28_multimodal_features": q28_multimodal_features,
+        "q29_nested_validation": q29_nested_validation,
     }
 
 
@@ -766,6 +805,41 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) >= 0.8
         ORDER BY a_id, b_id
+    """
+
+    sqls["q29_nested_validation"] = """
+        WITH range_viol AS (
+          SELECT 'schemas/events_nested/range/payload.k' AS schema_id, 'FAIL' AS result,
+                 CAST(user_id % 16 AS VARCHAR) AS instance_name,
+                 CAST(event_id AS VARCHAR) || ':payload:k' AS path,
+                 CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR) AS failing_value,
+                 CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR)
+                   || ' is greater than the maximum of 90' AS message
+          FROM events
+          WHERE JSON_VALID(props) AND CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 90
+          UNION ALL
+          SELECT 'schemas/events_nested/required/payload', 'FAIL',
+                 CAST(user_id % 16 AS VARCHAR),
+                 CAST(event_id AS VARCHAR) || ':payload',
+                 NULL,
+                 '''payload'' is a required property'
+          FROM events WHERE props IS NULL OR NOT JSON_VALID(props)
+        ), per_user AS (
+          SELECT user_id,
+                 LIST(STRUCT_PACK(event_id := event_id, value := value) ORDER BY event_id, value) AS evs
+          FROM events GROUP BY user_id
+        ), ex AS (
+          SELECT user_id, UNNEST(evs) AS e, GENERATE_SUBSCRIPTS(evs, 1) AS idx FROM per_user
+        ), item_viol AS (
+          SELECT 'schemas/events_items/items/events/value' AS schema_id, 'FAIL' AS result,
+                 CAST(user_id % 16 AS VARCHAR) AS instance_name,
+                 CAST(user_id AS VARCHAR) || ':events:' || CAST(idx - 1 AS VARCHAR) || ':value' AS path,
+                 CAST(e.value AS VARCHAR) AS failing_value,
+                 CAST(e.value AS VARCHAR) || ' is greater than the maximum of 350.0' AS message
+          FROM ex WHERE e.value > 350.0
+        )
+        SELECT * FROM range_viol UNION ALL SELECT * FROM item_viol
+        ORDER BY schema_id, path
     """
 
     # q17: SimHash replica — same spec as dedup._simhash_votes: bit k of a

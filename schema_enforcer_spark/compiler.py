@@ -37,10 +37,31 @@ class CompiledRule:
 
 
 def _dtype_of(df: DataFrame, name: str) -> T.DataType:
-    for f_ in df.schema.fields:
-        if f_.name == name:
-            return f_.dataType
-    raise KeyError(f"column {name!r} not in DataFrame columns {df.columns}")
+    """Resolve a (possibly dotted) column path to its data type. A dot means
+    struct-field traversal — the nested-document analogue of the reference's
+    ``properties`` walk (schemas are trees; a parquet/Iceberg payload column
+    is a struct, and ``payload.dns.address`` addresses a leaf)."""
+    return _dtype_in(T.StructType(df.schema.fields), name, df.columns)
+
+
+def _dtype_in(struct: T.StructType, name: str, columns) -> T.DataType:
+    cur: T.DataType = struct
+    for part in name.split("."):
+        if not isinstance(cur, T.StructType):
+            raise KeyError(f"path {name!r}: {part!r} is not a struct field")
+        match = next((f_ for f_ in cur.fields if f_.name == part), None)
+        if match is None:
+            raise KeyError(f"column {name!r} not in DataFrame columns {list(columns)}")
+        cur = match.dataType
+    return cur
+
+
+def has_column_path(df: DataFrame, name: str) -> bool:
+    try:
+        _dtype_of(df, name)
+        return True
+    except KeyError:
+        return False
 
 
 def py_repr(col: Column, dtype: T.DataType) -> Column:
@@ -98,51 +119,50 @@ _SPARK_TYPE_CHECK = {
 }
 
 
-def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRule:
-    col_name = rule.get("column")
-    col = F.col(col_name) if col_name else None
-    dtype = _dtype_of(df, col_name) if col_name else None
-    rep = py_repr(col, dtype) if col_name else None
-    custom_msg = rule.get("message")
+def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) -> tuple[Column, Column]:
+    """One constraint check over an arbitrary expression → (predicate, msg).
 
-    kind = rule.kind
+    *col* may be a plain column, a nested struct field, or an array-element
+    lambda variable — the same check logic serves flat rules, dotted-path
+    rules, and per-element ``items`` rules. *get* looks up rule params;
+    *label* is the leaf field name used in 'required property' messages
+    (jsonschema names the missing key, not the full path)."""
+    rep = py_repr(col, dtype)
     if kind == "required":
         pred = col.isNotNull()
-        msg = F.lit(f"'{col_name}' is a required property")
+        msg = F.lit(f"'{label}' is a required property")
     elif kind == "not_empty":
         pred = col.isNotNull() & (F.length(col.cast("string")) > 0)
-        msg = F.when(col.isNull(), F.lit(f"'{col_name}' is a required property")).otherwise(
+        msg = F.when(col.isNull(), F.lit(f"'{label}' is a required property")).otherwise(
             F.concat(rep, F.lit(" is too short"))
         )
     elif kind == "type":
-        want = rule.params["type"]
+        want = get("type")
         pred = _SPARK_TYPE_CHECK[want](col, dtype)
         msg = F.concat(rep, F.lit(f" is not of type '{want}'"))
     elif kind == "enum":
-        values = rule.params["values"]
+        values = get("values")
         pred = col.isNull() | col.isin(*values)
         msg = F.concat(rep, F.lit(f" is not one of {values!r}"))
     elif kind == "pattern":
-        pattern = rule.params["pattern"]
+        pattern = get("pattern")
         pred = col.isNull() | col.rlike(pattern)
         msg = F.concat(rep, F.lit(f" does not match {pattern!r}"))
     elif kind == "format":
-        fmt = rule.params["format"]
+        fmt = get("format")
         pred = format_predicate(col, fmt)
         msg = F.concat(rep, F.lit(f" is not a '{fmt}'"))
     elif kind == "range":
-        pred = F.lit(True)
-        msg = F.lit("")
         branches = []
-        if (lo := rule.get("minimum")) is not None:
+        if (lo := get("minimum")) is not None:
             branches.append((col < F.lit(lo), F.concat(rep, F.lit(f" is less than the minimum of {_num_lit_repr(lo)}"))))
-        if (xlo := rule.get("exclusive_minimum")) is not None:
+        if (xlo := get("exclusive_minimum")) is not None:
             branches.append(
                 (col <= F.lit(xlo), F.concat(rep, F.lit(f" is less than or equal to the minimum of {_num_lit_repr(xlo)}")))
             )
-        if (hi := rule.get("maximum")) is not None:
+        if (hi := get("maximum")) is not None:
             branches.append((col > F.lit(hi), F.concat(rep, F.lit(f" is greater than the maximum of {_num_lit_repr(hi)}"))))
-        if (xhi := rule.get("exclusive_maximum")) is not None:
+        if (xhi := get("exclusive_maximum")) is not None:
             branches.append(
                 (
                     col >= F.lit(xhi),
@@ -159,17 +179,17 @@ def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRul
     elif kind == "length":
         ln = F.length(col) if isinstance(dtype, T.StringType) else F.size(col)
         conds, msgs = [], []
-        if (mn := rule.get("min_length")) is not None:
+        if (mn := get("min_length")) is not None:
             conds.append(ln < mn)
             msgs.append(F.concat(rep, F.lit(" is too short")))
-        if (mx := rule.get("max_length")) is not None:
+        if (mx := get("max_length")) is not None:
             conds.append(ln > mx)
             msgs.append(F.concat(rep, F.lit(" is too long")))
         fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
         pred = col.isNull() | ~fail
         msg = F.coalesce(*[F.when(c, m) for c, m in zip(conds, msgs)], F.lit(""))
     elif kind == "multiple_of":
-        n = rule.params["multiple_of"]
+        n = get("multiple_of")
         pred = col.isNull() | (col.cast("double") % F.lit(float(n)) == 0.0)
         msg = F.concat(rep, F.lit(f" is not a multiple of {_num_lit_repr(n)}"))
     elif kind == "unique_items":
@@ -177,11 +197,19 @@ def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRul
         msg = F.concat(F.to_json(col), F.lit(" has non-unique elements"))
     else:
         raise ValueError(f"not a row rule: {kind}")
+    return pred, msg
 
-    if custom_msg:
+
+def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRule:
+    col_name = rule.get("column")
+    col = F.col(col_name) if col_name else None
+    dtype = _dtype_of(df, col_name) if col_name else None
+    label = col_name.split(".")[-1] if col_name else "*"
+    pred, msg = compile_check(col, dtype, rule.kind, rule.get, label)
+    if custom_msg := rule.get("message"):
         msg = F.lit(custom_msg)
     fv = col.cast("string") if col_name else F.lit(None).cast("string")
-    rid = rule.get("id") or f"{manifest_id}/{kind}/{col_name or '*'}"
+    rid = rule.get("id") or f"{manifest_id}/{rule.kind}/{col_name or '*'}"
     return CompiledRule(rule_id=rid, column=col_name, predicate=pred, message=msg, failing_value=fv)
 
 
@@ -192,8 +220,10 @@ def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
     /root/reference/schema_enforcer/instances/file.py:193-195)."""
     compiled = []
     for rule in manifest.row_rules:
+        if rule.kind == "items":
+            continue  # array-element rules emit per-element violations — engine path
         col_name = rule.get("column")
-        if col_name and col_name not in df.columns:
+        if col_name and not has_column_path(df, col_name):
             if rule.kind in ("required", "not_empty"):
                 # Missing column ≡ missing required property for every row.
                 compiled.append(
@@ -201,7 +231,7 @@ def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
                         rule_id=rule.get("id") or f"{manifest.id}/required/{col_name}",
                         column=col_name,
                         predicate=F.lit(False),
-                        message=F.lit(f"'{col_name}' is a required property"),
+                        message=F.lit(f"'{col_name.split('.')[-1]}' is a required property"),
                         failing_value=F.lit(None).cast("string"),
                     )
                 )

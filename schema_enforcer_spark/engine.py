@@ -29,6 +29,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from schema_enforcer_spark.compiler import CompiledRule, compile_row_rule, compile_row_rules, py_repr, _dtype_of
 from schema_enforcer_spark.manifest import Manifest, Rule
@@ -156,7 +157,8 @@ class ValidationEngine:
     def _path(self, df: DataFrame, leaf: str | None) -> Column:
         elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
         if leaf:
-            elems.append(F.lit(leaf))
+            # a dotted path is a struct traversal: one path element per level
+            elems.extend(F.lit(p) for p in leaf.split("."))
         # Number→string coercion is required for violation-row parity
         # (coerce_numbers_to_str, /root/reference/schema_enforcer/validation.py:19).
         return F.array(*elems) if elems else F.array().cast("array<string>")
@@ -220,13 +222,82 @@ class ValidationEngine:
             )
         return out
 
+    def _items_violation_arrays(self, df: DataFrame) -> list[Column]:
+        """Per-element nested validation (P12/P5 items): for each ``items``
+        rule, ONE transform() over the array column emits an array of
+        violation structs with the element index in absolute_path
+        (["dns_servers","0","address"] — reference parity,
+        /root/reference/tests/test_jsonschema.py:84-91). Rides the same
+        single-pass projection as scalar row rules: no explode-join, no
+        second scan, no Python."""
+        from schema_enforcer_spark.compiler import _dtype_in, compile_check, has_column_path
+
+        out: list[Column] = []
+        for rule in self.manifest.row_rules:
+            if rule.kind != "items":
+                continue
+            col_name = rule.params["column"]
+            if not has_column_path(df, col_name):
+                continue
+            arr_dt = _dtype_of(df, col_name)
+            if not isinstance(arr_dt, T.ArrayType):
+                raise ValueError(f"items rule column {col_name!r} is {arr_dt.simpleString()}, not an array")
+            field = rule.get("field")
+            elem_dt = arr_dt.elementType
+            target_dt = _dtype_in(elem_dt, field, []) if field else elem_dt
+            check = rule.params["check"]
+            label = (field or col_name).split(".")[-1]
+            rid = rule.get("id") or f"{self.manifest.id}/items/{col_name}" + (f"/{field}" if field else "")
+            custom_msg = rule.get("message")
+            key_elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
+
+            # Spark HOF lambdas must take exactly the declared arity with no
+            # extra/default parameters — capture rule context via a factory
+            # closure instead (fresh per loop iteration, so no late binding).
+            def make_viol(_field, _check, _label, _rid, _cm, _tdt, _col, _keys, _rule):
+                def viol(x, i):
+                    elem = x
+                    for part in (_field.split(".") if _field else []):
+                        elem = elem[part]
+                    pred, msg = compile_check(elem, _tdt, _check, _rule.get, _label)
+                    if _cm:
+                        msg = F.lit(_cm)
+                    # 'required' anchors at the element object (jsonschema
+                    # names the missing key, the path stops at the index)
+                    path_tail = [] if _check in ("required",) else ([F.lit(p) for p in _field.split(".")] if _field else [])
+                    path = F.array(*_keys, F.lit(_col), i.cast("string"), *path_tail)
+                    return F.when(
+                        ~F.coalesce(pred, F.lit(True)),
+                        F.struct(
+                            F.lit(_rid).alias("schema_id"),
+                            path.alias("absolute_path"),
+                            elem.cast("string").alias("failing_value"),
+                            msg.alias("message"),
+                        ),
+                    )
+
+                return viol
+
+            viol = make_viol(field, check, label, rid, custom_msg, target_dt, col_name, key_elems, rule)
+
+            # a NULL array must contribute an EMPTY violation array — concat()
+            # with NULL would otherwise null out every other rule's violations
+            # for the row
+            empty = F.array().cast(
+                "array<struct<schema_id:string,absolute_path:array<string>,failing_value:string,message:string>>"
+            )
+            arr = F.array_compact(F.transform(F.col(col_name), viol))
+            out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
+        return out
+
     def row_fail_count(self, df: DataFrame) -> Column:
         """Number of row rules the row fails — the streaming-verdict
         building block (windowed sum of this = per-window fail count)."""
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
-        if not compiled:
-            return F.lit(0)
         flags = [(~F.coalesce(cr.predicate, F.lit(True))).cast("int") for cr in compiled]
+        flags.extend(F.size(arr) for arr in self._items_violation_arrays(df))
+        if not flags:
+            return F.lit(0)
         out = flags[0]
         for f_ in flags[1:]:
             out = out + f_
@@ -234,7 +305,8 @@ class ValidationEngine:
 
     def row_violations(self, df: DataFrame) -> DataFrame | None:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
-        if not compiled:
+        item_arrays = self._items_violation_arrays(df)
+        if not compiled and not item_arrays:
             return None
         structs = [
             F.when(
@@ -248,10 +320,12 @@ class ValidationEngine:
             )
             for cr in compiled
         ]
+        arrays = ([F.array_compact(F.array(*structs))] if structs else []) + item_arrays
+        combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
         exploded = (
             df.select(
                 self._instance_col(df).alias("instance_name"),
-                F.array_compact(F.array(*structs)).alias("_v"),
+                combined.alias("_v"),
             )
             # explode drops empty arrays ⇒ clean rows vanish before the shuffle
             .select("instance_name", F.explode("_v").alias("v"))

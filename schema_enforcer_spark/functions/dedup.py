@@ -35,16 +35,19 @@ from schema_enforcer_spark.functions.textops import tokens
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Assign each row to its duplicate group: (id, keep_id, group_size).
     keep_id = min id per content hash; a row is a duplicate iff id != keep_id.
-    One shuffle on md5(text)."""
-    from pyspark.sql.window import Window
 
-    h = F.md5(F.col(text_col)).alias("_h")
-    w = Window.partitionBy("_h")
-    return (
-        df.select(F.col(id_col), h)
-        .withColumn("keep_id", F.min(id_col).over(w))
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .select(id_col, "keep_id", "group_size", (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"))
+    Shape: groupBy(hash) + join back, NOT a Window over the content hash —
+    content hashes are ~unique at corpus scale, and WindowExec pays
+    per-group buffer setup once per distinct hash (≈ once per row at 10^12
+    docs). The groupBy gets map-side partial aggregation and the join back
+    reuses the same hash partitioning, so both sides of the join share one
+    exchange each with no per-group machinery."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    groups = hashed.groupBy("_h").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "_h").select(
+        id_col, "keep_id", "group_size", (F.col(id_col) != F.col("keep_id")).alias("is_duplicate")
     )
 
 

@@ -47,6 +47,12 @@ ROW_RULE_KINDS = {
     "multiple_of",   # P11
     "unique_items",  # P13  (array column: elements distinct within the cell)
     "not_empty",     # convenience: required + minLength 1
+    "items",         # P12/P5 nested: per-element check on an array column
+                     # (optionally on a struct field of each element) — the
+                     # reference's items/properties walk re-expressed as one
+                     # transform() over the array, violations carry the
+                     # element index in absolute_path (["dns_servers","0",
+                     # "address"] parity, tests/test_jsonschema.py:84-91)
 }
 
 TABLE_RULE_KINDS = {
@@ -113,6 +119,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "bins": {"type": "integer"},
                     "message": {"type": "string"},
                     "id": {"type": "string"},
+                    "field": {"type": "string"},
+                    "check": {"type": "string"},
                 },
                 "additionalProperties": False,
             },
@@ -132,6 +140,7 @@ _PER_KIND_REQUIRED = {
     "multiple_of": ["column", "multiple_of"],
     "unique_items": ["column"],
     "not_empty": ["column"],
+    "items": ["column", "check"],
     "unique": ["columns"],
     "referential": ["columns", "ref_table", "ref_columns"],
     "ordering": ["column", "partition_by", "order_by"],
@@ -214,6 +223,8 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
         for req in _PER_KIND_REQUIRED.get(kind, []):
             if req not in rule:
                 errors.append(f"rules/{i}: kind {kind!r} requires field {req!r}")
+        if kind == "items" and rule.get("check") not in (ROW_RULE_KINDS - {"items"}):
+            errors.append(f"rules/{i}: items 'check' must be a scalar row-rule kind, got {rule.get('check')!r}")
         if kind == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if kind == "length" and not ({"min_length", "max_length"} & rule.keys()):

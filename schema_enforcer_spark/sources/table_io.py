@@ -84,3 +84,28 @@ class TableIO:
 
     def read_bucketed(self, name: str) -> DataFrame:
         return self.spark.table(name.replace("/", "_"))
+
+
+def with_json_column(df: DataFrame, column: str, schema_ddl: str, target: str | None = None) -> DataFrame:
+    """S2 nested ingestion: parse a JSON-string column into a typed struct so
+    dotted-path and ``items`` rules can validate below the top level — the
+    from_json analogue of the reference's load-file → validate flow
+    (/root/reference/schema_enforcer/instances/file.py:193-211). Rows that
+    fail to parse yield a NULL struct, which a ``required`` rule on the
+    struct (or any field) then reports; parsing happens once in the scan
+    projection, not per rule.
+
+    from_json's PERMISSIVE mode returns an all-null struct (not NULL) for
+    malformed input, which would make a parse failure indistinguishable from
+    a document of nulls — a corrupt-record marker restores the distinction."""
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema_ddl)
+    parsed = F.from_json(
+        F.col(column),
+        T.StructType(st.fields + [T.StructField("_corrupt_record", T.StringType())]),
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    ok = F.col(column).isNotNull() & parsed["_corrupt_record"].isNull()
+    clean = F.struct(*[parsed[f.name].alias(f.name) for f in st.fields])
+    return df.withColumn(target or column, F.when(ok, clean).otherwise(F.lit(None).cast(st)))
