@@ -74,8 +74,11 @@ class ManifestRegistry:
         declared: list[str] | None = None,
         use_automap: bool = True,
     ) -> list[Manifest]:
-        """Union of the three mechanisms, deduplicated — mirrors
-        matches.update(...) accumulation (instances/file.py:145,176)."""
+        """Union of the four mechanisms, deduplicated — mirrors
+        matches.update(...) accumulation (instances/file.py:145,176).
+        J3 decorator mapping: a manifest whose ``applies_to`` names *table*
+        binds regardless of column overlap (the reference's decorator marks
+        a validator with the data it applies to, instances/file.py:122-145)."""
         chosen: dict[str, Manifest] = {}
         for mid in declared or []:
             m = self.get(mid)  # unknown declared id raises, like the reference
@@ -84,6 +87,10 @@ class ManifestRegistry:
             for mid in static_map[table]:
                 m = self.get(mid)
                 chosen[m.id] = m
+        if table:
+            for m in self._by_id.values():
+                if table in m.applies_to:
+                    chosen[m.id] = m
         if use_automap:
             for m in self.automap(columns):
                 chosen[m.id] = m

@@ -80,6 +80,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
         "table": {"type": "string"},
         "columns": {"type": "array", "items": {"type": "string"}},
         "strict": {"type": "boolean"},
+        "include": {"type": "array", "items": {"type": "string"}},
+        "applies_to": {"type": "array", "items": {"type": "string"}},
         "rules": {
             "type": "array",
             "minItems": 1,
@@ -180,6 +182,11 @@ class Manifest:
     table: str = "transcripts"
     columns: tuple[str, ...] = ()      # declared column set (for strict mode)
     strict: bool = False
+    # J3 decorator-mapping analogue: tables this manifest explicitly applies
+    # to (the reference marks validators with the data they bind to,
+    # /root/reference/schema_enforcer/instances/file.py:122-145); consulted
+    # by ManifestRegistry.bind alongside automap/static/declared.
+    applies_to: tuple[str, ...] = ()
 
     @property
     def row_rules(self) -> list[Rule]:
@@ -198,6 +205,7 @@ class Manifest:
                 "table": self.table,
                 "columns": list(self.columns),
                 "strict": self.strict,
+                "applies_to": list(self.applies_to),
                 "rules": [{"kind": r.kind, **r.params} for r in self.rules],
             },
             sort_keys=True,
@@ -246,15 +254,57 @@ def manifest_from_dict(raw: dict[str, Any]) -> Manifest:
         table=raw.get("table", "transcripts"),
         columns=tuple(raw.get("columns", ())),
         strict=bool(raw.get("strict", False)),
+        applies_to=tuple(raw.get("applies_to", ())),
     )
+
+
+def _inline_includes(raw: dict[str, Any], base_dir: str, seen: frozenset[str]) -> dict[str, Any]:
+    """Schema composition — the $ref-inlining analogue (the reference eagerly
+    replaces $refs at load time, /root/reference/schema_enforcer/schemas/
+    manager.py:71-72 via jsonref). ``include:`` names fragment YAML files
+    (relative to the including file) whose rules are prepended and whose
+    declared columns are unioned; fragments may include further fragments,
+    cycles fail fast. Meta-validation runs AFTER inlining, so a manifest may
+    consist entirely of shared fragments."""
+    import os
+
+    fragments_rules: list[Any] = []
+    columns = list(raw.get("columns", ()))
+    for rel in raw.get("include") or []:
+        p = rel if os.path.isabs(rel) else os.path.join(base_dir, rel)
+        rp = os.path.realpath(p)
+        if rp in seen:
+            raise InvalidManifest([f"include cycle: {rel!r} already inlined"])
+        try:
+            with open(rp, encoding="utf-8") as fh:
+                frag = yaml.safe_load(fh)
+        except OSError as e:
+            raise InvalidManifest([f"include {rel!r}: {e}"]) from None
+        if not isinstance(frag, dict):
+            raise InvalidManifest([f"include {rel!r}: fragment must be a mapping"])
+        frag = _inline_includes(frag, os.path.dirname(rp), seen | {rp})
+        fragments_rules.extend(frag.get("rules", ()))
+        for c in frag.get("columns", ()):
+            if c not in columns:
+                columns.append(c)
+    out = dict(raw)
+    out.pop("include", None)
+    out["rules"] = fragments_rules + list(raw.get("rules", ()))
+    if columns:
+        out["columns"] = columns
+    return out
 
 
 def load_manifest(path: str) -> Manifest:
     """Load + meta-validate a YAML/JSON manifest file (driver-side; the
     analogue of the reference's schema-file load,
-    /root/reference/schema_enforcer/utils.py:367-386)."""
+    /root/reference/schema_enforcer/utils.py:367-386), inlining any
+    ``include:`` fragments first."""
+    import os
+
     with open(path, encoding="utf-8") as fh:
         raw = yaml.safe_load(fh)
     if not isinstance(raw, dict):
         raise InvalidManifest([f"{path}: manifest must be a mapping, got {type(raw).__name__}"])
+    raw = _inline_includes(raw, os.path.dirname(os.path.abspath(path)), frozenset({os.path.realpath(path)}))
     return manifest_from_dict(raw)

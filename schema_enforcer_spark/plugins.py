@@ -157,3 +157,55 @@ def run_validators(df: DataFrame, validators: list[PandasValidator], **kw) -> Da
 
     parts = [run_validator(df, v, **kw) for v in validators]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+class PydanticBatchValidator(PandasValidator):
+    """X3: validate each row against a pydantic model, Arrow-batched —
+    the distributed analogue of the reference's pydantic wrapper
+    (/root/reference/schema_enforcer/schemas/validator.py:91-137), which
+    calls ``model(**data)`` per document and converts ValidationError lines
+    to results. Here ``model_validate`` runs once per row of each Arrow
+    batch inside the executor (no JVM round-trips per error), emitting one
+    violation per failed field with the pydantic message."""
+
+    def __init__(self, model, id: str | None = None, key_columns: list[str] | None = None):
+        import pydantic  # gate: optional dependency
+
+        if not (isinstance(model, type) and issubclass(model, pydantic.BaseModel)):
+            raise TypeError(f"model must be a pydantic.BaseModel subclass, got {model!r}")
+        # pydantic v2 snapshots the defining frame's locals for deferred
+        # forward-ref resolution; a model declared inside a function would
+        # then drag the whole frame (often a SparkSession) into the executor
+        # pickle. The model is fully built here, so drop the snapshot.
+        try:
+            model.__pydantic_parent_namespace__ = None
+        except Exception:  # noqa: BLE001 - best effort, attr may be absent/frozen
+            pass
+        self.model = model
+        self.id = id or f"pydantic/{model.__name__}"
+        if key_columns:
+            self.key_columns = key_columns
+
+    def validate(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pydantic
+
+        fields = [c for c in self.model.model_fields if c in pdf.columns]
+        keys_present = [k for k in self.key_columns if k in pdf.columns]
+        rows = {"keys": [], "column": [], "failing_value": [], "message": []}
+        records = pdf[fields].to_dict("records")
+        for idx, rec in enumerate(records):
+            clean = {k: v for k, v in rec.items() if v is not None and v == v}
+            try:
+                self.model.model_validate(clean)
+            except pydantic.ValidationError as e:
+                key_vals = [str(pdf[k].iloc[idx]) for k in keys_present]
+                for err in e.errors():
+                    col = ".".join(str(p) for p in err["loc"]) or "*"
+                    rows["keys"].append(key_vals + [col])
+                    rows["column"].append(col)
+                    fv = clean.get(err["loc"][0]) if err["loc"] else None
+                    rows["failing_value"].append(None if fv is None else str(fv))
+                    rows["message"].append(err["msg"])
+        if not rows["keys"]:
+            return self.empty()
+        return pd.DataFrame(rows)

@@ -35,3 +35,58 @@ def merge_defaults(
         else:
             out = out.withColumn(c, F.col(f"__dflt_{c}"))
     return out.drop(*[f"__dflt_{c}" for c in shared])
+
+
+def merge_vars(*layers: dict) -> dict:
+    """Driver-side precedence merge of vars mappings — later layers win
+    (host_vars over group_vars over defaults), nested dicts merge
+    recursively: the Ansible inventory precedence analogue
+    (/root/reference/schema_enforcer/ansible_inventory.py:13-42)."""
+    out: dict = {}
+    for layer in layers:
+        for k, v in (layer or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = merge_vars(out[k], v)
+            else:
+                out[k] = v
+    return out
+
+
+def render_templates(vars: dict, max_passes: int = 5) -> dict:
+    """Resolve Jinja2 templates in string values against the merged vars —
+    the templated-defaults step the reference's inventory source performs
+    (ansible_inventory.py:43-58). Values may reference other vars
+    ('{{ site }}-dns'); rendering iterates to a fixpoint (chained
+    references), capped at *max_passes*. Unknown variables raise, matching
+    Ansible's StrictUndefined behavior."""
+    import jinja2
+
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+
+    def render_value(v, ctx):
+        if isinstance(v, str) and ("{{" in v or "{%" in v):
+            return env.from_string(v).render(**ctx)
+        if isinstance(v, dict):
+            return {k: render_value(x, ctx) for k, x in v.items()}
+        if isinstance(v, list):
+            return [render_value(x, ctx) for x in v]
+        return v
+
+    cur = dict(vars)
+    for _ in range(max_passes):
+        nxt = {k: render_value(v, cur) for k, v in cur.items()}
+        if nxt == cur:
+            return nxt
+        cur = nxt
+    return cur
+
+
+def inventory_defaults(spark, host_vars: dict[str, dict], group_vars: dict | None = None, key: str = "conv_id"):
+    """Build a defaults dim table from per-host vars layered over group
+    vars, templates rendered — feed the result to merge_defaults(). One
+    driver-side dict pass; the table is dim-sized by construction."""
+    rows = []
+    for host, hv in sorted(host_vars.items()):
+        merged = render_templates(merge_vars(group_vars or {}, hv))
+        rows.append({key: host, **merged})
+    return spark.createDataFrame(rows)

@@ -1,0 +1,160 @@
+"""Manifest include/compose ($ref-inlining analogue), exact regex format,
+pydantic batch validation (X3), decorator-style applies_to binding (J3),
+inventory vars merge + Jinja templating (S6)."""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import textwrap
+
+import pytest
+
+from schema_enforcer_spark.binding import ManifestRegistry
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import InvalidManifest, load_manifest, manifest_from_dict
+
+
+def _write(dirname: str, name: str, content: str) -> str:
+    p = os.path.join(dirname, name)
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write(textwrap.dedent(content))
+    return p
+
+
+def test_manifest_include_inlines_fragments(spark, transcripts):
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, "common_rules.yml", """
+            columns: [conv_id, turn_idx]
+            rules:
+              - kind: required
+                column: conv_id
+              - kind: unique
+                columns: [conv_id, turn_idx]
+        """)
+        main = _write(tmp, "main.yml", """
+            id: schemas/with_includes
+            table: transcripts
+            include: [common_rules.yml]
+            rules:
+              - kind: enum
+                column: role
+                values: [system, user, assistant, tool]
+        """)
+        m = load_manifest(main)
+        assert [r.kind for r in m.rules] == ["required", "unique", "enum"]
+        assert set(m.columns) == {"conv_id", "turn_idx"}
+        # two manifests sharing the fragment stay independently valid
+        other = _write(tmp, "other.yml", """
+            id: schemas/other
+            include: [common_rules.yml]
+            rules:
+              - kind: required
+                column: role
+        """)
+        m2 = load_manifest(other)
+        assert [r.kind for r in m2.rules] == ["required", "unique", "required"]
+        # meta-validation still fail-fasts after inlining
+        bad = _write(tmp, "bad.yml", """
+            id: schemas/bad
+            include: [common_rules.yml]
+            rules:
+              - kind: nonsense
+        """)
+        with pytest.raises(InvalidManifest):
+            load_manifest(bad)
+
+
+def test_manifest_include_cycle_fails_fast(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, "a.yml", "include: [b.yml]\nrules: []\n")
+        _write(tmp, "b.yml", "include: [a.yml]\nrules: []\n")
+        main = _write(tmp, "main.yml", "id: schemas/c\ninclude: [a.yml]\nrules:\n  - kind: required\n    column: x\n")
+        with pytest.raises(InvalidManifest, match="cycle"):
+            load_manifest(main)
+
+
+def test_regex_format_is_exact(spark):
+    """The regex format must agree with re.compile on pathological patterns —
+    the structural approximation accepted 'a{2,1}' (balanced brackets,
+    invalid quantifier)."""
+    cases = ["a{2,1}", "[", "(?P<n>x)", "^ok(a|b)*$", "*", "a**", "(?<invalid", None, "\\"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "id bigint, pat string")
+    m = manifest_from_dict(
+        {"id": "s/re", "table": "t", "rules": [{"kind": "format", "column": "pat", "format": "regex"}]}
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    failed = {int(v["absolute_path"][0]) for v in eng.violations(df).collect()}
+    expected = set()
+    for i, c in enumerate(cases):
+        if c is None:
+            continue
+        try:
+            re.compile(c)
+        except re.error:
+            expected.add(i)
+    assert failed == expected
+
+
+def test_pydantic_batch_validator(spark, transcripts):
+    pydantic = pytest.importorskip("pydantic")
+    from schema_enforcer_spark.plugins import PydanticBatchValidator, run_validator
+    from schema_enforcer_spark.synth import inject
+
+    class Turn(pydantic.BaseModel):
+        role: str = pydantic.Field(pattern="^(system|user|assistant|tool)$")
+        turn_idx: int = pydantic.Field(ge=0)
+
+    v = PydanticBatchValidator(Turn, key_columns=["conv_id", "turn_idx"])
+    bad = inject(transcripts, "invalid_enum")
+    viols = run_validator(bad, v).collect()
+    assert len(viols) == 1
+    assert viols[0]["schema_id"] == "pydantic/Turn"
+    assert "role" in viols[0]["absolute_path"]
+    assert "match" in viols[0]["message"].lower()  # pydantic's own pattern message
+    assert run_validator(transcripts, v).count() == 0
+    with pytest.raises(TypeError):
+        PydanticBatchValidator(dict)
+
+
+def test_applies_to_decorator_binding(spark):
+    m1 = manifest_from_dict(
+        {
+            "id": "schemas/decorated",
+            "table": "anything",
+            "applies_to": ["transcripts", "events"],
+            "rules": [{"kind": "required", "column": "some_col_not_in_df"}],
+        }
+    )
+    m2 = manifest_from_dict(
+        {"id": "schemas/plain", "rules": [{"kind": "required", "column": "other_col"}]}
+    )
+    reg = ManifestRegistry([m1, m2])
+    # no column overlap, but applies_to names the table → binds
+    bound = reg.bind(columns=["conv_id"], table="transcripts", use_automap=False)
+    assert [m.id for m in bound] == ["schemas/decorated"]
+    assert reg.bind(columns=["conv_id"], table="orders", use_automap=False) == []
+
+
+def test_inventory_vars_merge_and_templating(spark):
+    from schema_enforcer_spark.sources.defaults import inventory_defaults, merge_defaults, merge_vars, render_templates
+
+    group = {"site": "nyc", "dns": "{{ site }}-dns-01", "nested": {"a": 1, "b": 2}}
+    host = {"dns": "{{ site }}-dns-99", "nested": {"b": 3}}
+    merged = merge_vars(group, host)
+    assert merged["nested"] == {"a": 1, "b": 3}  # host wins, deep merge
+    rendered = render_templates(merged)
+    assert rendered["dns"] == "nyc-dns-99"  # host override, template resolved
+    import jinja2
+    with pytest.raises(jinja2.UndefinedError):
+        render_templates({"x": "{{ missing }}"})
+
+    dim = inventory_defaults(
+        spark,
+        {"conv-1": {"tool": "{{ site }}-tool"}, "conv-2": {}},
+        group_vars={"site": "sfo", "tool": "default-tool"},
+    )
+    df = spark.createDataFrame([("conv-1", None), ("conv-2", "explicit")], "conv_id string, tool string")
+    out = {r["conv_id"]: r["tool"] for r in merge_defaults(df, dim, keys=["conv_id"]).collect()}
+    assert out == {"conv-1": "sfo-tool", "conv-2": "explicit"}
