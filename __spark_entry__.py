@@ -38,9 +38,11 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet file arrives as ONE partition, serializing all expression work
     onto one core. Repartition only when the scan is narrower than the
     cluster — at real scale (many files) this is a no-op, so the extra
-    shuffle never appears in the 100 TB plan."""
+    shuffle never appears in the 100 TB plan. Width is estimated from the
+    scan's file list (driver-side metadata, no RDD conversion — building
+    df.rdd per query was measurable overhead)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    if len(df.inputFiles()) < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -461,9 +463,12 @@ def q29_nested_validation(spark, sf_dir):
     )
     v1 = _flat(ValidationEngine(m1, key_columns=["event_id"], instance_expr=_INST).violations(parsed))
 
+    # AQE coalesces the post-groupBy stage to ~2 partitions (collected
+    # arrays compress small) but the per-element items validation downstream
+    # is compute-heavy — rebalance so it runs cluster-wide, not on 2 tasks
     nested = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct(F.col("event_id"), F.col("value")))).alias("events")
-    )
+    ).repartition(ev.sparkSession.sparkContext.defaultParallelism)
     m2 = manifest_from_dict(
         {
             "id": "schemas/events_items",

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q26_sessionize",
     "q27_bpe_token_count",
     "q28_multimodal_features",
+    "q29_nested_validation",
 ]
 
 

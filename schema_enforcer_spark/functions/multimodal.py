@@ -44,7 +44,11 @@ def gen_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: content = repeatable pseudo-bytes.
     Every column is a plain arithmetic function of media_id (no engine-
     specific hash) so an ANSI-SQL oracle can regenerate the exact table."""
-    return spark.range(n).select(
+    # a tiny synthetic table must not fan out to defaultParallelism
+    # partitions: each partition of a mapInPandas stage spins up a Python
+    # worker, so 200 rows × 32 partitions pays 32 worker startups for
+    # milliseconds of work
+    return spark.range(0, n, 1, numPartitions=max(2, n // 100)).select(
         F.col("id").alias("media_id"),
         F.get(F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")), F.pmod(F.col("id"), F.lit(3)).cast("int")).alias("mime"),
         (32 + F.pmod(F.col("id") * 7 + seed, F.lit(64))).cast("int").alias("width"),

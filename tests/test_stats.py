@@ -89,3 +89,24 @@ def test_numeric_profile(spark, transcripts):
     r = out["turn_idx"]
     assert r["p01"] <= r["p25"] <= r["p50"] <= r["p75"] <= r["p99"]
     assert r["mean"] > 0 and r["std"] > 0
+
+
+def test_q20_hll_within_epsilon_of_exact(spark):
+    """q20's rows-only driver check gets a local invariant: approx distinct
+    per column within 5% of the exact count on the same table."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["column"]: r["approx_distinct"] for r in entry.q20_stats_hll(spark, sf).collect()}
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in entry.q08_column_stats_events(spark, sf).collect()
+        if r["col_name"] in approx
+    }
+    for col, a in approx.items():
+        if col in exact and exact[col]:
+            assert abs(a - exact[col]) / exact[col] < 0.05, f"{col}: approx={a} exact={exact[col]}"
