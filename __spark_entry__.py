@@ -482,6 +482,24 @@ def q29_nested_validation(spark, sf_dir):
     return v1.unionByName(v2).orderBy("schema_id", "path")
 
 
+def q30_merge_defaults(spark, sf_dir):
+    """S6 defaults/overrides merge: nation-keyed defaults broadcast-joined
+    under customer rows, row value wins (group_vars-under-host_vars
+    precedence as one coalesce per defaulted column)."""
+    from schema_enforcer_spark.sources.defaults import merge_defaults
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_mktsegment")).alias("c_mktsegment")
+    )
+    defaults = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.concat(F.lit("seg-"), F.col("n_name")).alias("c_mktsegment"),
+        F.col("n_regionkey").alias("default_region"),
+    )
+    merged = merge_defaults(cust, defaults, keys=["c_nationkey"])
+    return merged.select("c_custkey", "c_nationkey", "c_mktsegment", "default_region").orderBy("c_custkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -519,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_bpe_token_count": q27_bpe_token_count,
         "q28_multimodal_features": q28_multimodal_features,
         "q29_nested_validation": q29_nested_validation,
+        "q30_merge_defaults": q30_merge_defaults,
     }
 
 
@@ -845,6 +864,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM range_viol UNION ALL SELECT * FROM item_viol
         ORDER BY schema_id, path
+    """
+
+    sqls["q30_merge_defaults"] = """
+        SELECT c.c_custkey, c.c_nationkey,
+               COALESCE(CASE WHEN c.c_acctbal < 0 THEN NULL ELSE c.c_mktsegment END,
+                        'seg-' || n.n_name) AS c_mktsegment,
+               n.n_regionkey AS default_region
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_custkey
     """
 
     # q17: SimHash replica — same spec as dedup._simhash_votes: bit k of a

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q27_bpe_token_count",
     "q28_multimodal_features",
     "q29_nested_validation",
+    "q30_merge_defaults",
 ]
 
 

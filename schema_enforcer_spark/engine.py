@@ -710,15 +710,34 @@ class ValidationEngine:
         )
 
     def _strict_violations(self, df: DataFrame, rule: Rule | None) -> DataFrame | None:
-        # additionalProperties:false at table grain — compile-time set diff
-        # (/root/reference/schema_enforcer/schemas/jsonschema.py:103-134; message
-        # parity with tests/test_jsonschema.py:98-105).
+        # additionalProperties:false — compile-time set diff over the SCHEMA,
+        # never the data (parquet/Iceberg schemas are table metadata), at any
+        # depth: a rule with `column:` targets a struct column (or
+        # array<struct> — the reference injects additionalProperties one
+        # level into items too, /root/reference/schema_enforcer/schemas/
+        # jsonschema.py:103-134; message parity tests/test_jsonschema.py:98-105).
         declared = set(self.manifest.columns)
-        if rule is not None and rule.get("columns"):
+        path_prefix: list[str] = []
+        actual = set(df.columns) - {"partition_id"}
+        if rule is not None and rule.get("column"):
+            from schema_enforcer_spark.compiler import _dtype_of
+
+            target = rule.params["column"]
+            dt = _dtype_of(df, target)
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+                path_prefix = [*target.split("."), "items"]
+            else:
+                path_prefix = target.split(".")
+            if not isinstance(dt, T.StructType):
+                raise ValueError(f"strict_columns column {target!r} is {dt.simpleString()}, not a struct")
+            declared = set(rule.params.get("columns") or ())
+            actual = {f_.name for f_ in dt.fields}
+        elif rule is not None and rule.get("columns"):
             declared = set(rule.params["columns"])
         if not declared:
             return None
-        extras = sorted(set(df.columns) - declared - {"partition_id"})
+        extras = sorted(actual - declared)
         if not extras:
             return None
         spark = df.sparkSession
@@ -726,7 +745,7 @@ class ValidationEngine:
         rows = [
             (
                 rid, "FAIL", "table", self.manifest.table, "PARTITION",
-                [c], c, f"Additional properties are not allowed ('{c}' was unexpected)",
+                [*path_prefix, c], c, f"Additional properties are not allowed ('{c}' was unexpected)",
             )
             for c in extras
         ]
@@ -739,8 +758,10 @@ class ValidationEngine:
         parts: list[DataFrame] = []
         if (rv := self.row_violations(df)) is not None:
             parts.append(rv)
-        strict_rule = next((r for r in self.manifest.table_rules if r.kind == "strict_columns"), None)
-        if self.manifest.strict or strict_rule is not None:
+        strict_rules: list[Rule | None] = [r for r in self.manifest.table_rules if r.kind == "strict_columns"]
+        if self.manifest.strict and not strict_rules:
+            strict_rules = [None]
+        for strict_rule in strict_rules:
             if (sv := self._strict_violations(df, strict_rule)) is not None:
                 parts.append(sv)
         # fuse window rules by partition key: one shuffle per key, not per

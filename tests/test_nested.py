@@ -171,3 +171,32 @@ def test_items_scalar_elements(spark):
     assert len(viols) == 1
     assert viols[0]["absolute_path"] == ["1", "servers", "1"]
     assert viols[0]["message"] == "'bad' is not a 'ipv4'"
+
+
+def test_strict_columns_nested(spark):
+    """additionalProperties below top level: a struct (or array<struct>)
+    column's schema fields are diffed against the declared set — message
+    parity with the reference's strict mode."""
+    df = spark.createDataFrame(
+        [(1, ("a", 2, "x"), [("y", 1)])],
+        "id bigint, profile struct<name:string,age:int,rogue:string>, "
+        "servers array<struct<address:string,extra:int>>",
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/strict_nested",
+            "table": "t",
+            "rules": [
+                {"kind": "strict_columns", "column": "profile", "columns": ["name", "age"]},
+                {"kind": "strict_columns", "column": "servers", "columns": ["address"]},
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    viols = {tuple(v["absolute_path"]): v["message"] for v in eng.violations(df).collect()}
+    assert viols[("profile", "rogue")] == "Additional properties are not allowed ('rogue' was unexpected)"
+    assert ("servers", "items", "extra") in viols
+    assert len(viols) == 2
+    # verdicts surface the table-grain FAIL
+    rep = eng.validate(df)
+    assert not rep.passes()
