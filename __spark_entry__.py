@@ -500,6 +500,23 @@ def q30_merge_defaults(spark, sf_dir):
     return merged.select("c_custkey", "c_nationkey", "c_mktsegment", "default_region").orderBy("c_custkey")
 
 
+def q31_asof_join(spark, sf_dir):
+    """As-of join (merge-based: one shuffle + one window, no inequality
+    join): each click event picks up the same user's most recent purchase
+    at-or-before its timestamp. Oracle = DuckDB's native ASOF JOIN."""
+    from schema_enforcer_spark.functions.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_e", F.unix_timestamp("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_e")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_e")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(clicks, purchases, on=["user_id"], left_time="ts_e", right_time="ts_e")
+    return out.select("event_id", "user_id", "ts_e", "purchase_id_asof").orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -538,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_multimodal_features": q28_multimodal_features,
         "q29_nested_validation": q29_nested_validation,
         "q30_merge_defaults": q30_merge_defaults,
+        "q31_asof_join": q31_asof_join,
     }
 
 
@@ -864,6 +882,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM range_viol UNION ALL SELECT * FROM item_viol
         ORDER BY schema_id, path
+    """
+
+    sqls["q31_asof_join"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_e FROM events
+        ), clicks AS (
+          SELECT event_id, user_id, ts_e FROM ev WHERE event_type = 'click'
+        ), purch AS (
+          SELECT user_id, ts_e, MAX(event_id) AS purchase_id
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_e
+        )
+        SELECT l.event_id, l.user_id, l.ts_e, r.purchase_id AS purchase_id_asof
+        FROM clicks l ASOF LEFT JOIN purch r
+          ON l.user_id = r.user_id AND l.ts_e >= r.ts_e
+        ORDER BY l.event_id
     """
 
     sqls["q30_merge_defaults"] = """

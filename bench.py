@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q28_multimodal_features",
     "q29_nested_validation",
     "q30_merge_defaults",
+    "q31_asof_join",
 ]
 
 

@@ -191,3 +191,36 @@ def test_lsh_bucket_cap_bounds_boilerplate(spark):
     assert not any(i >= 1000 for i in ids), "boilerplate bucket (40 > cap 10) must be dropped"
     uncapped = minhash_lsh_candidates(df, max_bucket_size=None).count()
     assert uncapped >= 40 * 39 / 2, "without a cap the boilerplate cluster emits O(b²) pairs"
+
+
+def test_asof_join(spark):
+    from schema_enforcer_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 100), ("a", 10, 101), ("a", 2, 102), ("b", 7, 103)],
+        "k string, t bigint, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, "r3"), ("a", 5, "r5"), ("a", 9, "r9"), ("c", 1, "rc")],
+        "k string, rt bigint, payload string",
+    )
+    out = {
+        r["lid"]: r["payload_asof"]
+        for r in asof_join(left, right, on=["k"], left_time="t", right_time="rt").collect()
+    }
+    # 5 matches the equal-timestamp right row; 2 precedes everything; b has no rights
+    assert out == {100: "r5", 101: "r9", 102: None, 103: None}
+
+
+def test_range_join_bucketed(spark):
+    from schema_enforcer_spark.functions.joins import range_join_bucketed
+
+    points = spark.createDataFrame([(1, 5), (2, 25), (3, 99)], "pid int, x long")
+    intervals = spark.createDataFrame(
+        [(10, 0, 10), (11, 20, 40), (12, 0, 100)], "iid int, lo long, hi long"
+    )
+    out = {(r["pid"], r["iid"]) for r in range_join_bucketed(points, intervals, "x", "lo", "hi", bucket_width=16).collect()}
+    assert out == {(1, 10), (1, 12), (2, 11), (2, 12), (3, 12)}
+    # the plan must be an equi-join on the bucket, not a nested-loop join
+    plan = range_join_bucketed(points, intervals, "x", "lo", "hi", 16)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
