@@ -517,6 +517,33 @@ def q31_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_e", "purchase_id_asof").orderBy("event_id")
 
 
+def q32_ks_drift(spark, sf_dir):
+    """Two-sample KS statistic (A8 drift, the ks twin of q15's PSI): max
+    |CDF_a - CDF_b| over the binned n_chars distributions of two source
+    cohorts. Cumulative sums run on the bins-sized histogram, never the
+    rows — the scan is the only row-scale work."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp", F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b")
+    )
+    hist = (
+        docs.select("grp", F.floor(F.col("n_chars") / 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("grp") == "a").alias("na"),
+            F.count_if(F.col("grp") == "b").alias("nb"),
+        )
+    )
+    tot = hist.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.crossJoin(tot).select(
+        (F.sum("na").over(w) / F.col("ta")).alias("ca"),
+        (F.sum("nb").over(w) / F.col("tb")).alias("cb"),
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -556,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_nested_validation": q29_nested_validation,
         "q30_merge_defaults": q30_merge_defaults,
         "q31_asof_join": q31_asof_join,
+        "q32_ks_drift": q32_ks_drift,
     }
 
 
@@ -882,6 +910,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM range_viol UNION ALL SELECT * FROM item_viol
         ORDER BY schema_id, path
+    """
+
+    sqls["q32_ks_drift"] = """
+        WITH h AS (
+          SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+                 COUNT(CASE WHEN CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) < 10 THEN 1 END) AS na,
+                 COUNT(CASE WHEN CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) >= 10 THEN 1 END) AS nb
+          FROM documents GROUP BY 1
+        ), t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h),
+        c AS (
+          SELECT SUM(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / CAST(ta AS DOUBLE) AS ca,
+                 SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / CAST(tb AS DOUBLE) AS cb
+          FROM h, t
+        )
+        SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks FROM c
     """
 
     sqls["q31_asof_join"] = """

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q29_nested_validation",
     "q30_merge_defaults",
     "q31_asof_join",
+    "q32_ks_drift",
 ]
 
 
