@@ -99,6 +99,25 @@ def main() -> None:
         notes4.append("OK: ReadSchema pruned to selected columns")
     sections.append(("Predicate pushdown + column pruning", p4, notes4))
 
+    # 5. as-of join: merge shape (union + ONE exchange + window), never a
+    # nested-loop inequality join
+    from schema_enforcer_spark.functions.joins import asof_join
+
+    left = tdf.select("conv_id", F.col("ts").alias("t"), "turn_idx")
+    right = convs.select("conv_id", F.col("started_at").alias("rt")) if "started_at" in convs.columns else tdf.select("conv_id", F.col("ts").alias("rt")).limit(50)
+    p5 = _formatted(asof_join(left, right, on=["conv_id"], left_time="t", right_time="rt"))
+    notes5 = []
+    n_ex5 = len(re.findall(r"^\(\d+\) Exchange\s*$", p5, re.M))
+    if "BroadcastNestedLoopJoin" in p5 or "CartesianProduct" in p5:
+        problems.append("as-of join planned as a nested-loop/cartesian join")
+    else:
+        notes5.append("OK: as-of join is union + window, no nested-loop join")
+    if n_ex5 <= 2:  # one for the window partitioning (+1 possible for a limit/rebalance of the demo right side)
+        notes5.append(f"OK: as-of join uses {n_ex5} exchange(s) — merge shape, not a join explosion")
+    else:
+        problems.append(f"as-of join has {n_ex5} Exchanges (want <=2)")
+    sections.append(("As-of join (merge-based: union + one window exchange)", p5, notes5))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
