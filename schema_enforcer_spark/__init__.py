@@ -20,15 +20,21 @@ re-expressed over Spark DataFrames:
 - Resumable per-partition checkpoint lineage.
 """
 
-from schema_enforcer_spark.manifest import Manifest, Rule, load_manifest
+from schema_enforcer_spark.manifest import Manifest, Rule, load_manifest, manifest_from_dict
 from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
+from schema_enforcer_spark.binding import ManifestRegistry, ManifestNotDefined
+from schema_enforcer_spark.checkpoint import CheckpointManager
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Manifest",
     "Rule",
     "load_manifest",
+    "manifest_from_dict",
     "ValidationEngine",
     "ValidationReport",
+    "ManifestRegistry",
+    "ManifestNotDefined",
+    "CheckpointManager",
 ]

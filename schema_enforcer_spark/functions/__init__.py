@@ -1,2 +1,37 @@
 """Scalar/column function library (SURVEY.md §2.8) + training-data ops:
-text analysis, deduplication, similarity search, multimodal plumbing."""
+text analysis, deduplication, similarity search, time-series joins,
+multimodal plumbing."""
+
+from schema_enforcer_spark.functions.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    lsh_bucket_stats,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_hex,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from schema_enforcer_spark.functions.joins import asof_join, range_join_bucketed
+from schema_enforcer_spark.functions.similarity import brute_force_topk, ivf_build, ivf_topk, lsh_topk
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "lsh_bucket_stats",
+    "minhash_lsh_candidates",
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_hex",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "asof_join",
+    "range_join_bucketed",
+    "brute_force_topk",
+    "ivf_build",
+    "ivf_topk",
+    "lsh_topk",
+]
