@@ -567,79 +567,6 @@ class ValidationEngine:
             F.col("v.message").alias("message"),
         )
 
-    def _ordering_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
-        # W1 ordering window: value must be (strictly) increasing with
-        # order_by within partition_by (north_star stable-turn-ordering invariant).
-        from pyspark.sql.window import Window
-
-        col_name = rule.params["column"]
-        part, order = rule.params["partition_by"], rule.params["order_by"]
-        strictly = rule.get("strictly", True)
-        rid = rule.get("id") or f"{self.manifest.id}/ordering/{col_name}"
-        w = Window.partitionBy(*part).orderBy(*order)
-        col = F.col(col_name)
-        keep = list(dict.fromkeys([*part, *order, col_name, *[k for k in self.key_columns if k in df.columns]]))
-        with_prev = df.select(
-            *keep,
-            self._instance_col(df).alias("instance_name"),
-            F.lag(col).over(w).alias("_prev"),
-        )
-        bad = (col <= F.col("_prev")) if strictly else (col < F.col("_prev"))
-        flagged = with_prev.filter(F.coalesce(bad, F.lit(False)))
-        word = "strictly increasing" if strictly else "non-decreasing"
-        msg = rule.get("message")
-        message = (
-            F.lit(msg)
-            if msg
-            else F.concat(
-                F.lit(f"'{col_name}' value "), col.cast("string"),
-                F.lit(f" is not {word} (previous "), F.col("_prev").cast("string"), F.lit(")"),
-            )
-        )
-        return flagged.select(
-            F.lit(rid).alias("schema_id"),
-            F.lit("FAIL").alias("result"),
-            F.col("instance_name"),
-            F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
-            self._path(flagged, col_name).alias("absolute_path"),
-            col.cast("string").alias("failing_value"),
-            message.alias("message"),
-        )
-
-    def _contiguous_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
-        # turn_idx must be exactly 0..n-1 per conv_id: compare to
-        # row_number()-1 under the stable ordering window (W1).
-        from pyspark.sql.window import Window
-
-        col_name = rule.params["column"]
-        part = rule.params["partition_by"]
-        rid = rule.get("id") or f"{self.manifest.id}/contiguous/{col_name}"
-        w = Window.partitionBy(*part).orderBy(F.col(col_name).asc())
-        expected = F.row_number().over(w) - 1
-        flagged = df.select(
-            *part, col_name, self._instance_col(df).alias("instance_name"), expected.alias("_exp")
-        ).filter(F.col(col_name) != F.col("_exp"))
-        msg = rule.get("message")
-        message = (
-            F.lit(msg)
-            if msg
-            else F.concat(
-                F.lit(f"'{col_name}' value "), F.col(col_name).cast("string"),
-                F.lit(" breaks contiguity (expected "), F.col("_exp").cast("string"), F.lit(")"),
-            )
-        )
-        return flagged.select(
-            F.lit(rid).alias("schema_id"),
-            F.lit("FAIL").alias("result"),
-            F.col("instance_name"),
-            F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
-            self._path(flagged, col_name).alias("absolute_path"),
-            F.col(col_name).cast("string").alias("failing_value"),
-            message.alias("message"),
-        )
-
     def _salted_group(self, df: DataFrame, rule: Rule, group: list[str], specs: list) -> DataFrame:
         """Two-phase salted aggregation for hot-key skew (north_rule):
         phase 1 partial-aggregates on (group, salt) — a hot conversation's
