@@ -69,6 +69,19 @@ class ValidationReport:
         except Exception:  # noqa: BLE001 - not cached / session gone
             pass
 
+    def rule_summary(self) -> DataFrame:
+        """Per-rule observability: (schema_id, n_violations, n_instances) —
+        which constraints fire and how widely, straight off the persisted
+        violation set (no rule re-evaluation)."""
+        return (
+            self.violations.groupBy("schema_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_violations"),
+                F.countDistinct("instance_name").alias("n_instances"),
+            )
+            .orderBy(F.col("n_violations").desc(), "schema_id")
+        )
+
 
 def _comparison(op: str, left: Column, right: Column) -> Column:
     # Operator set mirrors JmesPathModelValidation

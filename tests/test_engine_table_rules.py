@@ -209,3 +209,12 @@ def test_table_grain_violations_reach_verdicts(spark, transcripts):
     tbl = report.verdicts.filter("instance_name = 'table'").collect()
     assert len(tbl) == 1 and tbl[0]["result"] == "FAIL"
     assert not report.passes()
+
+
+def test_rule_summary(spark, transcripts):
+    df = inject(transcripts, "invalid_enum")
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_base.yml"))
+    rep = ValidationEngine(m).validate(df)
+    rows = {r["schema_id"]: (r["n_violations"], r["n_instances"]) for r in rep.rule_summary().collect()}
+    assert any("enum" in k for k in rows), rows
+    assert all(n > 0 and i > 0 for n, i in rows.values())

@@ -120,3 +120,49 @@ def test_unique_rule_matches_set_semantics(spark, convs):
     counts = Counter((f"c{c}", t) for c, t in convs)
     expected = {(c, str(t)) for (c, t), n in counts.items() if n > 1}
     assert flagged == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(min_value=-40, max_value=40)),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    lo=st.integers(min_value=-15, max_value=0),
+    hi=st.integers(min_value=0, max_value=15),
+)
+def test_items_range_matches_jsonschema(spark, docs, lo, hi):
+    """Nested per-element validation: engine violation count per document ==
+    Draft7Validator error count for {items: {minimum, maximum}} on randomized
+    arrays (with nulls at both the array and element level)."""
+    rows = [(i, v) for i, v in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, xs array<int>")
+    m = Manifest(
+        id="prop",
+        rules=(
+            Rule(kind="items", params={"column": "xs", "check": "range", "minimum": lo, "maximum": hi}),
+        ),
+    )
+    got: dict[int, int] = {}
+    for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect():
+        got[int(r["absolute_path"][0])] = got.get(int(r["absolute_path"][0]), 0) + 1
+
+    schema = {
+        "type": "object",
+        "properties": {"xs": {"type": "array", "items": {"minimum": lo, "maximum": hi}}},
+    }
+    v = jsonschema.Draft7Validator(schema)
+    for i, xs in enumerate(docs):
+        # engine semantics: null elements pass range (nullability is
+        # `required`'s job) — mirror by dropping nulls for the oracle
+        inst = {} if xs is None else {"xs": [x for x in xs if x is not None]}
+        expected = sum(1 for _ in v.iter_errors(inst))
+        assert got.get(i, 0) == expected, f"doc {i}: engine={got.get(i, 0)} jsonschema={expected} xs={xs}"
