@@ -33,6 +33,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--key-columns", default="conv_id,turn_idx")
     p.add_argument("--instance-expr", default=None)
     p.add_argument("--show-failures", type=int, default=20, help="max FAIL lines printed")
+    p.add_argument(
+        "--summary",
+        action="store_true",
+        help="print a per-rule summary (schema_id, violations, instances) after the FAIL lines",
+    )
     p.add_argument("--master", default=None, help="override spark master (default: from spark-submit)")
     p.add_argument(
         "--show-checks",
@@ -141,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
     for v in failures:
         prop = ":".join(v["absolute_path"] or [])
         print(f"FAIL | [ERROR] {v['message']} [{v['instance_type']}] {v['instance_location']}/{v['instance_name']} [PROPERTY] {prop}")
+
+    if args.summary:
+        print(f"{'Rule':<60} {'Violations':>10} {'Instances':>10}")
+        print("-" * 82)
+        for r in report.rule_summary().collect():
+            print(f"{r['schema_id']:<60} {r['n_violations']:>10} {r['n_instances']:>10}")
 
     any_fail = bool(failures) or not report.passes()
     if any_fail:

@@ -147,3 +147,49 @@ def resize_stub(df: DataFrame, width: int, height: int, fake: bool = False) -> D
     return df.filter(F.col("mime").startswith("image/")).select("media_id", "content").mapInPandas(
         _resize, "media_id long, width int, height int, content binary"
     )
+
+
+AUDIO_FEATURES_DDL = "media_id long, n_bytes int, duration_ms int, rms double, zero_crossings int"
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract per audio/video row (RMS amplitude + zero
+    crossings), Arrow-batched. Same stub contract as image_features: the
+    codec call raises unless fake=True (no audio libs in this container);
+    the fake path derives a deterministic pseudo-waveform from the bytes so
+    the Spark-side plumbing (metadata pushdown before decode, iterator
+    batching, typed output) is fully real and testable."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library not present in "
+                    "this container; run with fake=True or swap the decode "
+                    "for a soundfile/librosa implementation"
+                )
+            rms, zc = [], []
+            for content in pdf["content"]:
+                # deterministic fake waveform: centered byte values
+                samples = [(b - 128) / 128.0 for b in (content or b"")[:256]]
+                if not samples:
+                    rms.append(0.0)
+                    zc.append(0)
+                    continue
+                rms.append((sum(s * s for s in samples) / len(samples)) ** 0.5)
+                zc.append(sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                    "duration_ms": pdf["duration_ms"].astype("int32"),
+                    "rms": rms,
+                    "zero_crossings": pd.Series(zc, index=pdf.index, dtype="int32"),
+                }
+            )
+
+    return (
+        df.filter(F.col("duration_ms").isNotNull())  # metadata pushdown BEFORE decode
+        .select("media_id", "duration_ms", "content")
+        .mapInPandas(_extract, AUDIO_FEATURES_DDL)
+    )

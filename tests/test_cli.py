@@ -94,3 +94,10 @@ def test_cli_selftest_and_generate(spark, data, capsys):
     assert rc == 0
     assert "PASS | valid/clean.parquet" in out
     assert "PASS | invalid/enum_case" in out
+
+
+def test_cli_summary_flag(spark, data, capsys):
+    rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--summary"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "Violations" in out and "schemas/transcripts_base" in out
