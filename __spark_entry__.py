@@ -270,8 +270,12 @@ def q14_topk_cosine(spark, sf_dir):
 def q15_psi_drift(spark, sf_dir):
     """PSI of n_chars distribution: sources src0-src9 vs src10-src19, fixed
     buckets of width 50, eps smoothing — all in Spark SQL expressions."""
+    # two-branch when with NO otherwise: a source that doesn't parse as
+    # 'src<N>' lands in NEITHER cohort (grp NULL), matching the oracle's
+    # CASE WHEN < 10 / >= 10 conditional counts
+    n = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "grp", F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b")
+        "grp", F.when(n < 10, "a").when(n >= 10, "b")
     )
     hist = (
         docs.select("grp", F.floor(F.col("n_chars") / 50).alias("bucket"))
@@ -524,8 +528,9 @@ def q32_ks_drift(spark, sf_dir):
     rows — the scan is the only row-scale work."""
     from pyspark.sql.window import Window
 
+    n = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "grp", F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b")
+        "grp", F.when(n < 10, "a").when(n >= 10, "b")  # unparseable → neither cohort (oracle parity)
     )
     hist = (
         docs.select("grp", F.floor(F.col("n_chars") / 50).alias("bucket"))
@@ -961,21 +966,23 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), v AS (
           SELECT doc_id,
-                 LIST_TRANSFORM(RANGE(0, 64), k ->
+                 CASE WHEN toks IS NULL THEN NULL
+                 ELSE LIST_TRANSFORM(RANGE(0, 64), k ->
                    COALESCE(LIST_SUM(LIST_TRANSFORM(toks, tok ->
                      2 * (((STRPOS('0123456789abcdef',
                                    SUBSTR(MD5(tok), CAST(k // 4 AS INT) + 1, 1)) - 1)
-                           >> CAST(k % 4 AS INT)) & 1) - 1)), 0)) AS votes
+                           >> CAST(k % 4 AS INT)) & 1) - 1)), 0)) END AS votes
           FROM t
         )
         SELECT doc_id,
-               ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 16), n ->
+               CASE WHEN votes IS NULL THEN NULL
+               ELSE ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 16), n ->
                  SUBSTR('0123456789abcdef',
                         CAST(1 + (CASE WHEN votes[CAST(4*n+1 AS INT)] > 0 THEN 1 ELSE 0 END)
                                + (CASE WHEN votes[CAST(4*n+2 AS INT)] > 0 THEN 2 ELSE 0 END)
                                + (CASE WHEN votes[CAST(4*n+3 AS INT)] > 0 THEN 4 ELSE 0 END)
                                + (CASE WHEN votes[CAST(4*n+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
-                        1)), '') AS simhash_hex
+                        1)), '') END AS simhash_hex
         FROM v
     """
 

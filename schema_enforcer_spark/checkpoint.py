@@ -53,9 +53,27 @@ class CheckpointManager:
         return (
             self.lineage()
             .filter((F.col("rule_set_hash") == rule_set_hash) & (F.col("verdict") == "PASS"))
-            .select("partition_id", "n_rows")
-            .dropDuplicates(["partition_id"])
+            .groupBy("partition_id")
+            # newest PASS wins: with verify_counts a changed-then-re-passed
+            # partition must compare against its LATEST row count, not an
+            # arbitrary surviving row
+            .agg(F.max_by("n_rows", "validated_at").alias("n_rows"))
         )
+
+    def table_grain_failed(self, rule_set_hash: str) -> bool:
+        """True iff the NEWEST 'table'-instance verdict under this rule-set
+        hash is FAIL. Table-grain rules (strict_columns, drift) attribute to
+        instance 'table', which no data row carries — partition-level resume
+        can never clear them, so an unresolved table FAIL forces a full
+        re-validation instead of a nothing-pending success."""
+        rows = (
+            self.lineage()
+            .filter((F.col("rule_set_hash") == rule_set_hash) & (F.col("partition_id") == "table"))
+            .orderBy(F.col("validated_at").desc())
+            .limit(1)
+            .collect()
+        )
+        return bool(rows) and rows[0]["verdict"] == "FAIL"
 
     def pending(self, df: DataFrame, engine: ValidationEngine, verify_counts: bool = False) -> DataFrame:
         """Rows of *df* in partitions NOT yet validated under the engine's
@@ -68,6 +86,8 @@ class CheckpointManager:
         aggregation over the input; with Iceberg, snapshot comparison makes
         it free)."""
         h = engine.manifest.rule_set_hash()
+        if self.table_grain_failed(h):
+            return df  # unresolved table-grain FAIL: everything re-validates
         done = self.completed_partitions(h).withColumnRenamed("partition_id", "_inst")
         keyed = df.withColumn("_inst", engine._instance_col(df))
         if verify_counts:

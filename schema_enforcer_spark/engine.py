@@ -464,6 +464,11 @@ class ValidationEngine:
                 unique_cols_all.extend(cols)
                 wu = Window.partitionBy(*cols[:-1]).orderBy(F.col(cols[-1]).asc())
                 aux.append(F.lag(F.col(cols[-1])).over(wu).alias(f"_dup_{i}"))
+                # row_number disambiguates "no previous row" from "previous
+                # value is NULL": NULLs sort first, so a duplicated-NULL
+                # group's first row has lag=NULL too and eqNullSafe alone
+                # would never mark a first-of-group row
+                aux.append(F.row_number().over(wu).alias(f"_rn_{i}"))
                 # group size via a ties frame (rangeBetween(0,0) counts rows
                 # with the SAME order value) — rides the identical window
                 # spec, so no extra exchange, sort, or WindowExec group
@@ -504,7 +509,9 @@ class ValidationEngine:
                 # precondition cols[:-1] == partition key makes that the
                 # norm).
                 cols = extra
-                first_of_dup_group = (F.col(f"_cnt_{i}") > 1) & ~F.col(cols[-1]).eqNullSafe(F.col(aux_name))
+                first_of_dup_group = (F.col(f"_cnt_{i}") > 1) & (
+                    (F.col(f"_rn_{i}") == 1) | ~F.col(cols[-1]).eqNullSafe(F.col(aux_name))
+                )
                 key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
                 message = rule.get("message")
                 msg = (
@@ -672,6 +679,11 @@ class ValidationEngine:
             if not isinstance(dt, T.StructType):
                 raise ValueError(f"strict_columns column {target!r} is {dt.simpleString()}, not a struct")
             declared = set(rule.params.get("columns") or ())
+            if not declared:
+                raise ValueError(
+                    f"strict_columns on {target!r} needs declared 'columns' — an empty "
+                    "declaration would silently check nothing"
+                )
             actual = {f_.name for f_ in dt.fields}
         elif rule is not None and rule.get("columns"):
             declared = set(rule.params["columns"])

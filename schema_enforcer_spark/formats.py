@@ -12,9 +12,14 @@ jsonschema's FormatChecker phrasing: ``'<value>' is not a '<format>'``.
 
 from __future__ import annotations
 
-import pandas as pd
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas is imported lazily in _regex_valid_udf — the
+    import pandas as pd  # only format needing it; keeps `import
+    # schema_enforcer_spark` (CLI/driver startup) pandas-free
 
 # Anchored regexes. These intentionally track what jsonschema's
 # format-nongpl checkers accept for the values this engine sees (flat string
@@ -81,6 +86,8 @@ def _regex_valid_batch(values: pd.Series) -> pd.Series:
     value compiles once)."""
     import re
 
+    import pandas as pd
+
     cache: dict[str, bool] = {}
 
     def ok(v):
@@ -100,7 +107,11 @@ def _regex_valid_batch(values: pd.Series) -> pd.Series:
 
 
 def _regex_valid_udf():
-    # built lazily: pandas_udf needs an active SparkSession to parse the DDL
+    # built lazily: pandas_udf needs an active SparkSession to parse the DDL,
+    # and its type-hint introspection resolves `pd.Series` in THIS module's
+    # globals — bind pandas here so plain engine imports stay pandas-free
+    global pd
+    import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
     return pandas_udf(_regex_valid_batch, "boolean")

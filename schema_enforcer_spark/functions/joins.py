@@ -40,19 +40,23 @@ def asof_join(
     pre-aggregate the right side otherwise.
     """
     rcols = right_cols or [c for c in right.columns if c not in on and c != right_time]
+    # the right payload travels as ONE struct so last(ignorenulls) picks the
+    # most recent right ROW atomically — per-column carries would back-fill a
+    # NULL field of the newest row from an older row, mixing right rows
+    r_struct = F.struct(*[F.col(c) for c in rcols]).alias("_rrow")
+    r_tag = right.select(
+        *on,
+        F.col(right_time).cast(left.schema[left_time].dataType).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x")).schema["x"].dataType).alias("_lrow"),
+        r_struct,
+    )
     l_tag = left.select(
         *on,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
-    )
-    r_tag = right.select(
-        *on,
-        F.col(right_time).cast(left.schema[left_time].dataType).alias("_t"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(r_tag.schema["_rrow"].dataType).alias("_rrow"),
     )
     # right rows sort BEFORE left rows at equal _t (side 0 < 1) so an
     # equal-timestamp right row is already visible
@@ -64,11 +68,11 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_side",
         "_lrow",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rcols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in rcols],
+        *[F.col("_rrow")[c].alias(f"{c}{suffix}") for c in rcols],
     )
     return out
 

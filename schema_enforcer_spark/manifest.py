@@ -231,12 +231,33 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
         for req in _PER_KIND_REQUIRED.get(kind, []):
             if req not in rule:
                 errors.append(f"rules/{i}: kind {kind!r} requires field {req!r}")
-        if kind == "items" and rule.get("check") not in (ROW_RULE_KINDS - {"items"}):
-            errors.append(f"rules/{i}: items 'check' must be a scalar row-rule kind, got {rule.get('check')!r}")
-        if kind == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
+        if kind == "items":
+            check = rule.get("check")
+            if check not in (ROW_RULE_KINDS - {"items"}):
+                errors.append(f"rules/{i}: items 'check' must be a scalar row-rule kind, got {check!r}")
+            else:
+                # the sub-check's own required params apply to the items rule
+                for req in _PER_KIND_REQUIRED.get(check, []):
+                    if req != "column" and req not in rule:
+                        errors.append(f"rules/{i}: items check {check!r} requires field {req!r}")
+                if check == "format" and rule.get("format") == "regex":
+                    errors.append(
+                        f"rules/{i}: format 'regex' is a Python-UDF check and cannot run "
+                        "inside an array-element lambda; explode the array and use a "
+                        "plain format rule instead"
+                    )
+        # range/length bound requirements apply whether the check is the rule
+        # kind itself or an items sub-check
+        effective = rule.get("check") if kind == "items" else kind
+        if effective == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
             errors.append(f"rules/{i}: range rule needs at least one bound")
-        if kind == "length" and not ({"min_length", "max_length"} & rule.keys()):
+        if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):
             errors.append(f"rules/{i}: length rule needs min_length or max_length")
+        if kind == "strict_columns" and rule.get("column") and not rule.get("columns"):
+            errors.append(
+                f"rules/{i}: strict_columns on a struct column needs the declared "
+                "'columns' field set (an empty declaration would silently check nothing)"
+            )
     return errors
 
 

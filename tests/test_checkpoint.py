@@ -102,3 +102,23 @@ def test_verify_counts_revalidates_changed_partitions(spark, transcripts):
         changed = {r[0] for r in extra.select(eng._instance_col(extra)).collect()}
         got = {r[0] for r in pend.select(eng._instance_col(pend)).distinct().collect()}
         assert got == changed
+
+
+def test_table_grain_fail_forces_revalidation(spark, transcripts):
+    """Regression: table-grain rules (strict_columns) attribute to instance
+    'table', which no data row carries — a resume must not report
+    nothing-pending success while the table-grain FAIL persists."""
+    from schema_enforcer_spark.manifest import load_manifest
+    import os
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_strict.yml"))
+    eng = ValidationEngine(m)
+    bad = transcripts.withColumn("rogue_col", transcripts["turn_idx"])
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        rep1, _ = cm.run(bad, eng)
+        assert rep1 is not None and not rep1.passes()
+        # resume on the same bad data: the table FAIL forces full re-validation
+        rep2, n2 = cm.run(bad, eng)
+        assert rep2 is not None and n2 > 0 and not rep2.passes()

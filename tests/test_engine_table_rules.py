@@ -218,3 +218,24 @@ def test_rule_summary(spark, transcripts):
     rows = {r["schema_id"]: (r["n_violations"], r["n_instances"]) for r in rep.rule_summary().collect()}
     assert any("enum" in k for k in rows), rows
     assert all(n > 0 and i > 0 for n, i in rows.values())
+
+
+def test_fused_unique_detects_null_key_duplicates(spark):
+    """Regression: NULLs sort first, so a duplicated-NULL group's first row
+    has lag=NULL and eqNullSafe alone never marked it — the fused path must
+    still report NULL-key duplicates like the standalone groupBy does."""
+    df = spark.createDataFrame(
+        [("c1", None, "x"), ("c1", None, "y"), ("c1", 1, "z"), ("c2", 1, "w")],
+        "conv_id string, turn_idx int, text string",
+    )
+    standalone = _m([("unique", {"columns": ["conv_id", "turn_idx"]})])
+    fused = _m(
+        [
+            ("unique", {"columns": ["conv_id", "turn_idx"]}),
+            ("contiguous", {"column": "turn_idx", "partition_by": ["conv_id"]}),
+        ]
+    )
+    key = lambda v: (v["failing_value"], v["message"])  # noqa: E731
+    s = sorted(key(v) for v in ValidationEngine(standalone).violations(df).collect() if "/unique/" in v["schema_id"])
+    f = sorted(key(v) for v in ValidationEngine(fused).violations(df).collect() if "/unique/" in v["schema_id"])
+    assert s == f and len(s) == 1 and "appears 2 times" in s[0][1]

@@ -224,3 +224,19 @@ def test_range_join_bucketed(spark):
     # the plan must be an equi-join on the bucket, not a nested-loop join
     plan = range_join_bucketed(points, intervals, "x", "lo", "hi", 16)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_carries_right_row_atomically(spark):
+    """Regression: per-column last(ignorenulls) back-filled a NULL field of
+    the newest right row from an older row, composing fields from different
+    right rows — the payload must travel as one struct."""
+    from schema_enforcer_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame([("u", 3, 1)], "k string, t bigint, lid int")
+    right = spark.createDataFrame(
+        [("u", 1, 10, 5), ("u", 2, 20, None)],
+        "k string, rt bigint, price int, qty int",
+    )
+    row = asof_join(left, right, on=["k"], left_time="t", right_time="rt").collect()[0]
+    assert row["price_asof"] == 20
+    assert row["qty_asof"] is None, "qty must be the newest right row's NULL, not a stale 5"
