@@ -549,6 +549,18 @@ def q32_ks_drift(spark, sf_dir):
     return cdf.agg(F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"))
 
 
+def q33_near_dup_groups(spark, sf_dir):
+    """Transitive near-dup GROUPS: MinHash+LSH pairs → distributed
+    min-label-propagation connected components → (doc_id, group_id,
+    is_duplicate). Oracle = exact all-pairs Jaccard + a recursive-CTE
+    transitive closure with MIN per vertex (same recall-safety argument as
+    q16: every true pair sits at Jaccard ≥ 0.9, miss probability ~1e-23)."""
+    from schema_enforcer_spark.functions.dedup import near_dup_groups
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return near_dup_groups(docs, threshold=0.8, num_hashes=64, bands=32).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -589,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_merge_defaults": q30_merge_defaults,
         "q31_asof_join": q31_asof_join,
         "q32_ks_drift": q32_ks_drift,
+        "q33_near_dup_groups": q33_near_dup_groups,
     }
 
 
@@ -915,6 +928,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM range_viol UNION ALL SELECT * FROM item_viol
         ORDER BY schema_id, path
+    """
+
+    sqls["q33_near_dup_groups"] = r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(t.toks) - 1),
+                        i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2])
+                   ELSE [ARRAY_TO_STRING(t.toks, ' ')] END) AS sh
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+                FROM documents) t
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE ROUND(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+                      THEN LEN(LIST_INTERSECT(a.sh, b.sh)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))
+                      ELSE 1.0 END, 6) >= 0.8
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ), cc AS (
+          SELECT src AS v, src AS comp FROM edges
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+        ), lab AS (
+          SELECT v, MIN(comp) AS comp FROM cc GROUP BY v
+        )
+        SELECT d.doc_id,
+               COALESCE(l.comp, d.doc_id) AS group_id,
+               COALESCE(l.comp, d.doc_id) <> d.doc_id AS is_duplicate
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.v
+        ORDER BY d.doc_id
     """
 
     sqls["q32_ks_drift"] = """

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q30_merge_defaults",
     "q31_asof_join",
     "q32_ks_drift",
+    "q33_near_dup_groups",
 ]
 
 

@@ -3,9 +3,11 @@ text analysis, deduplication, similarity search, time-series joins,
 multimodal plumbing."""
 
 from schema_enforcer_spark.functions.dedup import (
+    connected_components,
     exact_dedup,
     exact_dup_groups,
     lsh_bucket_stats,
+    near_dup_groups,
     minhash_lsh_candidates,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -18,6 +20,8 @@ from schema_enforcer_spark.functions.joins import asof_join, range_join_bucketed
 from schema_enforcer_spark.functions.similarity import brute_force_topk, ivf_build, ivf_topk, lsh_topk
 
 __all__ = [
+    "connected_components",
+    "near_dup_groups",
     "exact_dedup",
     "exact_dup_groups",
     "lsh_bucket_stats",

@@ -407,3 +407,81 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str =
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup groups: connected components over the candidate-pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for the undirected graph given as pair rows —
+    component = min vertex id reachable. Pipelines need dup GROUPS, not
+    pairs: transitive near-dups (A~B, B~C) must collapse to one keeper.
+
+    Min-label propagation: each iteration joins the current labels across
+    the (bidirectional) edge list and takes the per-vertex min — one shuffle
+    join per iteration, converging in O(component diameter) rounds (near-dup
+    clusters are shallow: diameter ≤ 3-4 in practice, so 5-ish rounds at any
+    table size). Lineage is cut with localCheckpoint each round so the plan
+    doesn't grow; the per-round convergence count is one small action on a
+    labels-sized frame, never row-scale data to the driver."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .dropDuplicates()
+        .withColumn("component", F.col("v"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels + own label → per-vertex min
+        msgs = (
+            edges.join(labels.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), "component")
+            .unionByName(labels)
+        )
+        new_labels = msgs.groupBy("v").agg(F.min("component").alias("component")).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup grouping: MinHash+LSH pairs → connected
+    components → (doc_id, group_id, keep_id, is_duplicate). Docs with no
+    near-dup edge keep their own id as the group. The keep decision is
+    deterministic (min id per component)."""
+    pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("v", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("group_id"))
+    )
+    return out

@@ -240,3 +240,50 @@ def test_asof_join_carries_right_row_atomically(spark):
     row = asof_join(left, right, on=["k"], left_time="t", right_time="rt").collect()[0]
     assert row["price_asof"] == 20
     assert row["qty_asof"] is None, "qty must be the newest right row's NULL, not a stale 5"
+
+
+def test_connected_components_vs_union_find(spark):
+    from schema_enforcer_spark.functions.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 6), (7, 7), (3, 9), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+
+    # plain union-find oracle
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
+    # transitive chain 1-2-3-9 collapses to one component rooted at 1
+    assert got[9] == 1 and got[3] == 1
+
+
+def test_near_dup_groups_transitive(spark):
+    """A~B and B~C near-dups must land in ONE group even when A~C is below
+    threshold — the reason groups need connected components, not pairs."""
+    from schema_enforcer_spark.functions.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    a = base
+    b = base.replace("beta", "BETA2")             # ~0.85 vs a
+    c = base.replace("beta", "BETA2").replace("mu", "MU2")  # ~0.85 vs b, lower vs a
+    other = "completely different text about spark physical plans and shuffles here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["group_id"], r["is_duplicate"]) for r in near_dup_groups(df, threshold=0.6).collect()}
+    assert out[1] == (1, False)
+    assert out[2][0] == 1 and out[2][1]
+    assert out[3][0] == 1 and out[3][1]
+    assert out[9] == (9, False)
