@@ -561,6 +561,52 @@ def q33_near_dup_groups(spark, sf_dir):
     return near_dup_groups(docs, threshold=0.8, num_hashes=64, bands=32).orderBy("doc_id")
 
 
+def q34_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5-bucket split — stable
+    under repartitioning and row additions, unlike randomSplit) + per-split
+    per-lang counts."""
+    from schema_enforcer_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split", "lang")
+    )
+
+
+def q35_sequence_packing(spark, sf_dir):
+    """Sequence packing: documents accumulate into fixed-token-budget packs
+    per language shard (running-cumsum window) — pack-level doc/token
+    stats."""
+    from schema_enforcer_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tok", textops.bpe_ish_token_count(F.col("text")))
+    packed = pack_sequences(docs, token_col="n_tok", shard_by="lang", order_by="doc_id", budget=2000)
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+def q36_pii_counts(spark, sf_dir):
+    """PII-surface counting over documents (emails/phones/SSN-likes) — pure
+    regexp_count expressions, the counting half of a redaction pass."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    counts = textops.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn_like"].cast("long").alias("n_ssn_like"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -602,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_asof_join": q31_asof_join,
         "q32_ks_drift": q32_ks_drift,
         "q33_near_dup_groups": q33_near_dup_groups,
+        "q34_hash_split": q34_hash_split,
+        "q35_sequence_packing": q35_sequence_packing,
+        "q36_pii_counts": q36_pii_counts,
     }
 
 
@@ -930,6 +979,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY schema_id, path
     """
 
+    sqls["q34_hash_split"] = """
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) AS UBIGINT) % 10000 AS b
+          FROM documents
+        ), sp AS (
+          SELECT lang, doc_id,
+                 CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM s
+        )
+        SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        FROM sp GROUP BY split, lang ORDER BY split, lang
+    """
+    sqls["q35_sequence_packing"] = r"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 LEN(LIST_FILTER(STRING_SPLIT_REGEX(
+                     REGEXP_REPLACE(text, '([^\sA-Za-z0-9]|\d)', ' \1 ', 'g'),
+                     '\s+'), x -> LENGTH(x) > 0)) AS n_tok
+          FROM documents
+        ), p AS (
+          SELECT lang, doc_id, n_tok,
+                 CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tok) / 2000) AS BIGINT) AS pack_id
+          FROM d
+        )
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc
+        FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id
+    """
+    sqls["q36_pii_counts"] = r"""
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn_like
+        FROM documents
+    """
     sqls["q33_near_dup_groups"] = r"""
         WITH RECURSIVE sh AS (
           SELECT doc_id,

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "q31_asof_join",
     "q32_ks_drift",
     "q33_near_dup_groups",
+    "q34_hash_split",
+    "q35_sequence_packing",
+    "q36_pii_counts",
 ]
 
 

@@ -17,6 +17,7 @@ from schema_enforcer_spark.functions.dedup import (
     embedding_near_dups,
 )
 from schema_enforcer_spark.functions.joins import asof_join, range_join_bucketed
+from schema_enforcer_spark.functions.sampling import hash_split, pack_sequences, split_bucket
 from schema_enforcer_spark.functions.similarity import brute_force_topk, ivf_build, ivf_topk, lsh_topk
 
 __all__ = [
@@ -34,6 +35,9 @@ __all__ = [
     "embedding_near_dups",
     "asof_join",
     "range_join_bucketed",
+    "hash_split",
+    "pack_sequences",
+    "split_bucket",
     "brute_force_topk",
     "ivf_build",
     "ivf_topk",

@@ -121,3 +121,27 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+
+
+# public, simple PII-ish surface patterns (counting only — redaction is a
+# regexp_replace away); deliberately conservative/documented, not a claim of
+# complete PII detection
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII-surface match counts — pure regexp_count expressions."""
+    return {kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact(text: Column, kinds: list[str] | None = None, token: str = "[REDACTED]") -> Column:
+    """Replace PII-surface matches with a token — chained regexp_replace,
+    still one projection."""
+    out = text
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out

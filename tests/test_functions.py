@@ -287,3 +287,46 @@ def test_near_dup_groups_transitive(spark):
     assert out[2][0] == 1 and out[2][1]
     assert out[3][0] == 1 and out[3][1]
     assert out[9] == (9, False)
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from schema_enforcer_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert set(counts) == {"train", "val", "test"}
+    # stability: assignment is a pure function of the id — a subset of rows
+    # keeps identical assignments (randomSplit does not guarantee this)
+    sub = hash_split(df.filter("doc_id < 500"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.filter("doc_id < 500").collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full
+
+
+def test_pack_sequences_budget(spark):
+    from schema_enforcer_spark.functions.sampling import pack_sequences
+
+    rows = [(i, "s", 700) for i in range(10)]  # 700 tokens each, budget 2000
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = pack_sequences(df, "n_tok", "shard", "doc_id", budget=2000)
+    packs = {}
+    for r in out.collect():
+        packs.setdefault(r["pack_id"], []).append(r["doc_id"])
+    # running-cumsum packing: docs 0,1,2 start below 2000 (0,700,1400) → pack 0
+    assert packs[0] == [0, 1, 2]
+    assert all(len(v) <= 3 for v in packs.values())
+
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com or x@y.io, ssn 123-45-6789"), (2, "clean text")],
+        "id long, text string",
+    )
+    c = textops.pii_counts(F.col("text"))
+    out = {r["id"]: r for r in df.select("id", c["email"].alias("e"), c["ssn_like"].alias("s")).collect()}
+    assert out[1]["e"] == 2 and out[1]["s"] == 1
+    assert out[2]["e"] == 0 and out[2]["s"] == 0
+    red = df.select("id", textops.redact(F.col("text")).alias("t")).collect()
+    r1 = next(r["t"] for r in red if r["id"] == 1)
+    assert "example.com" not in r1 and "123-45-6789" not in r1 and "[REDACTED]" in r1
