@@ -558,7 +558,11 @@ def q33_near_dup_groups(spark, sf_dir):
     from schema_enforcer_spark.functions.dedup import near_dup_groups
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return near_dup_groups(docs, threshold=0.8, num_hashes=64, bands=32).orderBy("doc_id")
+    return (
+        near_dup_groups(docs, threshold=0.8, num_hashes=64, bands=32)
+        .select("doc_id", "group_id", "is_duplicate")
+        .orderBy("doc_id")
+    )
 
 
 def q34_hash_split(spark, sf_dir):

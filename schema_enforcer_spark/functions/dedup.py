@@ -435,12 +435,18 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .dropDuplicates()
+        # materialize ONCE: without this every iteration (and every
+        # convergence probe) re-executes the full upstream pair-generation
+        # pipeline — minhash signatures, the LSH self-join, Jaccard verify
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("v"))
         .dropDuplicates()
         .withColumn("component", F.col("v"))
+        .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         # neighbor labels + own label → per-vertex min
         msgs = (
@@ -459,6 +465,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — the graph has a component with a longer propagation "
+            "distance; raise max_iter (labels would otherwise be silently wrong)"
+        )
     return labels
 
 
@@ -471,8 +483,8 @@ def near_dup_groups(
 ) -> DataFrame:
     """End-to-end near-dup grouping: MinHash+LSH pairs → connected
     components → (doc_id, group_id, keep_id, is_duplicate). Docs with no
-    near-dup edge keep their own id as the group. The keep decision is
-    deterministic (min id per component)."""
+    near-dup edge keep their own id as the group. keep_id == group_id (the
+    min id per component — the deterministic keeper)."""
     pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold, **lsh_kwargs)
     comp = connected_components(pairs)
     out = (
@@ -482,6 +494,7 @@ def near_dup_groups(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("group_id"),
         )
+        .withColumn("keep_id", F.col("group_id"))
         .withColumn("is_duplicate", F.col(id_col) != F.col("group_id"))
     )
     return out

@@ -37,6 +37,11 @@ def hash_split(
     given fractions (must sum to ≤ 1; remainder rows get the LAST split).
     Assignment is a pure function of the id — adding or removing other rows
     never reassigns existing ones (unlike randomSplit)."""
+    if not fractions:
+        raise ValueError("hash_split needs at least one named split")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
     buckets = 10000
     b = split_bucket(F.col(id_col), seed, buckets)
     expr = None
@@ -44,7 +49,9 @@ def hash_split(
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        cond = b < int(acc * buckets)
+        # round, don't truncate: float accumulation error would shift
+        # boundary buckets (int(0.7999999999999999*10000) == 7999)
+        cond = b < int(round(acc * buckets))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = names[-1]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
@@ -61,8 +68,10 @@ def pack_sequences(
     """Assign each document a ``pack_id`` so consecutive documents (by
     order_by, within shard_by) accumulate roughly *budget* tokens per pack:
     pack_id = floor((running_tokens - tokens) / budget). One exchange on the
-    shard key; documents larger than the budget get a pack to themselves by
-    construction."""
+    shard key. A document larger than the budget may still share its pack
+    with the small documents that preceded it within the budget (pack sizes
+    can exceed budget by up to one document); the NEXT document always
+    starts a fresh pack."""
     w = Window.partitionBy(shard_by).orderBy(order_by).rowsBetween(Window.unboundedPreceding, 0)
     running = F.sum(token_col).over(w)
     return df.withColumn("pack_id", F.floor((running - F.col(token_col)) / budget).cast("long"))

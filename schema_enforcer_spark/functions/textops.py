@@ -140,8 +140,11 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 def redact(text: Column, kinds: list[str] | None = None, token: str = "[REDACTED]") -> Column:
     """Replace PII-surface matches with a token — chained regexp_replace,
-    still one projection."""
+    still one projection. kinds=None means all patterns; an explicit empty
+    list means redact nothing."""
+    if kinds is None:
+        kinds = list(PII_PATTERNS)
     out = text
-    for kind in kinds or list(PII_PATTERNS):
+    for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], token)
     return out

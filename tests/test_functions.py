@@ -330,3 +330,37 @@ def test_pii_counts_and_redact(spark):
     red = df.select("id", textops.redact(F.col("text")).alias("t")).collect()
     r1 = next(r["t"] for r in red if r["id"] == 1)
     assert "example.com" not in r1 and "123-45-6789" not in r1 and "[REDACTED]" in r1
+
+
+def test_hash_split_boundary_and_validation(spark):
+    from schema_enforcer_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    # ten accumulated 0.1 fractions: float error must not shift boundary
+    # buckets (int(0.7999999999.. * 10000) truncation bug)
+    ten = {f"s{i}": 0.1 for i in range(10)}
+    counts = {r["split"]: r["n"] for r in hash_split(df, "doc_id", ten).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(abs(v / 3000 - 0.1) < 0.03 for v in counts.values()), counts
+    import pytest
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, "doc_id", {})
+    with pytest.raises(ValueError, match="> 1"):
+        hash_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_redact_empty_kinds_is_noop(spark):
+    df = spark.createDataFrame([(1, "a@b.com")], "id long, text string")
+    out = df.select(textops.redact(F.col("text"), kinds=[]).alias("t")).collect()[0]["t"]
+    assert out == "a@b.com"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from schema_enforcer_spark.functions.dedup import connected_components
+    import pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # and with enough rounds the same chain collapses to one component
+    got = {r["v"]: r["component"] for r in connected_components(chain, max_iter=20).collect()}
+    assert set(got.values()) == {0}
