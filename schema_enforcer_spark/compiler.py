@@ -77,11 +77,9 @@ def py_repr(col: Column, dtype: T.DataType) -> Column:
 
 
 def _num_lit_repr(v: float | int) -> str:
-    """Render a numeric manifest literal the way Python would."""
-    if isinstance(v, bool):
-        return repr(v)
-    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
-        return repr(v)
+    """Render a numeric manifest literal the way Python would (jsonschema
+    interpolates repr() into its messages — '350.0' for the float, '350'
+    for the int)."""
     return repr(v)
 
 
@@ -226,9 +224,11 @@ def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
         if col_name and not has_column_path(df, col_name):
             if rule.kind in ("required", "not_empty"):
                 # Missing column ≡ missing required property for every row.
+                # The rule keeps its OWN kind in the fallback id so a rule's
+                # schema_id never changes with column presence.
                 compiled.append(
                     CompiledRule(
-                        rule_id=rule.get("id") or f"{manifest.id}/required/{col_name}",
+                        rule_id=rule.get("id") or f"{manifest.id}/{rule.kind}/{col_name}",
                         column=col_name,
                         predicate=F.lit(False),
                         message=F.lit(f"'{col_name.split('.')[-1]}' is a required property"),

@@ -408,7 +408,14 @@ class ValidationEngine:
         # match nothing — deliberately NOT SQL NOT-IN's "one NULL poisons the
         # whole check" behavior.
         non_null = reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
-        orphan_keys = df.filter(non_null).select(*cols, self._instance_col(df).alias("instance_name")).dropDuplicates(cols)
+        # min() instance, not dropDuplicates: a key spanning partitions must
+        # attribute its violation deterministically (same reasoning as the
+        # unique rule's min())
+        orphan_keys = (
+            df.filter(non_null)
+            .groupBy(*cols)
+            .agg(F.min(self._instance_col(df)).alias("instance_name"))
+        )
         orphans = orphan_keys.join(F.broadcast(ref_keys) if rule.get("broadcast", True) else ref_keys, on=cols, how="left_anti")
         key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
         msg = rule.get("message")
@@ -637,12 +644,17 @@ class ValidationEngine:
         right = F.col("_right") if isinstance(right_spec, dict) else F.lit(right_spec)
         failing = grouped.filter(~F.coalesce(_comparison(rule.params["operator"], F.col("_left"), right), F.lit(False)))
         msg = rule.get("message")
+        # coalesce the interpolated sides: a NULL aggregate (e.g. sum over an
+        # empty filter) must not null-propagate through concat and erase the
+        # whole diagnostic
+        left_str = F.coalesce(F.col("_left").cast("string"), F.lit("NULL"))
+        right_str = F.coalesce(right.cast("string"), F.lit("NULL"))
         message = (
             F.lit(msg)
             if msg
             else F.concat(
-                F.lit(f"aggregate check failed: left="), F.col("_left").cast("string"),
-                F.lit(f" {rule.params['operator']} right="), right.cast("string"), F.lit(" is false"),
+                F.lit(f"aggregate check failed: left="), left_str,
+                F.lit(f" {rule.params['operator']} right="), right_str, F.lit(" is false"),
             )
         )
         return failing.select(
@@ -652,7 +664,7 @@ class ValidationEngine:
             F.lit(self.manifest.table).alias("instance_location"),
             F.lit("PARTITION").alias("instance_type"),
             F.array(*[F.col(g).cast("string") for g in group]).alias("absolute_path"),
-            F.col("_left").cast("string").alias("failing_value"),
+            left_str.alias("failing_value"),
             message.alias("message"),
         )
 
@@ -688,7 +700,12 @@ class ValidationEngine:
         elif rule is not None and rule.get("columns"):
             declared = set(rule.params["columns"])
         if not declared:
-            return None
+            # strict mode with nothing declared would silently check nothing —
+            # the same misconfiguration the struct branch rejects above
+            raise ValueError(
+                "strict mode needs a declared column set (manifest 'columns' or the "
+                "rule's 'columns') — an empty declaration would silently check nothing"
+            )
         extras = sorted(actual - declared)
         if not extras:
             return None

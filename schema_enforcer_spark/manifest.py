@@ -150,7 +150,7 @@ _PER_KIND_REQUIRED = {
     "aggregate": ["left", "operator", "right"],
     "strict_columns": [],
     "conditional": ["when", "then"],
-    "drift": ["column", "metric", "threshold"],
+    "drift": ["column", "metric", "threshold", "baseline"],
 }
 
 

@@ -48,7 +48,13 @@ def _golden_rows(violations: DataFrame) -> list[dict]:
         {c: (list(r[c]) if c == "absolute_path" else r[c]) for c in _GOLDEN_COLS}
         for r in violations.select(*_GOLDEN_COLS).collect()
     ]
-    return sorted(rows, key=lambda d: (d["message"] or "", d["schema_id"], d["failing_value"] or ""))
+    # absolute_path is part of the key: two array elements failing with the
+    # same value differ only by index, and a key tie would make golden order
+    # depend on collect order (partition layout)
+    return sorted(
+        rows,
+        key=lambda d: (d["message"] or "", d["schema_id"], d["failing_value"] or "", d["absolute_path"] or []),
+    )
 
 
 def test_manifest(

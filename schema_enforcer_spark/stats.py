@@ -104,6 +104,11 @@ def numeric_profile(df: DataFrame, columns: list[str], percentiles: list[float] 
     approx_percentile (t-digest-backed, mergeable across partitions).
     Complements column_stats for distribution-aware quality gates."""
     pcts = percentiles or [0.01, 0.25, 0.5, 0.75, 0.99]
+    # round, don't truncate (int(0.29*100) == 28), and reject label
+    # collisions (0.99 and 0.995 would both render p99)
+    labels = [f"p{round(p * 100):02d}" for p in pcts]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentiles {pcts} collide at integer-percent labels {labels}")
     aggs = []
     for c in columns:
         aggs.append(
@@ -118,7 +123,7 @@ def numeric_profile(df: DataFrame, columns: list[str], percentiles: list[float] 
                 F.lit(c).alias("column"),
                 F.col(f"{c}__mean").alias("mean"),
                 F.col(f"{c}__std").alias("std"),
-                *[F.col(f"{c}__p")[i].alias(f"p{int(p*100):02d}") for i, p in enumerate(pcts)],
+                *[F.col(f"{c}__p")[i].alias(labels[i]) for i in range(len(pcts))],
             )
             for c in columns
         ]

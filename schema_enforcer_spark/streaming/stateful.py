@@ -1,10 +1,11 @@
 """Custom stateful streaming validator via applyInPandasWithState.
 
-Tracks per-conversation state (max turn_idx, turn count) across micro-batches
-and emits violations the stateless path can't see: duplicate/regressed turn
-indices arriving in LATER batches than the original turn. State is two longs
-per conversation — bounded, mergeable, watermark-eviction-friendly — the
-pattern scales to 10^9 live conversations at ~16 bytes each.
+Tracks per-conversation state (max turn_idx, turn count, reported overcount)
+across micro-batches and emits violations the stateless path can't see:
+duplicate/regressed turn indices arriving in LATER batches than the original
+turn. State is three longs per conversation, evicted after 30 min of
+processing-time idleness — the store is bounded by recently-ACTIVE
+conversations (~24 bytes each), not all conversations ever seen.
 
 This is the streaming analogue of the fused window pass's uniqueness +
 contiguity rules; ordering (ts monotonicity) stays in the stateless windowed
@@ -22,12 +23,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _OUT_DDL = (
     "conv_id string, turn_idx int, kind string, message string"
 )
-_STATE_DDL = "max_idx long, n_seen long"
+_STATE_DDL = "max_idx long, n_seen long, over_reported long"
 
 
 def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
-    max_idx, n_seen = state.get if state.exists else (-1, 0)
+    if state.hasTimedOut:
+        # idle conversation: evict the state entry (the watermark analogue —
+        # without this the store grows monotonically with ever-new conv_ids)
+        state.remove()
+        return
+    max_idx, n_seen, over_reported = state.get if state.exists else (-1, 0, 0)
     seen_now: set[int] = set()
     out_rows = []
     for pdf in batches:
@@ -42,22 +48,33 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
             n_seen += 1
             if idx > max_idx:
                 max_idx = idx
-    # n_seen > max_idx+1 ⇒ some index occurred twice; n_seen < max_idx+1 ⇒ gaps so far
-    if n_seen > max_idx + 1:
+    # n_seen > max_idx+1 ⇒ some index occurred twice. Alert only when the
+    # overcount GROWS — re-emitting the historical total on every clean
+    # later batch would turn one duplicate into an unbounded alert stream.
+    overcount = max(n_seen - (max_idx + 1), 0)
+    if overcount > over_reported:
         out_rows.append(
             (conv_id, max_idx, "overcount",
              f"{n_seen} turns seen but max turn_idx is {max_idx} — duplicates exist")
         )
-    state.update((max_idx, n_seen))
+        over_reported = overcount
+    state.update((max_idx, n_seen, over_reported))
+    state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
     if out_rows:
         yield pd.DataFrame(out_rows, columns=["conv_id", "turn_idx", "kind", "message"])
+
+
+# evict per-conversation state after this much processing-time idleness —
+# bounds the store at |recently-active conversations|, not |all ever seen|
+_IDLE_TIMEOUT_MS = 30 * 60 * 1000
 
 
 def stream_stateful_contiguity(stream_df: DataFrame) -> DataFrame:
     """Per-conversation stateful duplicate/regression detection across
     micro-batches. Shuffles on conv_id (the same key as the batch engine's
-    window pass) — hot conversations land on one state partition, which is
-    exactly the bounded-state design the 16-byte state keeps cheap."""
+    window pass). State is three longs per conversation and is EVICTED
+    after 30 min of processing-time idleness, so the store tracks active
+    conversations, not all conversations ever seen."""
     return (
         stream_df.select("conv_id", "turn_idx")
         .groupBy("conv_id")
@@ -66,6 +83,6 @@ def stream_stateful_contiguity(stream_df: DataFrame) -> DataFrame:
             outputStructType=_OUT_DDL,
             stateStructType=_STATE_DDL,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
