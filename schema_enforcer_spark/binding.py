@@ -62,6 +62,14 @@ class ManifestRegistry:
                         declared.add(r.get("column"))
                     for key in ("columns", "group_by", "partition_by", "order_by"):
                         declared.update(r.get(key) or [])
+                    # conditional rules reference columns inside when/then;
+                    # aggregate sides inside left/right specs
+                    for key in ("when", "then", "left", "right"):
+                        spec = r.get(key)
+                        if isinstance(spec, dict) and spec.get("column"):
+                            declared.add(spec["column"])
+                    if r.kind == "aggregate" and not r.get("group_by"):
+                        declared.add("conv_id")  # the engine's default group key
             if declared & cols:
                 out.append(m)
         return sorted(out, key=lambda m: m.id)
@@ -118,10 +126,12 @@ class ManifestRegistry:
             raise ManifestNotDefined(f"no manifest binds to columns {df.columns}")
         viols, verds = [], []
         for m in manifests:
-            eng = ValidationEngine(m, **engine_kw)
-            v = eng.violations(df, ref_tables)
-            viols.append(v)
-            verds.append(eng.verdicts(df, v))
+            # validate() (not raw violations+verdicts) so each manifest's
+            # violation set is persisted once instead of recomputing every
+            # rule for the verdict aggregation and again per consumer
+            rep = ValidationEngine(m, **engine_kw).validate(df, ref_tables)
+            viols.append(rep.violations)
+            verds.append(rep.verdicts)
         return ValidationReport(
             violations=reduce(lambda a, b: a.unionByName(b), viols),
             verdicts=reduce(lambda a, b: a.unionByName(b), verds),

@@ -19,7 +19,6 @@ Iceberg (`snapshot_id` lineage) when a runtime jar is present (§7.0).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,9 +37,13 @@ class CheckpointManager:
         self.path = path
 
     def lineage(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        # probe through Spark, not the driver's local filesystem — a
+        # driver-side os.path.exists() on an hdfs://, s3a://, ... checkpoint
+        # URI is always False and would silently disable resume
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:  # noqa: BLE001 - path-not-found (any filesystem)
             return self.spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
-        return self.spark.read.parquet(self.path)
 
     def completed_partitions(self, rule_set_hash: str) -> DataFrame:
         """Partitions whose validation is DONE: a recorded PASS verdict under
@@ -50,14 +53,18 @@ class CheckpointManager:
         violation' contract). A FAILed partition re-validates on resume: same
         data → same FAIL → nonzero exit; fixed data → PASS and the lineage
         gains the newer PASS row."""
-        return (
+        # the NEWEST verdict decides: a partition with an old PASS and a
+        # newer FAIL (re-validated after a data change) is NOT complete
+        latest = (
             self.lineage()
-            .filter((F.col("rule_set_hash") == rule_set_hash) & (F.col("verdict") == "PASS"))
+            .filter(F.col("rule_set_hash") == rule_set_hash)
             .groupBy("partition_id")
-            # newest PASS wins: with verify_counts a changed-then-re-passed
-            # partition must compare against its LATEST row count, not an
-            # arbitrary surviving row
-            .agg(F.max_by("n_rows", "validated_at").alias("n_rows"))
+            .agg(
+                F.max_by(F.struct("verdict", "n_rows"), "validated_at").alias("_latest")
+            )
+        )
+        return latest.filter(F.col("_latest.verdict") == "PASS").select(
+            "partition_id", F.col("_latest.n_rows").alias("n_rows")
         )
 
     def table_grain_failed(self, rule_set_hash: str) -> bool:

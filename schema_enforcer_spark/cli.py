@@ -137,8 +137,11 @@ def main(argv: list[str] | None = None) -> int:
         report = eng.validate(df, ref_tables)
 
     if args.output:
-        report.violations.write.mode("overwrite").parquet(f"{args.output.rstrip('/')}/violations")
-        report.verdicts.write.mode("overwrite").parquet(f"{args.output.rstrip('/')}/verdicts")
+        # a resumed checkpoint run's report covers only the PENDING subset —
+        # overwriting would delete previously written partitions' results
+        out_mode = "append" if args.checkpoint else "overwrite"
+        report.violations.write.mode(out_mode).parquet(f"{args.output.rstrip('/')}/violations")
+        report.verdicts.write.mode(out_mode).parquet(f"{args.output.rstrip('/')}/verdicts")
 
     # FAIL-line format mirrors ValidationResult.print
     # (/root/reference/schema_enforcer/validation.py:53-91)

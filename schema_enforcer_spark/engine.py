@@ -784,6 +784,13 @@ class ValidationEngine:
             .unionByName(violations.select("instance_name").dropDuplicates())
             .dropDuplicates()
         )
+        # a manifest WITH table-grain rules gets a 'table' verdict row even
+        # when clean — otherwise a recorded table FAIL could never be
+        # superseded by a PASS in checkpoint lineage
+        if self.manifest.strict or any(r.kind in ("strict_columns", "drift") for r in self.manifest.table_rules):
+            universe = universe.unionByName(
+                df.sparkSession.createDataFrame([("table",)], "instance_name string")
+            ).dropDuplicates()
         fails = violations.groupBy("instance_name").agg(F.count(F.lit(1)).alias("n_violations"))
         return (
             universe.join(fails, "instance_name", "left")

@@ -53,6 +53,10 @@ def lsh_topk(
     """ANN top-k: score only rows whose hyperplane bucket is the query's
     (or differs in one bit when multiprobe). The bucket predicate is a plain
     string comparison ⇒ pushes into the scan after bucketing is materialized."""
+    if len(query_vec) != dim:
+        # Python zip truncates while Spark zip_with null-pads: a mismatch
+        # would silently bucket every row to all-zeros and return 0 rows
+        raise ValueError(f"query_vec has {len(query_vec)} dims but dim={dim}")
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = "".join("1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in planes)
     probes = {qbits}
@@ -92,11 +96,16 @@ def ivf_build(
     # seed centroids: hash-deterministic sample, first n_cells by id hash
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_003)))
         .orderBy("_h")
         .limit(n_cells)
         .collect()
     )
+    if len(seeds) < n_cells:
+        raise ValueError(
+            f"ivf_build needs at least n_cells={n_cells} non-null {dim}-dim vectors, found {len(seeds)}"
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
 
     def _nearest(vec: Column, cents: list[list[float]]) -> Column:
@@ -121,7 +130,12 @@ def ivf_build(
     )
     refined = list(centroids)
     for r in refined_rows:
-        refined[r["_cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        # a cell whose sampled vectors have NULL entries for some dimension
+        # keeps its seed centroid for those dims instead of crashing
+        refined[r["_cell"]] = [
+            float(r[f"c{i}"]) if r[f"c{i}"] is not None else centroids[r["_cell"]][i]
+            for i in range(dim)
+        ]
 
     assigned = df.withColumn("_cell", _nearest(F.col(vec_col), refined))
     return assigned, refined

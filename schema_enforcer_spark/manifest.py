@@ -105,6 +105,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "multiple_of": {"type": "number"},
                     "ref_table": {"type": "string"},
                     "ref_columns": {"type": "array", "items": {"type": "string"}},
+                    "broadcast": {"type": "boolean"},
                     "partition_by": {"type": "array", "items": {"type": "string"}},
                     "order_by": {"type": "array", "items": {"type": "string"}},
                     "strictly": {"type": "boolean"},

@@ -58,7 +58,10 @@ class TableIO:
             writer = writer.partitionBy("partition_id")
         writer.parquet(self._path(name))
 
-    def append(self, df: DataFrame, name: str, bucket_col: str | None = None) -> None:
+    def append(self, df: DataFrame, name: str, bucket_col: str | None = "conv_id") -> None:
+        # same bucket_col default as write(): appending unpartitioned files
+        # next to partition_id=* directories would corrupt partition
+        # discovery ("Conflicting directory structures")
         self.write(df, name, bucket_col=bucket_col, mode="append")
 
     # -- bucketed tables (co-located joins) ---------------------------------

@@ -133,3 +133,19 @@ def test_validate_all_union(spark, transcripts, conversations, base_manifest):
     # per (manifest x partition) verdicts: FAIL only where the enum defect sits
     base_fails = [v for v in verdicts if v["schema_id"] == "schemas/transcripts_base" and v["result"] == "FAIL"]
     assert len(base_fails) == 1
+
+
+def test_automap_sees_conditional_and_aggregate_columns(spark):
+    from schema_enforcer_spark.binding import ManifestRegistry
+    from schema_enforcer_spark.manifest import Manifest, Rule
+
+    m = Manifest(
+        id="schemas/cond_agg",
+        rules=(
+            Rule(kind="conditional", params={"when": {"column": "role", "equals": "tool"}, "then": {"column": "tool", "required": True}}),
+            Rule(kind="aggregate", params={"left": {"fn": "count", "column": "text"}, "operator": "lte", "right": 5}),
+        ),
+    )
+    reg = ManifestRegistry([m])
+    assert [x.id for x in reg.automap(["role", "tool", "conv_id"])] == ["schemas/cond_agg"]
+    assert reg.automap(["unrelated"]) == []

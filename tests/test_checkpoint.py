@@ -122,3 +122,50 @@ def test_table_grain_fail_forces_revalidation(spark, transcripts):
         # resume on the same bad data: the table FAIL forces full re-validation
         rep2, n2 = cm.run(bad, eng)
         assert rep2 is not None and n2 > 0 and not rep2.passes()
+
+
+def test_table_grain_fail_clears_after_fix(spark, transcripts):
+    """A table-grain FAIL must be supersedable: once the data is fixed and a
+    clean run records the 'table' PASS verdict, resume goes back to
+    nothing-pending instead of re-validating forever."""
+    from schema_enforcer_spark.manifest import load_manifest
+    import os
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    m = load_manifest(os.path.join(REPO, "manifests", "transcripts_strict.yml"))
+    eng = ValidationEngine(m)
+    bad = transcripts.withColumn("rogue_col", transcripts["turn_idx"])
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        rep1, _ = cm.run(bad, eng)
+        assert rep1 is not None and not rep1.passes()
+        # data fixed: clean run passes AND records the 'table' PASS
+        rep2, n2 = cm.run(transcripts, eng)
+        assert rep2 is not None and rep2.passes()
+        assert not cm.table_grain_failed(eng.manifest.rule_set_hash())
+        rep3, n3 = cm.run(transcripts, eng)
+        assert rep3 is None and n3 == 0, "fixed table-grain FAIL must clear"
+
+
+def test_latest_verdict_wins_for_completion(spark, transcripts):
+    """A partition whose NEWEST lineage verdict is FAIL is pending even if
+    an older PASS row exists."""
+    import time as _time
+
+    from schema_enforcer_spark.synth import inject
+
+    eng = ValidationEngine(_m(["system", "user", "assistant", "tool"]))
+    with tempfile.TemporaryDirectory() as tmp:
+        cm = CheckpointManager(spark, f"{tmp}/lineage")
+        rep, _ = cm.run(transcripts, eng)  # all PASS recorded
+        assert rep is not None and rep.passes()
+        _time.sleep(1.1)  # distinct validated_at
+        bad = inject(transcripts, "invalid_enum")
+        # force a re-validation of everything with now-bad data
+        rep2 = eng.validate(bad)
+        cm.record(bad, eng, rep2)
+        failed = {r["partition_id"] for r in cm.lineage().filter("verdict='FAIL'").collect()}
+        pend_insts = {
+            r[0] for r in cm.pending(bad, eng).select(eng._instance_col(bad)).distinct().collect()
+        }
+        assert failed and failed <= pend_insts, "newest-FAIL partitions must be pending"

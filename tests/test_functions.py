@@ -364,3 +364,12 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds the same chain collapses to one component
     got = {r["v"]: r["component"] for r in connected_components(chain, max_iter=20).collect()}
     assert set(got.values()) == {0}
+
+
+def test_lsh_topk_dim_mismatch_raises(spark):
+    from schema_enforcer_spark.functions.similarity import lsh_topk
+
+    df = spark.createDataFrame([(1, [0.0] * 128)], "vec_id long, embedding array<float>")
+    import pytest
+    with pytest.raises(ValueError, match="dims"):
+        lsh_topk(df, [1.0] * 128, k=5, dim=64)
