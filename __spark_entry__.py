@@ -611,6 +611,28 @@ def q36_pii_counts(spark, sf_dir):
     )
 
 
+def q37_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition quality signal: fraction of duplicated word
+    4-grams per document (high ⇒ boilerplate / looping generation)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", textops.repetition_ratio(F.col("text"), n=4).alias("rep_ratio"))
+
+
+def q38_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram shingles each document
+    shares with a small 'benchmark' set (docs 0-4) — the n-gram-overlap leak
+    check run before a training corpus ships. Benchmark shingles broadcast;
+    the corpus side explodes once."""
+    from schema_enforcer_spark.functions.dedup import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    out = contamination_scores(docs, bench)
+    return out.select(
+        "doc_id", "n_shared_shingles", F.col("n_shingles").cast("long").alias("n_shingles")
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -655,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_hash_split": q34_hash_split,
         "q35_sequence_packing": q35_sequence_packing,
         "q36_pii_counts": q36_pii_counts,
+        "q37_repetition_ratio": q37_repetition_ratio,
+        "q38_contamination": q38_contamination,
     }
 
 
@@ -983,6 +1007,46 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY schema_id, path
     """
 
+    sqls["q37_repetition_ratio"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN toks IS NOT NULL AND LEN(toks) >= 4
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                   END AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN grams IS NULL OR LEN(grams) <= 0 THEN 0.0
+                    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(grams)) / LEN(grams), 6) END AS rep_ratio
+        FROM g
+    """
+    sqls["q38_contamination"] = r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(t.toks) - 1),
+                        i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2])
+                   ELSE [ARRAY_TO_STRING(t.toks, ' ')] END) AS sh
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+                FROM documents) t
+        ), bench AS (
+          SELECT DISTINCT UNNEST(sh) AS s FROM sh WHERE doc_id < 5
+        ), docsh AS (
+          SELECT doc_id, UNNEST(sh) AS s FROM sh
+        ), shared AS (
+          SELECT doc_id, COUNT(*) AS n_shared FROM docsh JOIN bench USING (s) GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(sh2.n_shared, 0) AS n_shared_shingles,
+               CAST(LEN(d.sh) AS BIGINT) AS n_shingles
+        FROM sh d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
+        ORDER BY d.doc_id
+    """
     sqls["q34_hash_split"] = """
         WITH s AS (
           SELECT doc_id, lang,

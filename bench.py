@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q34_hash_split",
     "q35_sequence_packing",
     "q36_pii_counts",
+    "q37_repetition_ratio",
+    "q38_contamination",
 ]
 
 

@@ -3,6 +3,7 @@ text analysis, deduplication, similarity search, time-series joins,
 multimodal plumbing."""
 
 from schema_enforcer_spark.functions.dedup import (
+    contamination_scores,
     connected_components,
     exact_dedup,
     exact_dup_groups,
@@ -21,6 +22,7 @@ from schema_enforcer_spark.functions.sampling import hash_split, pack_sequences,
 from schema_enforcer_spark.functions.similarity import brute_force_topk, ivf_build, ivf_topk, lsh_topk
 
 __all__ = [
+    "contamination_scores",
     "connected_components",
     "near_dup_groups",
     "exact_dedup",

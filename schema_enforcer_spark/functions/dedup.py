@@ -498,3 +498,51 @@ def near_dup_groups(
         .withColumn("is_duplicate", F.col(id_col) != F.col("group_id"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document count of DISTINCT shingles shared with a benchmark set —
+    the n-gram-overlap decontamination check training pipelines run before
+    a corpus ships (a doc overlapping an eval benchmark leaks test data).
+
+    Shape: the benchmark's distinct shingle set is dim-sized (benchmarks are
+    thousands of documents, corpora are billions), so the join broadcasts;
+    the corpus side explodes shingles once and aggregates back per doc —
+    one broadcast join + one shuffle on doc id. Returns
+    (id, n_shared_shingles, n_shingles) — callers threshold or ratio it.
+    """
+    bench_shingles = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"))
+        .dropDuplicates()
+    )
+    # word_shingles is already distinct per doc, so a post-join count is the
+    # distinct-shared-shingle count
+    doc_shingles = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    shared = (
+        doc_shingles.join(F.broadcast(bench_shingles), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        df.select(F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_shingles"))
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            "n_shingles",
+        )
+    )

@@ -148,3 +148,20 @@ def redact(text: Column, kinds: list[str] | None = None, token: str = "[REDACTED
     for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], token)
     return out
+
+
+def repetition_ratio(text: Column, n: int = 4) -> Column:
+    """Fraction of duplicated word n-grams within the document — the
+    standard intra-document repetition quality signal (high ⇒ boilerplate /
+    looping generation). 1 - distinct_ngrams/total_ngrams, 0.0 for docs
+    shorter than n tokens; pure expressions."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.transform(F.sequence(F.lit(0), cnt - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    total = F.size(grams)
+    return F.when(
+        grams.isNull() | (total <= 0), F.lit(0.0)
+    ).otherwise(F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6))

@@ -373,3 +373,38 @@ def test_lsh_topk_dim_mismatch_raises(spark):
     import pytest
     with pytest.raises(ValueError, match="dims"):
         lsh_topk(df, [1.0] * 128, k=5, dim=64)
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),   # one distinct 4-gram, 5 total
+            (2, "each word here appears exactly once in text"),
+            (3, "too short"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["r"] for r in df.select("id", textops.repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert out[1] == 0.8     # 1 distinct of 5 grams
+    assert out[2] == 0.0
+    assert out[3] == 0.0     # shorter than n tokens
+
+
+def test_contamination_scores(spark):
+    from schema_enforcer_spark.functions.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full overlap
+            (2, "quick brown fox spotted in the park yesterday"),  # partial ('quick brown fox')
+            (3, "completely unrelated text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_scores(docs, bench).collect()}
+    assert out[1]["n_shared_shingles"] == out[1]["n_shingles"] > 0
+    assert 0 < out[2]["n_shared_shingles"] < out[2]["n_shingles"]
+    assert out[3]["n_shared_shingles"] == 0
