@@ -625,7 +625,7 @@ def q38_contamination(spark, sf_dir):
     the corpus side explodes once."""
     from schema_enforcer_spark.functions.dedup import contamination_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") < 5)
     out = contamination_scores(docs, bench)
     return out.select(
