@@ -525,24 +525,21 @@ def contamination_scores(
     bench_shingles = (
         benchmark.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"))
         .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
     )
-    # word_shingles is already distinct per doc, so a post-join count is the
-    # distinct-shared-shingle count
-    doc_shingles = df.select(
+    # ONE corpus pass: explode once (word_shingles is already distinct per
+    # doc, and never empty — the <n-token branch yields one element — so
+    # every doc survives the groupBy), broadcast LEFT join marks hits, one
+    # aggregation produces both counts. No second scan, no join-back.
+    exploded = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    shared = (
-        doc_shingles.join(F.broadcast(bench_shingles), "_sh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-    )
     return (
-        df.select(F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_shingles"))
-        .join(shared, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
-            "n_shingles",
+        exploded.join(F.broadcast(bench_shingles), "_sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_hit").alias("n_shared_shingles"),
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
         )
     )
