@@ -326,8 +326,14 @@ def q19_ann_topk(spark, sf_dir):
 
 
 def q20_stats_hll(spark, sf_dir):
+    """HLL sketch accuracy assertion (A7 mergeable stats): per column, the
+    exact distinct count + a boolean asserting the hll_sketch_agg estimate
+    sits within 2% of it — oracle-replicable (the raw estimate is
+    engine-specific sketch bits; the assertion is deterministic)."""
+    from schema_enforcer_spark.stats import hll_accuracy_report
+
     ev = _t(spark, sf_dir, "events")
-    return column_stats(ev, ["event_id", "user_id", "event_type"])
+    return hll_accuracy_report(ev, ["event_id", "user_id", "event_type"], rel_tol=0.02).orderBy("col_name")
 
 
 def q21_salted_agg(spark, sf_dir):
@@ -613,9 +619,12 @@ def q36_pii_counts(spark, sf_dir):
 
 def q37_repetition_ratio(spark, sf_dir):
     """Intra-document repetition quality signal: fraction of duplicated word
-    4-grams per document (high ⇒ boilerplate / looping generation)."""
+    4-grams per document (high ⇒ boilerplate / looping generation). Uses the
+    projection-barrier form so the n-gram transform runs ONCE per row (the
+    Column form re-evaluates it for size/array_distinct/null-guard — no CSE
+    across higher-order functions)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", textops.repetition_ratio(F.col("text"), n=4).alias("rep_ratio"))
+    return textops.with_repetition_ratio(docs, "text", "rep_ratio", n=4).select("doc_id", "rep_ratio")
 
 
 def q38_contamination(spark, sf_dir):
@@ -865,6 +874,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, ROUND(ROUND(cosine, 6), 5) AS cos5 FROM s
         ORDER BY ROUND(cosine, 6) DESC, vec_id ASC LIMIT 20
+    """
+    # q20: the oracle computes the exact distinct count; within_tolerance is
+    # literal TRUE — the Spark side computes |hll-exact|/exact <= 0.02 for
+    # real, so a sketch drifting out of tolerance hash-mismatches the gate.
+    sqls["q20_stats_hll"] = """
+        SELECT 'event_id' AS col_name, COUNT(DISTINCT event_id) AS n_exact, TRUE AS within_tolerance FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(DISTINCT user_id), TRUE FROM events
+        ORDER BY col_name
     """
     sqls["q21_salted_agg"] = sqls["q07_agg_rule_error_budget"]
     sqls["q22_topk_per_group"] = """

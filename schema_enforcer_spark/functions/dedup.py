@@ -66,7 +66,16 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-token shingles (distinct) as the MinHash universe."""
+    """n-token shingles (distinct) as the MinHash universe.
+
+    Call-site note (deliberate double derivation): minhash_near_dups and
+    contamination_scores evaluate this twice per doc — once feeding the
+    signature/explode and once for the verify/aggregate side. Unlike the
+    repetition-ratio trap (three evaluations inside ONE projection), these
+    are separate dataflow branches that each need the set itself, and the
+    candidate side is filtered long before the verify join, so materializing
+    shingles up front would shuffle the full shingle arrays instead of
+    K-long signatures — strictly worse at scale."""
     toks = tokens(F.lower(text))
     cnt = F.size(toks)
     return F.array_distinct(

@@ -150,18 +150,43 @@ def redact(text: Column, kinds: list[str] | None = None, token: str = "[REDACTED
     return out
 
 
-def repetition_ratio(text: Column, n: int = 4) -> Column:
-    """Fraction of duplicated word n-grams within the document — the
-    standard intra-document repetition quality signal (high ⇒ boilerplate /
-    looping generation). 1 - distinct_ngrams/total_ngrams, 0.0 for docs
-    shorter than n tokens; pure expressions."""
+def word_ngrams(text: Column, n: int = 4) -> Column:
+    """Word n-grams (with duplicates — repetition analysis needs the
+    multiset); NULL for docs shorter than n tokens."""
     toks = tokens(F.lower(text))
     cnt = F.size(toks)
-    grams = F.when(
+    return F.when(
         cnt >= n,
         F.transform(F.sequence(F.lit(0), cnt - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     )
+
+
+def _ratio_of_grams(grams: Column) -> Column:
     total = F.size(grams)
     return F.when(
         grams.isNull() | (total <= 0), F.lit(0.0)
     ).otherwise(F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6))
+
+
+def repetition_ratio(text: Column, n: int = 4) -> Column:
+    """Fraction of duplicated word n-grams within the document — the
+    standard intra-document repetition quality signal (high ⇒ boilerplate /
+    looping generation). 1 - distinct_ngrams/total_ngrams, 0.0 for docs
+    shorter than n tokens; pure expressions.
+
+    PERF: this single-Column form re-evaluates the n-gram HOF 2-3× per row
+    (Spark does no CSE across higher-order functions, and the grams array
+    feeds size + array_distinct + the null guard). Prefer
+    ``with_repetition_ratio`` in any hot path — it materializes the grams
+    array once behind a projection barrier."""
+    return _ratio_of_grams(word_ngrams(text, n))
+
+
+def with_repetition_ratio(df, text_col: str = "text", out_col: str = "rep_ratio", n: int = 4):
+    """DataFrame-level repetition ratio that evaluates the n-gram transform
+    ONCE per row: the grams array is materialized in an inner projection,
+    and because the ratio references it 3× (size, array_distinct, null
+    guard) CollapseProject keeps the two projections separate — a real
+    projection barrier, ~3× less expression work than the Column form."""
+    staged = df.withColumn("_grams", word_ngrams(F.col(text_col), n))
+    return staged.withColumn(out_col, _ratio_of_grams(F.col("_grams"))).drop("_grams")

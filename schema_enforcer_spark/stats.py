@@ -99,6 +99,39 @@ def merge_hll_estimate(sketches: DataFrame, columns: list[str]) -> DataFrame:
     return merged.select(*[F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}__distinct") for c in columns])
 
 
+def hll_accuracy_report(df: DataFrame, columns: list[str], rel_tol: float = 0.02) -> DataFrame:
+    """Per column: exact distinct count + a boolean asserting the HLL sketch
+    estimate lands within ``rel_tol`` of it — ONE aggregation pass computing
+    both. This is the oracle-replicable form of the sketch check: the raw
+    estimate is engine-specific (Spark's sketch bits ≠ any other engine's),
+    but (n_exact, within_tolerance) is deterministic, so a SQL oracle can
+    reproduce rows/schema/hash while the sketch still runs for real.
+    Default rel_tol matches Spark's lgConfigK=12 standard error (~1.6%).
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"{c}__exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c).cast("string"))).alias(f"{c}__hll"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__exact").cast("bigint").alias("n_exact"),
+                (
+                    F.abs(F.col(f"{c}__hll") - F.col(f"{c}__exact"))
+                    / F.col(f"{c}__exact")
+                    <= F.lit(rel_tol)
+                ).alias("within_tolerance"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
 def numeric_profile(df: DataFrame, columns: list[str], percentiles: list[float] | None = None) -> DataFrame:
     """Approximate percentile profile per numeric column — one pass via
     approx_percentile (t-digest-backed, mergeable across partitions).
