@@ -642,6 +642,28 @@ def q38_contamination(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q39_range_join(spark, sf_dir):
+    """Interval-containment range join as a bucketed equi-join (no BNLJ):
+    clicks landing within 1 hour after a signup by the same user. Intervals
+    explode into the hour-buckets they overlap; the join key is
+    (bucket, user_id), so Catalyst plans a hash join and exact containment
+    is re-checked post-join."""
+    from schema_enforcer_spark.functions.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_e", F.unix_timestamp("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_e"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts_e").alias("start_e"),
+        (F.col("ts_e") + 3600).alias("end_e"),
+    )
+    out = range_join_bucketed(clicks, signups, "ts_e", "start_e", "end_e", bucket_width=3600, on=["user_id"])
+    return out.select("click_id", "user_id", "signup_id").orderBy("click_id", "signup_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -688,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_pii_counts": q36_pii_counts,
         "q37_repetition_ratio": q37_repetition_ratio,
         "q38_contamination": q38_contamination,
+        "q39_range_join": q39_range_join,
     }
 
 
@@ -1165,6 +1188,20 @@ def oracle_sql() -> dict[str, str]:
         FROM clicks l ASOF LEFT JOIN purch r
           ON l.user_id = r.user_id AND l.ts_e >= r.ts_e
         ORDER BY l.event_id
+    """
+
+    sqls["q39_range_join"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_e FROM events
+        ), c AS (
+          SELECT event_id AS click_id, user_id, ts_e FROM ev WHERE event_type = 'click'
+        ), s AS (
+          SELECT event_id AS signup_id, user_id, ts_e AS start_e, ts_e + 3600 AS end_e
+          FROM ev WHERE event_type = 'signup'
+        )
+        SELECT c.click_id, c.user_id, s.signup_id
+        FROM c JOIN s ON c.user_id = s.user_id AND c.ts_e BETWEEN s.start_e AND s.end_e
+        ORDER BY c.click_id, s.signup_id
     """
 
     sqls["q30_merge_defaults"] = """

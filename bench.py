@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q36_pii_counts",
     "q37_repetition_ratio",
     "q38_contamination",
+    "q39_range_join",
 ]
 
 

@@ -84,12 +84,15 @@ def range_join_bucketed(
     start_col: str,
     end_col: str,
     bucket_width: int,
+    on: list[str] | None = None,
 ) -> DataFrame:
     """point ∈ [start, end] containment join as an equi-join: each interval
     explodes into the buckets it overlaps, each point hashes to one bucket,
-    Catalyst plans a shuffled hash join on (bucket) instead of a
+    Catalyst plans a hash join on (bucket [+ on-keys]) instead of a
     nested-loop inequality join. bucket_width should approximate the median
-    interval length (wider = fewer replicas, more post-filtering)."""
+    interval length (wider = fewer replicas, more post-filtering). ``on``
+    adds extra equi-join keys (e.g. the same user's intervals only), which
+    also tightens the shuffle key against bucket skew."""
     p = points.withColumn("_bucket", (F.col(point_col) / bucket_width).cast("long"))
     iv = intervals.withColumn(
         "_bucket",
@@ -100,6 +103,7 @@ def range_join_bucketed(
             )
         ),
     )
-    return p.join(iv, "_bucket").filter(
+    keys = ["_bucket"] + list(on or [])
+    return p.join(iv, keys).filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     ).drop("_bucket")

@@ -366,6 +366,20 @@ def test_connected_components_nonconvergence_raises(spark):
     assert set(got.values()) == {0}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a diameter-40
+    chain (which plain min-label propagation needs 40 rounds for) must
+    converge in ≤ 8 rounds and label every vertex with the chain head."""
+    from schema_enforcer_spark.functions.dedup import connected_components_with_rounds
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a_id long, b_id long")
+    labels, rounds = connected_components_with_rounds(chain, max_iter=10)
+    assert rounds <= 8, f"diameter-40 chain took {rounds} rounds (want O(log d))"
+    got = {r["v"]: r["component"] for r in labels.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
 def test_lsh_topk_dim_mismatch_raises(spark):
     from schema_enforcer_spark.functions.similarity import lsh_topk
 

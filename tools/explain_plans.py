@@ -118,6 +118,70 @@ def main() -> None:
         problems.append(f"as-of join has {n_ex5} Exchanges (want <=2)")
     sections.append(("As-of join (merge-based: union + one window exchange)", p5, notes5))
 
+    # 6. bucketed range join (q39): hash join on (_bucket, key), never BNLJ
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    p6 = _formatted(entry.q39_range_join(spark, sf))
+    notes6 = []
+    if "BroadcastNestedLoopJoin" in p6 or "CartesianProduct" in p6:
+        problems.append("range join planned as nested-loop/cartesian")
+    else:
+        notes6.append("OK: no nested-loop/cartesian join")
+    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", p6) and re.search(
+        r"Left keys[^\n]*_bucket", p6
+    ):
+        notes6.append("OK: hash join keyed on _bucket (+ user_id)")
+    else:
+        problems.append("range join is not a hash join on _bucket")
+    sections.append(("Bucketed range join (q39: containment as equi-join)", p6, notes6))
+
+    # 7. contamination (q38): benchmark shingles BROADCAST, one shuffle on doc id
+    p7 = _formatted(entry.q38_contamination(spark, sf))
+    notes7 = []
+    if "BroadcastHashJoin" in p7 and re.search(r"Left keys[^\n]*_sh", p7):
+        notes7.append("OK: benchmark shingle set broadcast (BroadcastHashJoin on _sh)")
+    else:
+        problems.append("q38 benchmark join is not broadcast on _sh")
+    if "CartesianProduct" in p7 or "BroadcastNestedLoopJoin" in p7:
+        problems.append("q38 contains a nested-loop/cartesian join")
+    else:
+        notes7.append("OK: no nested-loop/cartesian join")
+    sections.append(("Benchmark decontamination (q38: broadcast shingles, one corpus pass)", p7, notes7))
+
+    # 8. connected-components round: the per-iteration joins (label
+    # propagation across edges + pointer-jump self-join) must be hash joins
+    # on the label key — never nested-loop — and labels-sized, not row-sized
+    pairs = spark.range(1000).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .dropDuplicates()
+    )
+    labels = edges.select(F.col("src").alias("v")).dropDuplicates().withColumn("component", F.col("v"))
+    msgs = (
+        edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .select(F.col("dst").alias("v"), "component")
+        .unionByName(labels)
+    )
+    prop = msgs.groupBy("v").agg(F.min("component").alias("component"))
+    ptr = labels.select(F.col("v").alias("_pv"), F.col("component").alias("_pc"))
+    jump = prop.join(ptr, prop["component"] == ptr["_pv"], "left").select(
+        prop["v"],
+        F.least(prop["component"], F.coalesce(ptr["_pc"], prop["component"])).alias("component"),
+    )
+    p8 = _formatted(jump)
+    notes8 = []
+    if "BroadcastNestedLoopJoin" in p8 or "CartesianProduct" in p8:
+        problems.append("CC round join planned as nested-loop/cartesian")
+    else:
+        notes8.append("OK: CC propagation + pointer-jump are hash/sort-merge joins, no nested-loop")
+    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", p8):
+        notes8.append("OK: per-round label joins are equi-joins on the label key")
+    sections.append(("Connected-components round (label propagation + pointer jump)", p8, notes8))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
