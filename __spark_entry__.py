@@ -475,10 +475,16 @@ def q29_nested_validation(spark, sf_dir):
 
     # AQE coalesces the post-groupBy stage to ~2 partitions (collected
     # arrays compress small) but the per-element items validation downstream
-    # is compute-heavy — rebalance so it runs cluster-wide, not on 2 tasks
+    # is compute-heavy — rebalance so it runs cluster-wide, not on 2 tasks.
+    # GATED like _spread: only when the scan is narrower than the cluster
+    # (tiny-file inputs); at real scale AQE sizes the stage correctly and an
+    # unconditional repartition would be a pure extra exchange.
     nested = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct(F.col("event_id"), F.col("value")))).alias("events")
-    ).repartition(ev.sparkSession.sparkContext.defaultParallelism)
+    )
+    target = ev.sparkSession.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < max(target // 2, 2):
+        nested = nested.repartition(target)
     m2 = manifest_from_dict(
         {
             "id": "schemas/events_items",
@@ -664,6 +670,21 @@ def q39_range_join(spark, sf_dir):
     return out.select("click_id", "user_id", "signup_id").orderBy("click_id", "signup_id")
 
 
+def q40_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed: a pair within
+    distance 3 must agree on ≥1 of the 4 16-bit chunks (pigeonhole), so the
+    bucketed join finds EVERY such pair and an exact all-pairs DuckDB oracle
+    is a deterministic twin."""
+    from schema_enforcer_spark.functions.dedup import simhash_near_dups
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        simhash_near_dups(docs, max_hamming=3)
+        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a_id", "b_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -711,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_repetition_ratio": q37_repetition_ratio,
         "q38_contamination": q38_contamination,
         "q39_range_join": q39_range_join,
+        "q40_simhash_near_dups": q40_simhash_near_dups,
     }
 
 
@@ -1241,6 +1263,45 @@ def oracle_sql() -> dict[str, str]:
                                + (CASE WHEN votes[CAST(4*n+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
                         1)), '') END AS simhash_hex
         FROM v
+    """
+
+    # q40: exact all-pairs simhash hamming ≤ 3 — a deterministic twin of the
+    # chunk-bucketed join (pigeonhole: distance ≤ 3 over 4 chunks ⇒ ≥ 1 chunk
+    # equal, so bucketing misses nothing). Hamming from the q17 hex rendering:
+    # sum over 16 nibbles of bit_count(xor(nibble_a, nibble_b)).
+    sqls["q40_simhash_near_dups"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+          FROM documents
+        ), v AS (
+          SELECT doc_id,
+                 CASE WHEN toks IS NULL THEN NULL
+                 ELSE LIST_TRANSFORM(RANGE(0, 64), k ->
+                   COALESCE(LIST_SUM(LIST_TRANSFORM(toks, tok ->
+                     2 * (((STRPOS('0123456789abcdef',
+                                   SUBSTR(MD5(tok), CAST(k // 4 AS INT) + 1, 1)) - 1)
+                           >> CAST(k % 4 AS INT)) & 1) - 1)), 0)) END AS votes
+          FROM t
+        ), h AS (
+          SELECT doc_id,
+               ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 16), n ->
+                 SUBSTR('0123456789abcdef',
+                        CAST(1 + (CASE WHEN votes[CAST(4*n+1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+2 AS INT)] > 0 THEN 2 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+3 AS INT)] > 0 THEN 4 ELSE 0 END)
+                               + (CASE WHEN votes[CAST(4*n+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
+                        1)), '') AS hx
+          FROM v WHERE votes IS NOT NULL
+        ), p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17), i ->
+                   BIT_COUNT(XOR(STRPOS('0123456789abcdef', SUBSTR(a.hx, CAST(i AS INT), 1)) - 1,
+                                 STRPOS('0123456789abcdef', SUBSTR(b.hx, CAST(i AS INT), 1)) - 1))
+                 )) AS INT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3 ORDER BY a_id, b_id
     """
 
     # q18/q19: the hyperplane-LSH replicas need the same deterministic plane

@@ -9,8 +9,16 @@ Measures:
    over a generated transcripts table (~1.9M turns incl. hot-conversation
    skew), violations + verdicts materialized.
 
+Timing methodology (this microVM's CPU is noisy/oversubscribed — CLAUDE.md
+documents ~1.6x steal variance): every measurement is INTERLEAVED
+best-of-K (default K=3, env BENCH_BEST_OF) — round-robin across all
+queries per round, min per query — the same footing BENCH/BASELINE.md
+uses, so per-query numbers are comparable across rounds instead of
+reflecting whichever noise spike hit that slot.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_TRANSCRIPT_CONVS (default 200_000), BENCH_SKIP_QUERIES=1.
+BENCH_TRANSCRIPT_CONVS (default 200_000), BENCH_SKIP_QUERIES=1,
+BENCH_BEST_OF (default 3).
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "200000"))
+BEST_OF = int(os.environ.get("BENCH_BEST_OF", "3"))
 # tmpfs-resident: scan bandwidth on a real cluster scales with executors, so
 # measuring against the sandbox's slow virtual disk would misattribute
 TRANSCRIPTS_PATH = os.environ.get("BENCH_TRANSCRIPTS_PATH", f"/dev/shm/bench_transcripts_{N_CONVS}")
@@ -70,6 +79,7 @@ BENCH_QUERIES = [
     "q37_repetition_ratio",
     "q38_contamination",
     "q39_range_join",
+    "q40_simhash_near_dups",
 ]
 
 
@@ -98,9 +108,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-
-    # -- transcripts validation throughput (north-star metric) -------------
+    # -- transcripts table (north-star metric input) ------------------------
     if not os.path.exists(TRANSCRIPTS_PATH):
         # materialize once so generation cost never pollutes the measurement;
         # 1% hot conversations with 2000 turns = the skew mix
@@ -111,21 +119,32 @@ def main() -> None:
     n_turns = tdf.count()
     manifest = load_manifest(os.path.join(REPO, "manifests", "transcripts_base.yml"))
     eng = ValidationEngine(manifest)
-    t0 = time.monotonic()
-    report = eng.validate(tdf)
-    _noop(report.violations)
-    _noop(report.verdicts)
-    validate_sec = time.monotonic() - t0
-    timings["validate_transcripts"] = round(validate_sec, 3)
-    turns_per_sec = n_turns / validate_sec
 
-    # -- headline queries ---------------------------------------------------
+    def _run_validate() -> float:
+        t0 = time.monotonic()
+        report = eng.validate(tdf)
+        _noop(report.violations)
+        _noop(report.verdicts)
+        return time.monotonic() - t0
+
+    # -- interleaved best-of-K over (validate + headline queries) -----------
+    qs = entry.queries()
+    names = ["validate_transcripts"]
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
-        qs = entry.queries()
-        for name in BENCH_QUERIES:
-            t0 = time.monotonic()
-            _noop(qs[name](spark, SF_DIR))
-            timings[name] = round(time.monotonic() - t0, 3)
+        names += BENCH_QUERIES
+    best: dict[str, float] = {}
+    for _ in range(BEST_OF):
+        for name in names:
+            if name == "validate_transcripts":
+                dt = _run_validate()
+            else:
+                t0 = time.monotonic()
+                _noop(qs[name](spark, SF_DIR))
+                dt = time.monotonic() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(best[name], 3) for name in names}
+    turns_per_sec = n_turns / best["validate_transcripts"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -139,6 +158,7 @@ def main() -> None:
                 "turns": n_turns,
                 "turns_per_sec": round(turns_per_sec, 1),
                 "cpus": CPUS,
+                "best_of": BEST_OF,
             }
         )
     )

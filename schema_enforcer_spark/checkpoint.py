@@ -27,7 +27,8 @@ from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
 
 LINEAGE_SCHEMA_DDL = (
     "partition_id string, rule_set_hash string, schema_id string, verdict string, "
-    "n_rows bigint, n_violations bigint, snapshot_id string, validated_at timestamp"
+    "n_rows bigint, n_violations bigint, snapshot_id string, validated_at timestamp, "
+    "run_ns bigint"
 )
 
 
@@ -39,11 +40,24 @@ class CheckpointManager:
     def lineage(self) -> DataFrame:
         # probe through Spark, not the driver's local filesystem — a
         # driver-side os.path.exists() on an hdfs://, s3a://, ... checkpoint
-        # URI is always False and would silently disable resume
+        # URI is always False and would silently disable resume.
+        # ONLY path-not-found means first-run: a corrupt lineage file, schema
+        # mismatch, or storage/credential error must FAIL LOUDLY — swallowing
+        # it would silently disable resume, re-validate everything, and
+        # append duplicate lineage with no signal the checkpoint was
+        # unreadable.
+        from pyspark.errors import AnalysisException
+
         try:
-            return self.spark.read.parquet(self.path)
-        except Exception:  # noqa: BLE001 - path-not-found (any filesystem)
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
+            df = self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            cls = e.getCondition() if hasattr(e, "getCondition") else None
+            if cls == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
+                return self.spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
+            raise
+        if "run_ns" not in df.columns:  # lineage written before run_ns existed
+            df = df.withColumn("run_ns", F.lit(0).cast("bigint"))
+        return df
 
     def completed_partitions(self, rule_set_hash: str) -> DataFrame:
         """Partitions whose validation is DONE: a recorded PASS verdict under
@@ -60,7 +74,9 @@ class CheckpointManager:
             .filter(F.col("rule_set_hash") == rule_set_hash)
             .groupBy("partition_id")
             .agg(
-                F.max_by(F.struct("verdict", "n_rows"), "validated_at").alias("_latest")
+                # run_ns breaks ties between two record() calls landing in
+                # the same current_timestamp() microsecond
+                F.max_by(F.struct("verdict", "n_rows"), F.struct("validated_at", "run_ns")).alias("_latest")
             )
         )
         return latest.filter(F.col("_latest.verdict") == "PASS").select(
@@ -108,8 +124,14 @@ class CheckpointManager:
         return keyed.join(F.broadcast(done.select("_inst")), "_inst", "left_anti").drop("_inst")
 
     def record(self, df: DataFrame, engine: ValidationEngine, report: ValidationReport) -> None:
-        """Append lineage rows for every partition in this run (call after
-        the report's outputs are materialized)."""
+        """Append lineage rows for every partition in this run. Call AFTER
+        the report's outputs are materialized/written — recording first would
+        mark partitions complete whose results never landed (see run()'s
+        defer_record). `df` may be the full input: lineage rows come from the
+        report's verdicts (left-joined for counts), so partitions outside
+        this run's verdict set never gain rows."""
+        import time
+
         h = engine.manifest.rule_set_hash()
         rows_per_part = (
             df.groupBy(engine._instance_col(df).alias("instance_name"))
@@ -126,6 +148,9 @@ class CheckpointManager:
                 F.col("n_violations").cast("bigint").alias("n_violations"),
                 F.lit(None).cast("string").alias("snapshot_id"),
                 F.current_timestamp().alias("validated_at"),
+                # driver-side monotonic stamp: two record() calls can share a
+                # current_timestamp() microsecond; max_by needs a total order
+                F.lit(time.time_ns()).cast("bigint").alias("run_ns"),
             )
         )
         lineage.write.mode("append").parquet(self.path)
@@ -136,18 +161,26 @@ class CheckpointManager:
         engine: ValidationEngine,
         ref_tables: dict[str, DataFrame] | None = None,
         verify_counts: bool = False,
+        defer_record: bool = False,
     ) -> tuple[ValidationReport | None, int]:
         """Validate only pending partitions; record lineage; return
         (report, n_pending_rows). report is None when nothing is pending —
         which, because only PASS verdicts complete a partition, means every
-        partition of the input has a recorded PASS."""
+        partition of the input has a recorded PASS.
+
+        defer_record=True skips the lineage append so the caller can
+        materialize its own outputs FIRST and then call
+        ``record(df, engine, report)`` — otherwise a failed downstream write
+        would leave partitions marked complete whose violation rows never
+        landed anywhere (the next resume would skip them forever)."""
         pend = self.pending(df, engine, verify_counts=verify_counts)
         n = pend.count()
         if n == 0:
             return None, 0
         report = engine.validate(pend, ref_tables)
-        # materialize before recording so lineage never claims un-finished work
-        report.violations.count()
-        report.verdicts.count()
-        self.record(pend, engine, report)
+        if not defer_record:
+            # materialize before recording so lineage never claims un-finished work
+            report.violations.count()
+            report.verdicts.count()
+            self.record(pend, engine, report)
         return report, n

@@ -124,9 +124,13 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = ValidationEngine(manifest, **eng_kw)
 
+    cm = None
     if args.checkpoint:
         cm = CheckpointManager(spark, args.checkpoint)
-        report, n_pending = cm.run(df, eng, ref_tables)
+        # defer_record: lineage is appended only AFTER the --output writes
+        # succeed — recording first would mark partitions complete whose
+        # violation rows never landed (permanently absent from the output)
+        report, n_pending = cm.run(df, eng, ref_tables, defer_record=True)
         if report is None:
             # sound because only PASS verdicts complete a partition: FAILed
             # partitions always re-validate, so nothing-pending ⇒ all PASS
@@ -137,11 +141,36 @@ def main(argv: list[str] | None = None) -> int:
         report = eng.validate(df, ref_tables)
 
     if args.output:
-        # a resumed checkpoint run's report covers only the PENDING subset —
-        # overwriting would delete previously written partitions' results
-        out_mode = "append" if args.checkpoint else "overwrite"
-        report.violations.write.mode(out_mode).parquet(f"{args.output.rstrip('/')}/violations")
-        report.verdicts.write.mode(out_mode).parquet(f"{args.output.rstrip('/')}/verdicts")
+        root = args.output.rstrip("/")
+        if args.checkpoint:
+            # a resumed run covers only the PENDING subset, and a FAILed
+            # partition re-validates on EVERY resume — plain append would
+            # re-append its identical rows each retry (double-counting), and
+            # dynamic partition overwrite alone leaves stale violations when
+            # a partition goes FAIL→(now-empty) PASS. So: REPLACE exactly
+            # this run's instance partitions — delete their subdirs (a
+            # partition-count-sized driver op via the Hadoop FS API, any
+            # filesystem), then append partitioned by instance_name.
+            insts = [r["instance_name"] for r in report.verdicts.select("instance_name").distinct().collect()]
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path
+            fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+            for sub in ("violations", "verdicts"):
+                for inst in insts:
+                    fs.delete(hpath(f"{root}/{sub}/instance_name={inst}"), True)
+            report.violations.write.mode("append").partitionBy("instance_name").parquet(f"{root}/violations")
+            report.verdicts.write.mode("append").partitionBy("instance_name").parquet(f"{root}/verdicts")
+        else:
+            report.violations.write.mode("overwrite").parquet(f"{root}/violations")
+            report.verdicts.write.mode("overwrite").parquet(f"{root}/verdicts")
+
+    if cm is not None:
+        if not args.output:
+            # no output sink: materialize before recording so lineage never
+            # claims unfinished work
+            report.violations.count()
+            report.verdicts.count()
+        cm.record(df, eng, report)
 
     # FAIL-line format mirrors ValidationResult.print
     # (/root/reference/schema_enforcer/validation.py:53-91)

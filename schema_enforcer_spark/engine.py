@@ -400,7 +400,22 @@ class ValidationEngine:
         if ref_name not in ref_tables:
             raise KeyError(f"referential rule needs ref table {ref_name!r} in ref_tables")
         rid = rule.get("id") or f"{self.manifest.id}/referential/{'+'.join(cols)}"
-        ref_keys = ref_tables[ref_name].select(*[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]).dropDuplicates()
+        # normalize_keys: '-'↔'_' key normalization before the join (F1 —
+        # the reference normalizes hostnames both ways before its peer
+        # lookup, check_peers.py:44-51); without it referential rules on
+        # messy string keys silently miss matches
+        if rule.get("normalize_keys", False):
+            from schema_enforcer_spark.functions.textops import normalize_key
+
+            def _k(c):  # noqa: E306
+                return normalize_key(F.col(c).cast("string"))
+        else:
+            def _k(c):  # noqa: E306
+                return F.col(c)
+
+        ref_keys = ref_tables[ref_name].select(
+            *[_k(rc).alias(c) for rc, c in zip(ref_cols, cols)]
+        ).dropDuplicates()
         # Distinct fact keys first: anti-join runs on |distinct keys|, not |rows|.
         # NULL foreign keys are not orphans (FK semantics: nullability is the
         # 'required' rule's job; a left-anti join would otherwise report every
@@ -413,7 +428,7 @@ class ValidationEngine:
         # unique rule's min())
         orphan_keys = (
             df.filter(non_null)
-            .groupBy(*cols)
+            .groupBy(*[_k(c).alias(c) for c in cols])
             .agg(F.min(self._instance_col(df)).alias("instance_name"))
         )
         orphans = orphan_keys.join(F.broadcast(ref_keys) if rule.get("broadcast", True) else ref_keys, on=cols, how="left_anti")

@@ -102,6 +102,15 @@ def lang_id(text: Column) -> Column:
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def normalize_key(col: Column) -> Column:
+    """'-'→'_' join-key normalization — the reference's ansible_hostname /
+    normal_hostname pair (/root/reference/tests/fixtures/test_validators/
+    validators/check_peers.py:44-51) as one translate() expression, so
+    'my-host' and 'my_host' compare equal in referential joins. Used by the
+    referential rule's ``normalize_keys: true`` option."""
+    return F.translate(col, "-", "_")
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     md5 (not xxhash64) so external SQL engines reproduce it bit-for-bit."""

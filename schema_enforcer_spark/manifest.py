@@ -106,6 +106,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "ref_table": {"type": "string"},
                     "ref_columns": {"type": "array", "items": {"type": "string"}},
                     "broadcast": {"type": "boolean"},
+                    "normalize_keys": {"type": "boolean"},
                     "partition_by": {"type": "array", "items": {"type": "string"}},
                     "order_by": {"type": "array", "items": {"type": "string"}},
                     "strictly": {"type": "boolean"},
@@ -280,16 +281,27 @@ def manifest_from_dict(raw: dict[str, Any]) -> Manifest:
     )
 
 
-def _inline_includes(raw: dict[str, Any], base_dir: str, seen: frozenset[str]) -> dict[str, Any]:
+def _inline_includes(
+    raw: dict[str, Any],
+    base_dir: str,
+    seen: frozenset[str],
+    inlined: set[str] | None = None,
+) -> dict[str, Any]:
     """Schema composition — the $ref-inlining analogue (the reference eagerly
     replaces $refs at load time, /root/reference/schema_enforcer/schemas/
     manager.py:71-72 via jsonref). ``include:`` names fragment YAML files
     (relative to the including file) whose rules are prepended and whose
-    declared columns are unioned; fragments may include further fragments,
-    cycles fail fast. Meta-validation runs AFTER inlining, so a manifest may
-    consist entirely of shared fragments."""
+    declared columns are unioned; fragments may include further fragments.
+    Cycles (the fragment is an ANCESTOR of itself: `seen`) fail fast;
+    diamonds (A includes B and C, both include common.yml: `inlined`, shared
+    across the whole pass) inline the shared fragment ONCE — inlining it per
+    path would duplicate its rules and double every violation count.
+    Meta-validation runs AFTER inlining, so a manifest may consist entirely
+    of shared fragments."""
     import os
 
+    if inlined is None:
+        inlined = set()
     fragments_rules: list[Any] = []
     columns = list(raw.get("columns", ()))
     for rel in raw.get("include") or []:
@@ -297,6 +309,9 @@ def _inline_includes(raw: dict[str, Any], base_dir: str, seen: frozenset[str]) -
         rp = os.path.realpath(p)
         if rp in seen:
             raise InvalidManifest([f"include cycle: {rel!r} already inlined"])
+        if rp in inlined:
+            continue  # diamond: already inlined elsewhere in this pass
+        inlined.add(rp)
         try:
             with open(rp, encoding="utf-8") as fh:
                 frag = yaml.safe_load(fh)
@@ -304,7 +319,7 @@ def _inline_includes(raw: dict[str, Any], base_dir: str, seen: frozenset[str]) -
             raise InvalidManifest([f"include {rel!r}: {e}"]) from None
         if not isinstance(frag, dict):
             raise InvalidManifest([f"include {rel!r}: fragment must be a mapping"])
-        frag = _inline_includes(frag, os.path.dirname(rp), seen | {rp})
+        frag = _inline_includes(frag, os.path.dirname(rp), seen | {rp}, inlined)
         fragments_rules.extend(frag.get("rules", ()))
         for c in frag.get("columns", ()):
             if c not in columns:
@@ -317,13 +332,38 @@ def _inline_includes(raw: dict[str, Any], base_dir: str, seen: frozenset[str]) -
     return out
 
 
+MANIFEST_EXTENSIONS = ("yml", "yaml", "json")
+
+
+def find_manifest_file(path: str, extensions: tuple[str, ...] = MANIFEST_EXTENSIONS) -> str:
+    """Resolve a manifest path with extension probing — the reference's
+    ``find_file`` first-hit semantics (/root/reference/schema_enforcer/
+    utils.py:408-446): an exact path wins; otherwise probe
+    ``<path>.{yml,yaml,json}`` in order and return the first that exists.
+    Raises FileNotFoundError listing everything probed."""
+    import os
+
+    if os.path.isfile(path):
+        return path
+    probed = [path]
+    for ext in extensions:
+        cand = f"{path}.{ext}"
+        probed.append(cand)
+        if os.path.isfile(cand):
+            return cand
+    raise FileNotFoundError(f"no manifest found; probed {probed}")
+
+
 def load_manifest(path: str) -> Manifest:
     """Load + meta-validate a YAML/JSON manifest file (driver-side; the
     analogue of the reference's schema-file load,
     /root/reference/schema_enforcer/utils.py:367-386), inlining any
-    ``include:`` fragments first."""
+    ``include:`` fragments first. A path without an extension is probed as
+    ``<path>.{yml,yaml,json}`` first-hit (utils.py:408-446 parity), so
+    ``--manifest manifests/base`` resolves by directory convention."""
     import os
 
+    path = find_manifest_file(path)
     with open(path, encoding="utf-8") as fh:
         raw = yaml.safe_load(fh)
     if not isinstance(raw, dict):

@@ -194,7 +194,13 @@ class PydanticBatchValidator(PandasValidator):
         rows = {"keys": [], "column": [], "failing_value": [], "message": []}
         records = pdf[fields].to_dict("records")
         for idx, rec in enumerate(records):
-            clean = {k: v for k, v in rec.items() if v is not None and v == v}
+            # NaN filter must only probe scalars: `v == v` on a list/ndarray
+            # cell returns an array whose truth value raises ValueError
+            clean = {
+                k: v
+                for k, v in rec.items()
+                if v is not None and not (isinstance(v, float) and v != v)
+            }
             try:
                 self.model.model_validate(clean)
             except pydantic.ValidationError as e:

@@ -10,6 +10,11 @@ Corpus layout mirrors the reference's
         valid/<case>.parquet          # must produce ZERO violations
         invalid/<case>/data.parquet   # input
         invalid/<case>/results.json   # expected violation rows (golden)
+        invalid/<case>/results.yml    # ...or the YAML variant (F4 parity:
+                                      # quoted-string style like the
+                                      # reference's dump_data_to_yaml,
+                                      # utils.py:177-222 — reference corpora
+                                      # port without conversion)
 
 Comparison is order-insensitive after message-sort, exactly like
 manager.py:235-236. ``generate_invalid`` writes the golden files from the
@@ -57,6 +62,52 @@ def _golden_rows(violations: DataFrame) -> list[dict]:
     )
 
 
+class _QuotedStr(str):
+    """Marker for double-quoted YAML scalars — the reference wraps every
+    string in DoubleQuotedScalarString before dumping
+    (/root/reference/schema_enforcer/utils.py:58-99)."""
+
+
+def _yaml_quote(obj):
+    if isinstance(obj, str):
+        return _QuotedStr(obj)
+    if isinstance(obj, list):
+        return [_yaml_quote(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _yaml_quote(v) for k, v in obj.items()}
+    return obj
+
+
+def dump_data_to_yaml(data, yaml_path: str) -> None:
+    """Golden-results YAML writer with quoted-string style — the analogue of
+    the reference's dump_data_to_yaml (utils.py:177-222)."""
+    import yaml
+
+    class _Dumper(yaml.SafeDumper):
+        pass
+
+    _Dumper.add_representer(
+        _QuotedStr,
+        lambda d, s: d.represent_scalar("tag:yaml.org,2002:str", s, style='"'),
+    )
+    with open(yaml_path, "w", encoding="utf-8") as fh:
+        yaml.dump(_yaml_quote(data), fh, Dumper=_Dumper, default_flow_style=False, sort_keys=False)
+
+
+def _load_golden(case_dir: str):
+    """First-hit golden load: results.json, then results.yml/.yaml (the
+    find_file probe order, utils.py:408-446). Returns (rows, path) or
+    (None, None)."""
+    import yaml
+
+    for name in ("results.json", "results.yml", "results.yaml"):
+        p = os.path.join(case_dir, name)
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as fh:
+                return (json.load(fh) if name.endswith(".json") else yaml.safe_load(fh)), p
+    return None, None
+
+
 def test_manifest(
     spark: SparkSession,
     engine: ValidationEngine,
@@ -82,19 +133,18 @@ def test_manifest(
         for case in sorted(os.listdir(invalid_dir)):
             case_dir = os.path.join(invalid_dir, case)
             data_path = os.path.join(case_dir, "data.parquet")
-            golden_path = os.path.join(case_dir, "results.json")
             if not os.path.isdir(data_path) and not os.path.exists(data_path):
                 continue
-            if not os.path.exists(golden_path):
-                res.failed.append((f"invalid/{case}", "missing results.json golden"))
+            raw_expected, golden_path = _load_golden(case_dir)
+            if raw_expected is None:
+                res.failed.append((f"invalid/{case}", "missing results.json/.yml golden"))
                 continue
             df = spark.read.parquet(data_path)
             actual = _golden_rows(engine.violations(df, ref_tables))
-            with open(golden_path, encoding="utf-8") as fh:
-                expected = sorted(
-                    json.load(fh),
-                    key=lambda d: (d["message"] or "", d["schema_id"], d["failing_value"] or ""),
-                )
+            expected = sorted(
+                raw_expected,
+                key=lambda d: (d["message"] or "", d["schema_id"], d["failing_value"] or ""),
+            )
             if actual == expected:
                 res.passed.append(f"invalid/{case}")
             else:
@@ -109,10 +159,14 @@ def generate_invalid(
     engine: ValidationEngine,
     corpus_dir: str,
     ref_tables: dict[str, DataFrame] | None = None,
+    fmt: str = "json",
 ) -> list[str]:
-    """Write results.json goldens for every invalid case — mirror of
+    """Write results.json (or results.yml with fmt='yaml': quoted-string
+    style, F4) goldens for every invalid case — mirror of
     ``--generate-invalid`` (manager.py:258-287) with the ensure-invalid
     guard (manager.py:332-347)."""
+    if fmt not in ("json", "yaml"):
+        raise ValueError(f"fmt must be 'json' or 'yaml', got {fmt!r}")
     written = []
     invalid_dir = os.path.join(corpus_dir, "invalid")
     for case in sorted(os.listdir(invalid_dir)):
@@ -127,8 +181,12 @@ def generate_invalid(
                 f"invalid case {case!r} produced zero violations — not a valid "
                 "invalid-corpus entry (ensure-invalid guard)"
             )
-        golden_path = os.path.join(case_dir, "results.json")
-        with open(golden_path, "w", encoding="utf-8") as fh:
-            json.dump(rows, fh, indent=2, default=str)
+        if fmt == "yaml":
+            golden_path = os.path.join(case_dir, "results.yml")
+            dump_data_to_yaml(rows, golden_path)
+        else:
+            golden_path = os.path.join(case_dir, "results.json")
+            with open(golden_path, "w", encoding="utf-8") as fh:
+                json.dump(rows, fh, indent=2, default=str)
         written.append(golden_path)
     return written

@@ -1,15 +1,20 @@
 """Custom stateful streaming validator via applyInPandasWithState.
 
-Tracks per-conversation state (max turn_idx, turn count, reported overcount)
-across micro-batches and emits violations the stateless path can't see:
-duplicate/regressed turn indices arriving in LATER batches than the original
-turn. State is three longs per conversation, evicted after 30 min of
-processing-time idleness — the store is bounded by recently-ACTIVE
-conversations (~24 bytes each), not all conversations ever seen.
+Tracks per-conversation state (max turn_idx, turn count, reported overcount,
+max event-time) across micro-batches and emits violations the stateless
+path can't see:
 
-This is the streaming analogue of the fused window pass's uniqueness +
-contiguity rules; ordering (ts monotonicity) stays in the stateless windowed
-path because it needs only within-batch comparisons after shuffle-by-conv.
+- duplicate/regressed turn indices arriving in LATER batches than the
+  original turn;
+- ts regressions ACROSS batches (W1's ordering half for streams): a later
+  micro-batch delivering an event time earlier than the conversation's
+  already-seen maximum. Within-batch ordering stays in the stateless
+  windowed path (plain window comparisons after shuffle-by-conv); the state
+  closes the cross-batch gap.
+
+State is four longs per conversation, evicted after 30 min of
+processing-time idleness — the store is bounded by recently-ACTIVE
+conversations (~32 bytes each), not all conversations ever seen.
 """
 
 from __future__ import annotations
@@ -18,12 +23,13 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_DDL = (
     "conv_id string, turn_idx int, kind string, message string"
 )
-_STATE_DDL = "max_idx long, n_seen long, over_reported long"
+_STATE_DDL = "max_idx long, n_seen long, over_reported long, max_ts_ns long"
 
 
 def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -33,11 +39,20 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
         # without this the store grows monotonically with ever-new conv_ids)
         state.remove()
         return
-    max_idx, n_seen, over_reported = state.get if state.exists else (-1, 0, 0)
+    max_idx, n_seen, over_reported, max_ts_ns = (
+        state.get if state.exists else (-1, 0, 0, -1)
+    )
+    # ts regressions are judged against the max ts seen in PRIOR batches
+    # only — within-batch ordering is the stateless path's job, and judging
+    # against a same-batch running max would double-report it here
+    prior_max_ts = max_ts_ns
     seen_now: set[int] = set()
     out_rows = []
     for pdf in batches:
-        for idx in pdf["turn_idx"]:
+        has_ts = "ts" in pdf.columns
+        ts_ns = pdf["ts"].astype("int64") if has_ts else None
+        ts_null = pdf["ts"].isna() if has_ts else None
+        for i, idx in enumerate(pdf["turn_idx"]):
             idx = int(idx)
             if idx <= max_idx or idx in seen_now:
                 out_rows.append(
@@ -48,6 +63,17 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
             n_seen += 1
             if idx > max_idx:
                 max_idx = idx
+            if has_ts and not bool(ts_null.iloc[i]):
+                t = int(ts_ns.iloc[i])
+                if prior_max_ts >= 0 and t < prior_max_ts:
+                    out_rows.append(
+                        (conv_id, idx, "ts_regression",
+                         f"ts at turn_idx {idx} is earlier than the "
+                         f"conversation's previously seen maximum "
+                         f"(delta {(prior_max_ts - t) // 1_000_000_000}s)")
+                    )
+                if t > max_ts_ns:
+                    max_ts_ns = t
     # n_seen > max_idx+1 ⇒ some index occurred twice. Alert only when the
     # overcount GROWS — re-emitting the historical total on every clean
     # later batch would turn one duplicate into an unbounded alert stream.
@@ -58,7 +84,7 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
              f"{n_seen} turns seen but max turn_idx is {max_idx} — duplicates exist")
         )
         over_reported = overcount
-    state.update((max_idx, n_seen, over_reported))
+    state.update((max_idx, n_seen, over_reported, max_ts_ns))
     state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
     if out_rows:
         yield pd.DataFrame(out_rows, columns=["conv_id", "turn_idx", "kind", "message"])
@@ -70,13 +96,16 @@ _IDLE_TIMEOUT_MS = 30 * 60 * 1000
 
 
 def stream_stateful_contiguity(stream_df: DataFrame) -> DataFrame:
-    """Per-conversation stateful duplicate/regression detection across
-    micro-batches. Shuffles on conv_id (the same key as the batch engine's
-    window pass). State is three longs per conversation and is EVICTED
-    after 30 min of processing-time idleness, so the store tracks active
-    conversations, not all conversations ever seen."""
+    """Per-conversation stateful duplicate/regression + cross-batch
+    ts-monotonicity detection across micro-batches. Shuffles on conv_id (the
+    same key as the batch engine's window pass). State is four longs per
+    conversation and is EVICTED after 30 min of processing-time idleness,
+    so the store tracks active conversations, not all conversations ever
+    seen. The ``ts`` column is optional — without it only the
+    turn-idx checks run."""
+    cols = ["conv_id", "turn_idx"] + (["ts"] if "ts" in stream_df.columns else [])
     return (
-        stream_df.select("conv_id", "turn_idx")
+        stream_df.select(*[F.col(c) for c in cols])
         .groupBy("conv_id")
         .applyInPandasWithState(
             _contiguity_fn,

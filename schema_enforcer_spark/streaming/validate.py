@@ -9,9 +9,11 @@ doesn't care that the source is ``readStream``. What changes for streams:
   bounded by the watermark instead of a global groupBy).
 - verdicts → windowed aggregation over event time with a watermark (late
   data within the watermark still lands in its window).
-- ordering/contiguity windows need offline passes or
-  ``applyInPandasWithState``; v1 validates those in the batch engine over
-  closed (watermark-expired) partitions.
+- ordering/contiguity → ``stateful.stream_stateful_contiguity``
+  (applyInPandasWithState): cross-batch duplicate/regressed turn indices
+  AND cross-batch ts regressions (W1's ordering half); within-batch
+  ordering is plain window comparisons after shuffle-by-conv, or the batch
+  engine over closed (watermark-expired) partitions.
 """
 
 from __future__ import annotations

@@ -62,6 +62,41 @@ def test_cli_checkpoint_resume(spark, data, capsys):
     assert "ALL PARTITIONS ALREADY VALIDATED" in out
 
 
+def test_cli_checkpoint_output_no_duplicates(spark, data, capsys):
+    """--checkpoint + --output: a FAILed partition re-validates on every
+    resume; its rows must be REPLACED in the output, not re-appended
+    (consumers would double-count violations after each retry)."""
+    ckpt = data["root"] + "/ckpt_dup"
+    out = data["root"] + "/out_dup"
+    rc1 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt, "--output", out])
+    assert rc1 == 1
+    v1 = spark.read.parquet(out + "/violations").count()
+    d1 = spark.read.parquet(out + "/verdicts").count()
+    rc2 = main(["--manifest", MANIFEST, "--input", data["bad"], "--checkpoint", ckpt, "--output", out])
+    assert rc2 == 1
+    assert spark.read.parquet(out + "/violations").count() == v1
+    assert spark.read.parquet(out + "/verdicts").count() == d1
+    # and one FAIL verdict per hit partition, not one per run
+    vd = spark.read.parquet(out + "/verdicts")
+    assert vd.groupBy("instance_name").count().filter("count > 1").count() == 0
+
+
+def test_checkpoint_corrupt_lineage_raises(spark, data, tmp_path):
+    """A corrupt/unreadable lineage dir must FAIL LOUDLY, not be treated as
+    first-run (which would silently disable resume)."""
+    from schema_enforcer_spark.checkpoint import CheckpointManager
+
+    bad_ckpt = tmp_path / "corrupt_ckpt"
+    bad_ckpt.mkdir()
+    (bad_ckpt / "part-00000.parquet").write_text("this is not parquet")
+    cm = CheckpointManager(spark, str(bad_ckpt))
+    with pytest.raises(Exception):
+        cm.lineage().count()
+    # while a genuinely missing path is first-run: empty lineage, no raise
+    cm2 = CheckpointManager(spark, str(tmp_path / "never_written"))
+    assert cm2.lineage().count() == 0
+
+
 def test_cli_invalid_manifest_fails_fast(spark, data, capsys):
     rc = main(["--manifest", os.path.join(REPO, "manifests", "invalid_manifest.yml"), "--input", data["clean"]])
     assert rc == 1

@@ -66,6 +66,42 @@ def test_manifest_include_inlines_fragments(spark, transcripts):
             load_manifest(bad)
 
 
+def test_manifest_include_diamond_inlines_once(spark):
+    """A includes B and C, both include common.yml — the shared fragment's
+    rules must appear ONCE (per-path inlining would duplicate them and
+    double every violation count)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, "common.yml", """
+            rules:
+              - kind: required
+                column: conv_id
+        """)
+        _write(tmp, "b.yml", """
+            include: [common.yml]
+            rules:
+              - kind: required
+                column: role
+        """)
+        _write(tmp, "c.yml", """
+            include: [common.yml]
+            rules:
+              - kind: required
+                column: text
+        """)
+        main = _write(tmp, "a.yml", """
+            id: schemas/diamond
+            include: [b.yml, c.yml]
+            rules: []
+        """)
+        m = load_manifest(main)
+        kinds_cols = [(r.kind, r.params.get("column")) for r in m.rules]
+        assert kinds_cols == [
+            ("required", "conv_id"),
+            ("required", "role"),
+            ("required", "text"),
+        ], f"shared fragment duplicated: {kinds_cols}"
+
+
 def test_manifest_include_cycle_fails_fast(spark):
     with tempfile.TemporaryDirectory() as tmp:
         _write(tmp, "a.yml", "include: [b.yml]\nrules: []\n")
@@ -116,6 +152,27 @@ def test_pydantic_batch_validator(spark, transcripts):
     assert run_validator(transcripts, v).count() == 0
     with pytest.raises(TypeError):
         PydanticBatchValidator(dict)
+
+
+def test_pydantic_validator_array_column(spark):
+    """An array-typed column must not crash the NaN filter (`v == v` on an
+    ndarray raises 'truth value of an array is ambiguous')."""
+    pydantic = pytest.importorskip("pydantic")
+    from schema_enforcer_spark.plugins import PydanticBatchValidator, run_validator
+
+    class Doc(pydantic.BaseModel):
+        doc_id: int = pydantic.Field(ge=0)
+        tags: list[str] = pydantic.Field(max_length=2)
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, ["a", "b", "c"]), (-3, ["x"])],
+        "doc_id long, tags array<string>",
+    )
+    v = PydanticBatchValidator(Doc, key_columns=["doc_id"])
+    viols = run_validator(df, v).collect()
+    cols = {r["absolute_path"][-1] for r in viols}
+    assert "tags" in cols and "doc_id" in cols
+    assert len(viols) == 2
 
 
 def test_applies_to_decorator_binding(spark):

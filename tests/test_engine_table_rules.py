@@ -43,6 +43,29 @@ def test_referential_rule(spark, transcripts, conversations):
     assert clean.count() == 0
 
 
+def test_referential_normalize_keys(spark):
+    """F1 parity: '-'↔'_' key normalization before the referential join
+    (check_peers.py:44-51) — 'my-host' must match a reference key 'my_host'
+    instead of silently reporting an orphan."""
+    facts = spark.createDataFrame(
+        [(1, "my-host"), (2, "other_host"), (3, "truly-missing")],
+        "id long, host string",
+    )
+    ref = spark.createDataFrame([("my_host",), ("other-host",)], "hostname string")
+    rules = [("referential", {
+        "columns": ["host"], "ref_table": "hosts", "ref_columns": ["hostname"],
+        "normalize_keys": True,
+    })]
+    m = _m(rules)
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    viols = eng.violations(facts, ref_tables={"hosts": ref}).collect()
+    assert [v["failing_value"] for v in viols] == ["truly_missing"]
+    # without normalization all three are orphans
+    m2 = _m([("referential", {"columns": ["host"], "ref_table": "hosts", "ref_columns": ["hostname"]})])
+    eng2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'")
+    assert eng2.violations(facts, ref_tables={"hosts": ref}).count() == 3
+
+
 def test_referential_missing_ref_table_raises(spark, transcripts):
     m = load_manifest(os.path.join(REPO, "manifests", "transcripts_referential.yml"))
     with pytest.raises(KeyError):

@@ -123,3 +123,37 @@ def test_audio_features_stub(spark):
 
     with pytest.raises(Exception, match="audio"):
         audio_features(media, fake=False).collect()
+
+
+def test_iceberg_write_contract(spark):
+    """Contract coverage for the UNTESTABLE-here Iceberg branch (no runtime
+    jar in the sandbox, SURVEY.md §7.0): the write must go through
+    writeTo(<catalog>.<name>).partitionedBy(bucket(N, conv_id)) with
+    createOrReplace/append per mode, and reads through read.table — verified
+    against mocks so a refactor can't silently change the catalog API calls."""
+    from unittest.mock import MagicMock
+
+    io = TableIO(spark, "cat.db", num_buckets=16, mode="iceberg")
+    df = MagicMock()
+    io.write(df, "transcripts", bucket_col="conv_id", mode="overwrite")
+    df.writeTo.assert_called_once_with("cat.db.transcripts")
+    w = df.writeTo.return_value
+    (args, _) = w.partitionedBy.call_args
+    assert "bucket(16, conv_id)" in str(args[0])  # a real F.bucket Column
+    w.partitionedBy.return_value.createOrReplace.assert_called_once()
+    w.partitionedBy.return_value.append.assert_not_called()
+
+    df2 = MagicMock()
+    io.append(df2, "transcripts")
+    df2.writeTo.return_value.partitionedBy.return_value.append.assert_called_once()
+
+    # unbucketed write: no partitionedBy in the chain
+    df3 = MagicMock()
+    io.write(df3, "lineage", bucket_col=None)
+    df3.writeTo.return_value.partitionedBy.assert_not_called()
+    df3.writeTo.return_value.createOrReplace.assert_called_once()
+
+    fake_spark = MagicMock()
+    io_r = TableIO(fake_spark, "cat.db", mode="iceberg")
+    io_r.read("transcripts")
+    fake_spark.read.table.assert_called_once_with("cat.db.transcripts")

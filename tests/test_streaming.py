@@ -131,6 +131,68 @@ def test_stateful_contiguity(spark, tmp_path):
     assert dup and dup[0]["conv_id"] == "conv-00000003" and dup[0]["turn_idx"] == 2
 
 
+def test_stateful_ts_regression_across_batches(spark, tmp_path):
+    """W1 ordering for streams: a later micro-batch delivering an event time
+    EARLIER than the conversation's already-seen max must emit a
+    ts_regression violation (stateless windows only see within-batch)."""
+    from schema_enforcer_spark.streaming.stateful import stream_stateful_contiguity
+
+    base = gen_transcripts(spark, n_convs=4, seed=42)
+    # batch 2: a NEW turn (no duplicate) for conv 2 with a ts far in the past
+    late = (
+        base.filter("conv_id = 'conv-00000002'")
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("mx"))
+        .join(base, "conv_id")
+        .filter("turn_idx = 0")
+        .select(
+            "conv_id",
+            (F.col("mx") + 1).cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            (F.col("ts") - F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            "partition_id",
+        )
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    import shutil
+
+    def _copy(df, tag):
+        p = str(tmp_path / tag)
+        df.select(*base.columns).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(p, f), os.path.join(src_dir, f"{tag}_{f}"))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = spark.readStream.schema(base.schema).parquet(src_dir)
+
+    def run_once():
+        q = (
+            stream_stateful_contiguity(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    _copy(base, "b1")
+    assert run_once() == []  # in-order first batch: nothing fires
+    _copy(late, "b2")
+    rows = run_once()
+    reg = [r for r in rows if r["kind"] == "ts_regression"]
+    assert len(reg) == 1 and reg[0]["conv_id"] == "conv-00000002"
+    assert "earlier than" in reg[0]["message"]
+    # the new turn_idx is contiguous, so no duplicate row fired
+    assert not [r for r in rows if r["kind"] == "duplicate_or_regressed"]
+
+
 def test_stream_session_stats(spark, stream_src):
     from schema_enforcer_spark.streaming import stream_session_stats
 
