@@ -685,6 +685,22 @@ def q40_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q41_term_doc_freq(spark, sf_dir):
+    """Vocabulary document-frequency top-k (the vocab-building corpus pass):
+    distinct terms per doc → explode → groupBy(term) count → top 20 by
+    document frequency with a total tiebreak. One explode + one shuffle on
+    term; top-k is TakeOrderedAndProject (no full sort)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = textops.tokens(F.lower(F.col("text")))
+    term_doc = docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+    return (
+        term_doc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -733,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_contamination": q38_contamination,
         "q39_range_join": q39_range_join,
         "q40_simhash_near_dups": q40_simhash_near_dups,
+        "q41_term_doc_freq": q41_term_doc_freq,
     }
 
 
@@ -1224,6 +1241,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.click_id, c.user_id, s.signup_id
         FROM c JOIN s ON c.user_id = s.user_id AND c.ts_e BETWEEN s.start_e AND s.end_e
         ORDER BY c.click_id, s.signup_id
+    """
+
+    sqls["q41_term_doc_freq"] = r"""
+        WITH t AS (
+          SELECT UNNEST(LIST_DISTINCT(LIST_FILTER(
+                   STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0))) AS term
+          FROM documents
+        )
+        SELECT term, COUNT(*) AS doc_freq FROM t
+        GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
     """
 
     sqls["q30_merge_defaults"] = """

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q38_contamination",
     "q39_range_join",
     "q40_simhash_near_dups",
+    "q41_term_doc_freq",
 ]
 
 

@@ -47,6 +47,9 @@ ROW_RULE_KINDS = {
     "multiple_of",   # P11
     "unique_items",  # P13  (array column: elements distinct within the cell)
     "not_empty",     # convenience: required + minLength 1
+    "any_of",        # Draft-7 anyOf: value valid under >=1 of the sub-checks
+    "one_of",        # Draft-7 oneOf: valid under exactly 1 sub-check
+    "not",           # Draft-7 not: must NOT be valid under the sub-check
     "items",         # P12/P5 nested: per-element check on an array column
                      # (optionally on a struct field of each element) — the
                      # reference's items/properties walk re-expressed as one
@@ -64,6 +67,8 @@ TABLE_RULE_KINDS = {
     "strict_columns",  # P12: additionalProperties false at table grain
     "conditional",   # tool non-null iff role='tool' style implications
     "drift",         # A8: KS/PSI vs a baseline histogram
+    "sequence",      # W1 extension: allowed value transitions per partition
+                     # (e.g. role alternation in a transcript: user→assistant)
 }
 
 RULE_KINDS = ROW_RULE_KINDS | TABLE_RULE_KINDS
@@ -117,6 +122,17 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "right": {},
                     "when": {"type": "object"},
                     "then": {"type": "object"},
+                    "checks": {
+                        "type": "array",
+                        "minItems": 1,
+                        "items": {"type": "object", "required": ["kind"]},
+                    },
+                    "allowed_transitions": {
+                        "type": "array",
+                        "minItems": 1,
+                        "items": {"type": "array", "minItems": 2, "maxItems": 2},
+                    },
+                    "allowed_start": {"type": "array"},
                     "metric": {"enum": ["ks", "psi"]},
                     "threshold": {"type": "number"},
                     "baseline": {},
@@ -153,6 +169,10 @@ _PER_KIND_REQUIRED = {
     "strict_columns": [],
     "conditional": ["when", "then"],
     "drift": ["column", "metric", "threshold", "baseline"],
+    "sequence": ["column", "partition_by", "order_by", "allowed_transitions"],
+    "any_of": ["column", "checks"],
+    "one_of": ["column", "checks"],
+    "not": ["column", "checks"],
 }
 
 

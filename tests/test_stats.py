@@ -92,8 +92,9 @@ def test_numeric_profile(spark, transcripts):
 
 
 def test_q20_hll_within_epsilon_of_exact(spark):
-    """q20's rows-only driver check gets a local invariant: approx distinct
-    per column within 5% of the exact count on the same table."""
+    """q20 is now an oracle-replicable assertion (exact distinct + boolean
+    within-2%-of-exact); every column must report within_tolerance AND the
+    exact counts must agree with q08's n_distinct."""
     import os
     import sys
 
@@ -101,12 +102,13 @@ def test_q20_hll_within_epsilon_of_exact(spark):
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    approx = {r["column"]: r["approx_distinct"] for r in entry.q20_stats_hll(spark, sf).collect()}
+    rows = {r["col_name"]: r for r in entry.q20_stats_hll(spark, sf).collect()}
     exact = {
-        r["col_name"]: r["n_distinct"]
+        r["col_name"]: int(r["n_distinct"])
         for r in entry.q08_column_stats_events(spark, sf).collect()
-        if r["col_name"] in approx
+        if r["col_name"] in rows
     }
-    for col, a in approx.items():
-        if col in exact and exact[col]:
-            assert abs(a - exact[col]) / exact[col] < 0.05, f"{col}: approx={a} exact={exact[col]}"
+    assert rows, "q20 returned no rows"
+    for col, r in rows.items():
+        assert r["within_tolerance"], f"{col}: HLL estimate outside 2% of exact {r['n_exact']}"
+        assert r["n_exact"] == exact[col], f"{col}: n_exact {r['n_exact']} != q08 {exact[col]}"
