@@ -103,6 +103,35 @@ EVENTS_AGG = manifest_from_dict(
     }
 )
 
+EVENTS_COMPOSITION = manifest_from_dict(
+    {
+        "id": "schemas/events_comp",
+        "table": "events",
+        "rules": [
+            # Draft-7 anyOf: value must be <=300 OR >=350 (flags the gap)
+            {
+                "kind": "any_of",
+                "column": "value",
+                "checks": [
+                    {"kind": "range", "maximum": 300.0},
+                    {"kind": "range", "minimum": 350.0},
+                ],
+            },
+            # Draft-7 oneOf: overlapping bands — 100..200 satisfies both
+            {
+                "kind": "one_of",
+                "column": "value",
+                "checks": [
+                    {"kind": "range", "maximum": 200.0},
+                    {"kind": "range", "minimum": 100.0},
+                ],
+            },
+            # dependentRequired: an event with a type must carry props
+            {"kind": "dependent_required", "column": "event_type", "requires": ["props"]},
+        ],
+    }
+)
+
 _INST = "CAST(pmod(user_id, 16) AS STRING)"
 
 
@@ -701,6 +730,82 @@ def q41_term_doc_freq(spark, sf_dir):
     )
 
 
+def q42_composition_validation(spark, sf_dir):
+    """Draft-7 composition keywords compiled to boolean Catalyst algebra
+    (anyOf / oneOf / dependentRequired — SURVEY §2.2 P5 extension): same
+    single-pass violation projection as q02, zero extra scans per keyword."""
+    ev = _t(spark, sf_dir, "events")
+    return _flat(_events_engine(EVENTS_COMPOSITION).violations(ev))
+
+
+def q43_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate fragment detection (frequent word 4-grams, doc-frequency
+    >= 3): per-doc count + fraction of grams that are corpus boilerplate.
+    One explode → df groupBy (shuffle on gram) → broadcast join of the tiny
+    frequent head → groupBy doc_id."""
+    from schema_enforcer_spark.functions.textops import boilerplate_report
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        boilerplate_report(docs, n=4, min_df=3)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            "boilerplate_fraction",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q44_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking for context-window preprocessing: 64-token
+    windows, 16-token overlap. scan → project → generate, zero shuffles."""
+    from schema_enforcer_spark.functions.sampling import chunk_documents
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        chunk_documents(docs, chunk_tokens=64, overlap=16)
+        .select("doc_id", "chunk_idx", F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"), "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def q45_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (domain reweighting): en kept
+    at 50%, zh at 25%, everything else at 10% — md5-bucket filter, no
+    shuffle until the summary agg."""
+    from schema_enforcer_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.25}, default_rate=0.1)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+def q46_quantile_check(spark, sf_dir):
+    """approx_percentile rank-accuracy assertion (oracle-replicable, like
+    q20's HLL form): the estimate's rank interval must sit within
+    1/accuracy (+slack) of each requested p."""
+    from schema_enforcer_spark.stats import quantile_accuracy_report
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_accuracy_report(ev, "value", ps=(0.25, 0.5, 0.75, 0.9, 0.99), accuracy=10000).orderBy("p")
+
+
+def q47_centroid_stats(spark, sf_dir):
+    """Per-label embedding centroids quantized at 1e-6 (IVF-cell stats):
+    posexplode → integer micro-unit sums (order-independent, exact) →
+    floor-div mean."""
+    from schema_enforcer_spark.functions.similarity import centroid_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_stats(emb).orderBy("label", "dim")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -750,6 +855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_range_join": q39_range_join,
         "q40_simhash_near_dups": q40_simhash_near_dups,
         "q41_term_doc_freq": q41_term_doc_freq,
+        "q42_composition_validation": q42_composition_validation,
+        "q43_boilerplate_ngrams": q43_boilerplate_ngrams,
+        "q44_doc_chunks": q44_doc_chunks,
+        "q45_stratified_sample": q45_stratified_sample,
+        "q46_quantile_check": q46_quantile_check,
+        "q47_centroid_stats": q47_centroid_stats,
     }
 
 
@@ -1384,5 +1495,116 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, ROUND({_sql_cosine('embedding', f'[{qv}]')}, 6) AS cosine
         FROM b WHERE bucket IN ({probe_list})
         ORDER BY ROUND({_sql_cosine('embedding', f'[{qv}]')}, 6) DESC, vec_id ASC LIMIT 20
+    """
+
+    sqls["q42_composition_validation"] = """
+        SELECT 'schemas/events_comp/any_of/value' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':value' AS path,
+               CAST(value AS VARCHAR) AS failing_value,
+               CAST(value AS VARCHAR) || ' is not valid under any of the given schemas' AS message
+        FROM events
+        WHERE value IS NOT NULL AND NOT (value <= 300.0 OR value >= 350.0)
+        UNION ALL
+        SELECT 'schemas/events_comp/one_of/value', 'FAIL',
+               CAST(user_id % 16 AS VARCHAR),
+               CAST(event_id AS VARCHAR) || ':value',
+               CAST(value AS VARCHAR),
+               CAST(value AS VARCHAR) ||
+                 CASE WHEN (CASE WHEN value <= 200.0 THEN 1 ELSE 0 END
+                          + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) > 1
+                      THEN ' is valid under more than one of the given schemas'
+                      ELSE ' is not valid under any of the given schemas' END
+        FROM events
+        WHERE value IS NOT NULL
+          AND (CASE WHEN value <= 200.0 THEN 1 ELSE 0 END
+             + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) <> 1
+        UNION ALL
+        SELECT 'schemas/events_comp/dependent_required/event_type', 'FAIL',
+               CAST(user_id % 16 AS VARCHAR),
+               CAST(event_id AS VARCHAR) || ':event_type',
+               event_type,
+               '''props'' is a dependency of ''event_type'''
+        FROM events WHERE event_type IS NOT NULL AND props IS NULL
+    """
+
+    sqls["q43_boilerplate_ngrams"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(toks) >= 4
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END)) AS gram
+          FROM t
+        ), f AS (
+          SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 3
+        ), per_doc AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 COUNT(f.gram) AS n_boilerplate
+          FROM g LEFT JOIN f ON g.gram = f.gram
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+               CASE WHEN COALESCE(p.n_grams, 0) > 0
+                    THEN ROUND(p.n_boilerplate / p.n_grams, 6) ELSE 0.0 END AS boilerplate_fraction
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
+    """
+
+    sqls["q44_doc_chunks"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> LENGTH(x) > 0) AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks, LEN(toks) AS n,
+                 1 + (GREATEST(LEN(toks) - 64, 0) + 47) // 48 AS n_chunks
+          FROM t WHERE LEN(toks) > 0
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(LEN(toks[(i*48 + 1):(i*48 + 64)]) AS INT) AS n_chunk_tokens,
+               ARRAY_TO_STRING(toks[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+        FROM c, UNNEST(RANGE(0, n_chunks)) AS u(i)
+        ORDER BY doc_id, chunk_idx
+    """
+
+    sqls["q45_stratified_sample"] = """
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) AS UBIGINT) % 10000 AS b
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        FROM s
+        WHERE b < (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END)
+        GROUP BY lang ORDER BY lang
+    """
+
+    # q46: like q20, the approx sketch's raw output is engine-specific; the
+    # deterministic surface is (p, n_total, within_tolerance) and the oracle
+    # asserts the tolerance holds (TRUE) — a Spark-side rank-interval breach
+    # would hash-mismatch.
+    sqls["q46_quantile_check"] = """
+        SELECT CAST(p AS DOUBLE) AS p, (SELECT COUNT(value) FROM events) AS n_total,
+               TRUE AS within_tolerance
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(p)
+        ORDER BY p
+    """
+
+    sqls["q47_centroid_stats"] = """
+        WITH e AS (
+          SELECT label, CAST(u.i - 1 AS INT) AS dim,
+                 CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS e6
+          FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS u(i)
+        ), agg AS (
+          SELECT label, dim, COUNT(*) AS n_vecs, SUM(e6) AS s FROM e GROUP BY label, dim
+        )
+        SELECT label, dim, n_vecs,
+               CAST((s - ((s % n_vecs + n_vecs) % n_vecs)) / n_vecs AS BIGINT) AS mean_e6
+        FROM agg ORDER BY label, dim
     """
     return sqls

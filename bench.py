@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "q39_range_join",
     "q40_simhash_near_dups",
     "q41_term_doc_freq",
+    "q42_composition_validation",
+    "q43_boilerplate_ngrams",
+    "q44_doc_chunks",
+    "q45_stratified_sample",
+    "q46_quantile_check",
+    "q47_centroid_stats",
 ]
 
 

@@ -15,7 +15,9 @@ format strings /root/reference/tests/conftest.py:9-20).
 
 from __future__ import annotations
 
+import operator
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -193,6 +195,51 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
     elif kind == "unique_items":
         pred = col.isNull() | (F.array_size(F.array_distinct(col)) == F.array_size(col))
         msg = F.concat(F.to_json(col), F.lit(" has non-unique elements"))
+    elif kind in ("any_of", "one_of", "not"):
+        # Draft-7 composition (anyOf / oneOf / not — jsonschema/_validators.py
+        # anyOf_draft4 etc.): each entry of `checks` is a sub-schema expressed
+        # as a scalar rule spec ({kind: range, maximum: 5}); the composition
+        # is pure boolean algebra over the sub-predicates, still one
+        # projection inside whole-stage codegen. NULL always passes (the
+        # engine-wide convention: only `required`/`not_empty` fail on NULL) —
+        # matching jsonschema, where a missing property is never validated.
+        subs = [compile_check(col, dtype, spec["kind"], spec.get, label)[0] for spec in get("checks")]
+        if kind == "any_of":
+            pred = col.isNull() | reduce(operator.or_, subs)
+            msg = F.concat(rep, F.lit(" is not valid under any of the given schemas"))
+        elif kind == "one_of":
+            n_valid = reduce(operator.add, (s.cast("int") for s in subs))
+            pred = col.isNull() | (n_valid == 1)
+            msg = F.when(
+                n_valid > 1, F.concat(rep, F.lit(" is valid under more than one of the given schemas"))
+            ).otherwise(F.concat(rep, F.lit(" is not valid under any of the given schemas")))
+        else:  # not: must NOT satisfy the conjunction of the sub-checks
+            pred = col.isNull() | ~reduce(operator.and_, subs)
+            msg = F.concat(rep, F.lit(" should not be valid under the given schema"))
+    elif kind == "const":
+        v = get("value")
+        pred = col.isNull() | col.eqNullSafe(F.lit(v))
+        msg = F.lit(f"{v!r} was expected")
+    elif kind == "contains":
+        # Draft-6+ `contains`: array must hold >=1 element satisfying the
+        # sub-check — one exists() over the cell, like the items rule but
+        # existential instead of universal.
+        if not isinstance(dtype, T.ArrayType):
+            raise ValueError(f"contains rule needs an array column, got {dtype.simpleString()}")
+        sub_kind = get("check")
+        elem_dt = dtype.elementType
+        pred = col.isNull() | F.exists(col, lambda e: compile_check(e, elem_dt, sub_kind, get, label)[0])
+        msg = F.concat(F.to_json(col), F.lit(" does not contain items matching the given schema"))
+    elif kind == "dependent_required":
+        # Draft-2019 dependentRequired / Draft-7 `dependencies` with a
+        # property list: when `column` is present (non-null), every column in
+        # `requires` must also be present. Message parity:
+        # "%r is a dependency of %r" (jsonschema/_validators.py dependencies).
+        conds = [
+            (F.col(r).isNull(), F.lit(f"'{r}' is a dependency of '{label}'")) for r in get("requires")
+        ]
+        pred = col.isNull() | ~reduce(operator.or_, [c for c, _ in conds])
+        msg = F.coalesce(*[F.when(c, m) for c, m in conds], F.lit(""))
     else:
         raise ValueError(f"not a row rule: {kind}")
     return pred, msg

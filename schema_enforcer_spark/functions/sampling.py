@@ -58,6 +58,86 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the domain-reweighting /
+    temperature-sampling primitive): keep a row iff its md5 bucket falls
+    under its stratum's rate. Pure filter — no shuffle, no sort, no
+    randomness; re-runs and repartitions keep exactly the same rows, and a
+    stratum's sample only grows monotonically when its rate is raised (the
+    property an ablation grid needs). Unknown strata use default_rate.
+    """
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"stratified_sample rate for {name!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    buckets = 10000
+    b = split_bucket(F.col(id_col), seed, buckets)
+    # round, don't truncate — same boundary hazard as hash_split
+    cutoff = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col).eqNullSafe(F.lit(name))
+        lim = F.lit(int(round(r * buckets)))
+        cutoff = F.when(cond, lim) if cutoff is None else cutoff.when(cond, lim)
+    cutoff = (
+        cutoff.otherwise(F.lit(int(round(default_rate * buckets))))
+        if cutoff is not None
+        else F.lit(int(round(default_rate * buckets)))
+    )
+    return df.filter(b < cutoff)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking (context-window preprocessing):
+    split each doc's whitespace tokens into windows of `chunk_tokens` with
+    `overlap` tokens shared between consecutive windows (stride =
+    chunk_tokens - overlap); the final window may be short. Emits
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    All pure expressions: tokenize once (projection barrier), build the
+    window index with integer math (no float ceil — oracle-exact), slice +
+    posexplode. scan → project → generate; zero shuffles, codegen
+    throughout. Empty/whitespace-only docs emit no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    staged = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    # chunks = 1 + ceil(max(n - chunk, 0) / stride), via integer ceil-div
+    extra = F.greatest(F.col("_n") - chunk_tokens, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + (stride - 1)) / F.lit(stride))).cast("int")
+    windows = F.when(
+        F.col("_n") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "_w"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_w").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_w").alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -166,6 +166,51 @@ def ivf_topk(
     )
 
 
+def centroid_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid statistics (the IVF-cell / class-prototype quality
+    pass): for every (label, dimension), the member count and the centroid
+    coordinate quantized at 1e-6.
+
+    Determinism: float sums are order-dependent, so each element is floored
+    to an integer micro-unit FIRST (floor(v * 1e6) as bigint) and the sum
+    runs in exact integer arithmetic — associative, engine-portable, oracle-
+    replicable bit-for-bit. The centroid coordinate is the integer floor-div
+    mean (mean_e6). Shape: one posexplode (dim × rows) → one shuffle on
+    (label, dim) with map-side partial agg; no collect, no all-pairs.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    )
+    return (
+        exploded.withColumn("_e6", F.floor(F.col("_v").cast("double") * 1e6).cast("long"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_e6").alias("_sum_e6"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("_sum_e6") - F.pmod(F.col("_sum_e6"), F.col("n_vecs")))
+            .cast("long")
+            .alias("_num"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("_num") / F.col("n_vecs")).cast("long").alias("mean_e6"),
+        )
+    )
+
+
 def topk_per_probe_recall(df: DataFrame, query_vec: list[float], k: int, **kw) -> float:
     """Recall@k of lsh_topk vs brute force — bench/diagnostic helper."""
     exact = {r[0] for r in brute_force_topk(df, query_vec, k, **{k_: v for k_, v in kw.items() if k_ in ("vec_col", "id_col")}).collect()}

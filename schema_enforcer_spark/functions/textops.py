@@ -191,6 +191,82 @@ def repetition_ratio(text: Column, n: int = 4) -> Column:
     return _ratio_of_grams(word_ngrams(text, n))
 
 
+def exploded_distinct_ngrams(df, text_col: str = "text", id_col: str = "doc_id", n: int = 4):
+    """(id, gram) pairs — each doc's DISTINCT word n-grams, exploded. The
+    shared first stage of corpus-level n-gram analyses (doc-frequency,
+    boilerplate detection). Docs shorter than n tokens contribute no rows.
+    One scan → one explode; no shuffle here (the caller's groupBy shuffles).
+    """
+    grams = F.array_distinct(F.coalesce(word_ngrams(F.col(text_col), n), F.array().cast("array<string>")))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def ngram_doc_freq(df, text_col: str = "text", id_col: str = "doc_id", n: int = 4):
+    """Corpus document frequency per word n-gram: explode distinct grams →
+    one shuffle on gram with map-side partial aggregation. The vocabulary
+    pass behind boilerplate detection and contamination screens."""
+    return exploded_distinct_ngrams(df, text_col, id_col, n).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+
+
+def boilerplate_report(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_df: int = 5,
+):
+    """Per-document boilerplate measurement (the CCNet/RefinedWeb-style
+    frequent-fragment signal, n-gram grain): an n-gram is *boilerplate* when
+    it appears in >= min_df distinct documents; each doc reports how much of
+    it is made of such grams.
+
+    Shape at scale: the distinct-gram explode is derived twice — once for
+    the doc-frequency groupBy (shuffle on gram, partial agg) and once for
+    the left broadcast-join of the frequent-gram set (deliberate: shingle
+    derivation is cheap codegen; persisting the exploded table would cost
+    more IO than recomputing it — same trade as word_shingles in minhash).
+    Zipf guarantees df >= min_df keeps only a tiny head — that's the
+    broadcast side; if a corpus ever produced a huge frequent set, raise
+    min_df. The per-doc counts then groupBy the doc id (second shuffle,
+    proportional to docs). No all-pairs work, nothing driver-side.
+
+    Returns (id, n_grams, n_boilerplate, boilerplate_fraction); docs with
+    fewer than n tokens report 0 grams / fraction 0.0.
+    """
+    grams = exploded_distinct_ngrams(df, text_col, id_col, n)
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .select("gram", F.lit(1).alias("_hit"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(frequent), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_boilerplate"),
+        )
+    )
+    ids = df.select(id_col)
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(F.col("n_boilerplate") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_fraction"),
+        )
+    )
+
+
 def with_repetition_ratio(df, text_col: str = "text", out_col: str = "rep_ratio", n: int = 4):
     """DataFrame-level repetition ratio that evaluates the n-gram transform
     ONCE per row: the grams array is materialized in an inner projection,

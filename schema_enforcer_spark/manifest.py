@@ -50,6 +50,9 @@ ROW_RULE_KINDS = {
     "any_of",        # Draft-7 anyOf: value valid under >=1 of the sub-checks
     "one_of",        # Draft-7 oneOf: valid under exactly 1 sub-check
     "not",           # Draft-7 not: must NOT be valid under the sub-check
+    "const",         # Draft-6 const: value must equal the literal
+    "contains",      # Draft-6 contains: array holds >=1 element passing check
+    "dependent_required",  # Draft-2019 dependentRequired: col present => others present
     "items",         # P12/P5 nested: per-element check on an array column
                      # (optionally on a struct field of each element) — the
                      # reference's items/properties walk re-expressed as one
@@ -141,6 +144,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "id": {"type": "string"},
                     "field": {"type": "string"},
                     "check": {"type": "string"},
+                    "value": {},
+                    "requires": {"type": "array", "minItems": 1, "items": {"type": "string"}},
                 },
                 "additionalProperties": False,
             },
@@ -173,6 +178,21 @@ _PER_KIND_REQUIRED = {
     "any_of": ["column", "checks"],
     "one_of": ["column", "checks"],
     "not": ["column", "checks"],
+    "const": ["column", "value"],
+    "contains": ["column", "check"],
+    "dependent_required": ["column", "requires"],
+}
+
+# Sub-schema kinds allowed inside any_of/one_of/not `checks` entries: scalar
+# row checks only (no nesting, no items/contains — the composition predicate
+# must stay a plain boolean expression over one column).
+_COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
+    "items",
+    "contains",
+    "any_of",
+    "one_of",
+    "not",
+    "dependent_required",
 }
 
 
@@ -268,9 +288,42 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "inside an array-element lambda; explode the array and use a "
                         "plain format rule instead"
                     )
+        if kind in ("any_of", "one_of", "not") and isinstance(rule.get("checks"), list):
+            for j, spec in enumerate(rule["checks"]):
+                if not isinstance(spec, dict):
+                    continue
+                sub = spec.get("kind")
+                if sub not in _COMPOSABLE_CHECK_KINDS:
+                    errors.append(
+                        f"rules/{i}: {kind} checks/{j} must be a scalar row-rule kind, got {sub!r}"
+                    )
+                    continue
+                for req in _PER_KIND_REQUIRED.get(sub, []):
+                    if req != "column" and req not in spec:
+                        errors.append(f"rules/{i}: {kind} checks/{j} kind {sub!r} requires field {req!r}")
+                if sub == "range" and not (
+                    {"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & spec.keys()
+                ):
+                    errors.append(f"rules/{i}: {kind} checks/{j} range needs at least one bound")
+                if sub == "length" and not ({"min_length", "max_length"} & spec.keys()):
+                    errors.append(f"rules/{i}: {kind} checks/{j} length needs min_length or max_length")
+        if kind == "contains":
+            check = rule.get("check")
+            if check not in _COMPOSABLE_CHECK_KINDS:
+                errors.append(f"rules/{i}: contains 'check' must be a scalar row-rule kind, got {check!r}")
+            else:
+                for req in _PER_KIND_REQUIRED.get(check, []):
+                    if req != "column" and req not in rule:
+                        errors.append(f"rules/{i}: contains check {check!r} requires field {req!r}")
+                if check == "format" and rule.get("format") == "regex":
+                    errors.append(
+                        f"rules/{i}: format 'regex' is a Python-UDF check and cannot run "
+                        "inside an array-element lambda; explode the array and use a "
+                        "plain format rule instead"
+                    )
         # range/length bound requirements apply whether the check is the rule
-        # kind itself or an items sub-check
-        effective = rule.get("check") if kind == "items" else kind
+        # kind itself or an items/contains sub-check
+        effective = rule.get("check") if kind in ("items", "contains") else kind
         if effective == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):

@@ -132,6 +132,59 @@ def hll_accuracy_report(df: DataFrame, columns: list[str], rel_tol: float = 0.02
     return wide.select(F.explode(structs).alias("s")).select("s.*")
 
 
+def quantile_accuracy_report(
+    df: DataFrame,
+    column: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 10000,
+    slack: float = 0.005,
+) -> DataFrame:
+    """Oracle-replicable accuracy check for ``approx_percentile``: per
+    requested quantile p, emit (p, n_total, within_tolerance) where
+    within_tolerance asserts the estimate's RANK interval contains a point
+    within eps = 1/accuracy (+ slack) of p — the actual guarantee
+    approx_percentile makes (rank error, not value error). Duplicates make
+    a single value own a rank *interval* [count(<v), count(<=v)], so the
+    check is interval containment, not a point comparison:
+
+        count(x < est)/n <= p + eps   AND   count(x <= est)/n >= p - eps
+
+    Like hll_accuracy_report, the raw estimates are engine-specific but the
+    boolean + count are deterministic, so a SQL oracle reproduces
+    rows/schema/hash while the sketch runs for real. Two distributed passes
+    (one agg for the estimates, one for the rank counts via a broadcast of
+    the single estimate row); nothing driver-side.
+    """
+    eps = 1.0 / accuracy + slack
+    est = df.agg(
+        F.percentile_approx(column, list(ps), accuracy).alias("_est"),
+        F.count(column).alias("_n"),
+    )
+    joined = df.join(F.broadcast(est))
+    rank_aggs = []
+    for i in range(len(ps)):
+        e = F.col("_est")[i]
+        rank_aggs += [
+            F.sum((F.col(column) < e).cast("long")).alias(f"_lt_{i}"),
+            F.sum((F.col(column) <= e).cast("long")).alias(f"_le_{i}"),
+        ]
+    wide = joined.groupBy("_n").agg(*rank_aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.col("_n").cast("bigint").alias("n_total"),
+                (
+                    (F.col(f"_lt_{i}") / F.col("_n") <= F.lit(p + eps))
+                    & (F.col(f"_le_{i}") / F.col("_n") >= F.lit(p - eps))
+                ).alias("within_tolerance"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
 def numeric_profile(df: DataFrame, columns: list[str], percentiles: list[float] | None = None) -> DataFrame:
     """Approximate percentile profile per numeric column — one pass via
     approx_percentile (t-digest-backed, mergeable across partitions).

@@ -1,0 +1,191 @@
+"""Draft-7 composition keywords (anyOf/oneOf/not — jsonschema
+_validators.py) plus const / contains / dependentRequired, cross-checked
+against a real Draft7Validator the same way test_property_based.py does.
+The reference validates these through jsonschema itself
+(/root/reference/schema_enforcer/schemas/jsonschema.py:90-101); here they
+compile to boolean Catalyst expressions in one projection."""
+
+from __future__ import annotations
+
+import jsonschema
+import pytest
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import (
+    InvalidManifest,
+    Manifest,
+    Rule,
+    manifest_from_dict,
+)
+
+
+def _flagged(spark, rules, rows, ddl="id long, v string"):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], ddl)
+    m = Manifest(id="comp", rules=tuple(rules))
+    return {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+
+
+def _oracle(schema, rows):
+    v = jsonschema.Draft7Validator(schema)
+    out = set()
+    for i, val in enumerate(rows):
+        inst = {} if val is None else {"v": val}
+        if any(True for _ in v.iter_errors(inst)):
+            out.add(i)
+    return out
+
+
+ROWS = [None, "", "abc", "abcdef", "xy-zw", "hello world", "abc abc", "zzzz"]
+
+
+def test_any_of_matches_jsonschema(spark):
+    rules = [
+        Rule(
+            kind="any_of",
+            params={
+                "column": "v",
+                "checks": [
+                    {"kind": "enum", "values": ["abc", "zzzz"]},
+                    {"kind": "pattern", "pattern": "^hello"},
+                ],
+            },
+        )
+    ]
+    schema = {
+        "type": "object",
+        "properties": {"v": {"anyOf": [{"enum": ["abc", "zzzz"]}, {"pattern": "^hello"}]}},
+    }
+    assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
+
+
+def test_one_of_matches_jsonschema(spark):
+    # overlapping sub-schemas: 'abc' matches both (flagged), 'abcdef' only
+    # the length check, 'zzzz' only the enum
+    rules = [
+        Rule(
+            kind="one_of",
+            params={
+                "column": "v",
+                "checks": [
+                    {"kind": "enum", "values": ["abc", "zzzz"]},
+                    {"kind": "length", "min_length": 3, "max_length": 6},
+                ],
+            },
+        )
+    ]
+    schema = {
+        "type": "object",
+        "properties": {
+            "v": {"oneOf": [{"enum": ["abc", "zzzz"]}, {"minLength": 3, "maxLength": 6}]}
+        },
+    }
+    assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
+
+
+def test_not_matches_jsonschema(spark):
+    rules = [
+        Rule(
+            kind="not",
+            params={"column": "v", "checks": [{"kind": "pattern", "pattern": "abc"}]},
+        )
+    ]
+    schema = {"type": "object", "properties": {"v": {"not": {"pattern": "abc"}}}}
+    assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
+
+
+def test_const_matches_jsonschema(spark):
+    rules = [Rule(kind="const", params={"column": "v", "value": "abc"})]
+    schema = {"type": "object", "properties": {"v": {"const": "abc"}}}
+    assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
+    # message parity: jsonschema renders "%r was expected"
+    df = spark.createDataFrame([(0, "nope")], "id long, v string")
+    m = Manifest(id="comp", rules=tuple(rules))
+    [v] = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    assert v["message"] == "'abc' was expected"
+
+
+def test_contains_matches_jsonschema(spark):
+    rows = [None, [], [1, 2], [5, 60], [100], [0, -3]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v array<long>"
+    )
+    m = Manifest(
+        id="comp",
+        rules=(Rule(kind="contains", params={"column": "v", "check": "range", "minimum": 50}),),
+    )
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator(
+        {"type": "object", "properties": {"v": {"contains": {"minimum": 50}}}}
+    )
+    expect = {
+        i
+        for i, val in enumerate(rows)
+        if val is not None and any(True for _ in v.iter_errors({"v": val}))
+    }
+    assert flagged == expect
+
+
+def test_dependent_required_matches_jsonschema(spark):
+    rows = [
+        ("tool_call", "web_search"),
+        ("tool_call", None),
+        (None, None),
+        (None, "orphan_tool"),
+        ("plain", "calc"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, kind string, tool string"
+    )
+    m = Manifest(
+        id="comp",
+        rules=(Rule(kind="dependent_required", params={"column": "kind", "requires": ["tool"]}),),
+    )
+    out = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    flagged = {int(r["absolute_path"][0]) for r in out}
+    v = jsonschema.Draft7Validator({"type": "object", "dependencies": {"kind": ["tool"]}})
+    expect = set()
+    for i, (a, b) in enumerate(rows):
+        inst = {}
+        if a is not None:
+            inst["kind"] = a
+        if b is not None:
+            inst["tool"] = b
+        if any(True for _ in v.iter_errors(inst)):
+            expect.add(i)
+    assert flagged == expect
+    assert all(r["message"] == "'tool' is a dependency of 'kind'" for r in out)
+
+
+def test_composition_meta_validation():
+    # nested composition is rejected, as are missing sub-params
+    with pytest.raises(InvalidManifest, match="scalar row-rule kind"):
+        manifest_from_dict(
+            {
+                "id": "m",
+                "rules": [
+                    {"kind": "any_of", "column": "v", "checks": [{"kind": "any_of", "checks": []}]}
+                ],
+            }
+        )
+    with pytest.raises(InvalidManifest, match="requires field 'values'"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "one_of", "column": "v", "checks": [{"kind": "enum"}]}]}
+        )
+    with pytest.raises(InvalidManifest, match="at least one bound"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "not", "column": "v", "checks": [{"kind": "range"}]}]}
+        )
+    with pytest.raises(InvalidManifest, match="requires field 'requires'"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "dependent_required", "column": "v"}]}
+        )
+    with pytest.raises(InvalidManifest, match="scalar row-rule kind"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "contains", "column": "v", "check": "items"}]}
+        )

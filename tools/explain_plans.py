@@ -182,6 +182,66 @@ def main() -> None:
         notes8.append("OK: per-round label joins are equi-joins on the label key")
     sections.append(("Connected-components round (label propagation + pointer jump)", p8, notes8))
 
+    # 9. boilerplate detection (q43): the frequent-gram set joins back as a
+    # BROADCAST (Zipf head), never a shuffled join; no nested-loop anywhere
+    p9 = _formatted(entry.q43_boilerplate_ngrams(spark, sf))
+    notes9 = []
+    if "BroadcastHashJoin" in p9 and re.search(r"Left keys[^\n]*gram", p9):
+        notes9.append("OK: frequent-gram set broadcast (BroadcastHashJoin on gram)")
+    else:
+        problems.append("q43 frequent-gram join is not broadcast on gram")
+    if "CartesianProduct" in p9 or "BroadcastNestedLoopJoin" in p9:
+        problems.append("q43 contains a nested-loop/cartesian join")
+    else:
+        notes9.append("OK: no nested-loop/cartesian join")
+    sections.append(("Boilerplate n-gram detection (q43: broadcast frequent head)", p9, notes9))
+
+    # 10. document chunking (q44): scan → project → generate, ZERO shuffles
+    # (ignore the demo-only _spread rebalance of tiny single-file input and
+    # the final presentation orderBy — audit the raw operator instead)
+    from schema_enforcer_spark.functions.sampling import chunk_documents, stratified_sample
+
+    docs_raw = spark.read.parquet(f"{sf}/documents.parquet")
+    p10 = _formatted(chunk_documents(docs_raw, chunk_tokens=64, overlap=16))
+    notes10 = []
+    n_ex10 = len(re.findall(r"^\(\d+\) Exchange\s*$", p10, re.M))
+    if n_ex10 == 0:
+        notes10.append("OK: zero Exchanges — chunking is scan → project → generate")
+    else:
+        problems.append(f"chunk_documents has {n_ex10} Exchanges (want 0)")
+    if "Generate" in p10:
+        notes10.append("OK: windows materialize via Generate (posexplode), not a join")
+    sections.append(("Document chunking (q44: zero-shuffle generate)", p10, notes10))
+
+    # 11. stratified sample: pure Filter over the scan, zero shuffles, and
+    # the md5-bucket predicate stays inside whole-stage codegen
+    p11 = _formatted(stratified_sample(docs_raw, "doc_id", "lang", {"en": 0.5}, default_rate=0.1))
+    notes11 = []
+    n_ex11 = len(re.findall(r"^\(\d+\) Exchange\s*$", p11, re.M))
+    if n_ex11 == 0 and "Filter" in p11:
+        notes11.append("OK: deterministic sampling is a codegen Filter, zero Exchanges")
+    else:
+        problems.append(f"stratified_sample plan unexpected ({n_ex11} Exchanges)")
+    sections.append(("Stratified sampling (zero-shuffle deterministic filter)", p11, notes11))
+
+    # 12. centroid stats (q47): ONE shuffle on (label, dim) with map-side
+    # partial aggregation (HashAggregate before and after the Exchange)
+    from schema_enforcer_spark.functions.similarity import centroid_stats
+
+    emb_raw = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p12 = _formatted(centroid_stats(emb_raw))
+    notes12 = []
+    n_ex12 = len(re.findall(r"^\(\d+\) Exchange\s*$", p12, re.M))
+    if n_ex12 == 1:
+        notes12.append("OK: one Exchange on (label, dim)")
+    else:
+        problems.append(f"centroid_stats has {n_ex12} Exchanges (want 1)")
+    if p12.count("HashAggregate") >= 2:
+        notes12.append("OK: partial (map-side) + final aggregation around the Exchange")
+    else:
+        problems.append("centroid_stats lacks map-side partial aggregation")
+    sections.append(("Embedding centroid stats (q47: one exchange, partial agg)", p12, notes12))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
