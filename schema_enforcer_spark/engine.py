@@ -192,6 +192,27 @@ class ValidationEngine:
 
     def _compile_conditionals(self, df: DataFrame) -> list[CompiledRule]:
         out = []
+        def _branch(df, spec, label):
+            """Compile one then/else branch spec → (inner_pred, msg,
+            column_name, column)."""
+            tc_name = spec["column"]
+            tc = F.col(tc_name)
+            dtype = _dtype_of(df, tc_name)
+            rep = py_repr(tc, dtype)
+            if spec.get("required"):
+                inner, msg = tc.isNotNull(), F.lit(f"'{tc_name}' is a required property")
+            elif spec.get("is_null"):
+                inner, msg = tc.isNull(), F.concat(rep, F.lit(f" is not of type 'null'"))
+            elif "pattern" in spec:
+                inner = tc.isNull() | tc.rlike(spec["pattern"])
+                msg = F.concat(rep, F.lit(f" does not match {spec['pattern']!r}"))
+            elif "equals" in spec:
+                inner = tc.eqNullSafe(F.lit(spec["equals"]))
+                msg = F.concat(rep, F.lit(f" is not equal to {spec['equals']!r}"))
+            else:
+                raise ValueError(f"conditional '{label}' needs required/is_null/pattern/equals: {spec}")
+            return inner, msg, tc_name, tc
+
         for rule in self.manifest.table_rules:
             if rule.kind != "conditional":
                 continue
@@ -205,32 +226,31 @@ class ValidationEngine:
                 cond = wc.isNull()
             else:
                 raise ValueError(f"conditional 'when' needs equals/in/is_null: {when}")
-            tc_name = then["column"]
-            tc = F.col(tc_name)
-            dtype = _dtype_of(df, tc_name)
-            rep = py_repr(tc, dtype)
-            if then.get("required"):
-                inner, msg = tc.isNotNull(), F.lit(f"'{tc_name}' is a required property")
-            elif then.get("is_null"):
-                inner, msg = tc.isNull(), F.concat(rep, F.lit(f" is not of type 'null'"))
-            elif "pattern" in then:
-                inner = tc.isNull() | tc.rlike(then["pattern"])
-                msg = F.concat(rep, F.lit(f" does not match {then['pattern']!r}"))
-            elif "equals" in then:
-                inner = tc.eqNullSafe(F.lit(then["equals"]))
-                msg = F.concat(rep, F.lit(f" is not equal to {then['equals']!r}"))
+            inner, msg, tc_name, tc = _branch(df, then, "then")
+            # Draft-7 if/then/else: `otherwise` is the else-schema — applies
+            # exactly when the `when` condition does NOT hold. message and
+            # failing_value reflect whichever branch fired; absolute_path is
+            # rule-static (the then-branch column) because the violation
+            # projection builds paths at compile time.
+            if other := rule.params.get("otherwise"):
+                e_inner, e_msg, e_name, e_col = _branch(df, other, "otherwise")
+                pred = F.when(cond, inner).otherwise(e_inner)
+                msg = F.when(cond, msg).otherwise(e_msg)
+                failing = F.when(cond, tc.cast("string")).otherwise(e_col.cast("string"))
+                col_name = tc_name if tc_name == e_name else f"{tc_name}|{e_name}"
             else:
-                raise ValueError(f"conditional 'then' needs required/is_null/pattern/equals: {then}")
-            pred = ~cond | inner
+                pred = ~cond | inner
+                failing = tc.cast("string")
+                col_name = tc_name
             if m := rule.get("message"):
                 msg = F.lit(m)
             out.append(
                 CompiledRule(
-                    rule_id=rule.get("id") or f"{self.manifest.id}/conditional/{tc_name}",
+                    rule_id=rule.get("id") or f"{self.manifest.id}/conditional/{col_name}",
                     column=tc_name,
                     predicate=pred,
                     message=msg,
-                    failing_value=tc.cast("string"),
+                    failing_value=failing,
                 )
             )
         return out

@@ -381,6 +381,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    """Dot product against a LITERAL plane via zip_with+aggregate. HOFs are
+    interpreted (not whole-stage codegen), but the eval cost is linear and
+    modest; the tempting alternative — unrolling to a 64-term multiply-add
+    chain — makes janino's recursive codegen compiler fail outright at
+    n_planes×dim scale (InternalCompilerException), so the HOF form is the
+    ROBUST one. Fold is left-assoc from 0.0 — the order every SQL oracle
+    replica assumes."""
     return F.aggregate(
         F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a.cast("double") * b),
         F.lit(0.0),

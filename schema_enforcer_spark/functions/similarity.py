@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from schema_enforcer_spark.functions.dedup import _hyperplanes, _dot_lit, cosine
@@ -65,11 +65,10 @@ def lsh_topk(
             flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
             probes.add(flipped)
     bucket = F.concat(*[F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes])
-    q = _query_lit(query_vec)
     return (
         df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bucket"))
         .filter(F.col("_bucket").isin(*sorted(probes)))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -109,18 +108,29 @@ def ivf_build(
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
 
     def _nearest(vec: Column, cents: list[list[float]]) -> Column:
-        # argmin over squared L2 distance, expressed as a fold over literal
-        # centroid structs — all codegen, no UDF
-        best = None
+        # argmin over squared L2 distance via array_min over (d, cell)
+        # structs — LINEAR expression size. The previous when-chain fold
+        # (`when(pair.d < best.d, pair).otherwise(best)`) referenced `best`
+        # twice per level, doubling the tree per centroid: 2^n_cells subtree
+        # copies blew the driver heap at plan build for n_cells=16. The
+        # per-centroid distance stays a zip_with/aggregate HOF (interpreted
+        # but linear; unrolling all n_cells×dim terms into codegen
+        # arithmetic makes janino's recursive compiler fail outright).
+        # Ties pick the lower cell index (lexicographic struct ordering —
+        # same as the old strict-< fold).
+        pairs = []
         for ci, c in enumerate(cents):
             d = F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
                 F.lit(0.0),
                 lambda s, v: s + v,
             )
-            pair = F.struct(d.alias("d"), F.lit(ci).alias("cell"))
-            best = pair if best is None else F.when(pair["d"] < best["d"], pair).otherwise(best)
-        return best["cell"]
+            pairs.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+        return F.array_min(F.array(*pairs))["cell"]
 
     sample = df.sample(fraction=sample_fraction, seed=seed).withColumn("_cell", _nearest(F.col(vec_col), centroids))
     refined_rows = (
@@ -157,10 +167,9 @@ def ivf_topk(
         key=lambda ci: sum((a - b) ** 2 for a, b in zip(query_vec, centroids[ci])),
     )
     probe_cells = dists[:nprobe]
-    q = _query_lit(query_vec)
     return (
         assigned.filter(F.col("_cell").isin(probe_cells))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -125,6 +125,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "right": {},
                     "when": {"type": "object"},
                     "then": {"type": "object"},
+                    "otherwise": {"type": "object"},
                     "checks": {
                         "type": "array",
                         "minItems": 1,

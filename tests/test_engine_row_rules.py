@@ -83,6 +83,43 @@ def test_conditional_tool_required(spark, transcripts, base_manifest):
     assert len(viols) == n_tool_turns
 
 
+def test_conditional_with_else_branch(spark):
+    """Draft-7 if/then/else: `otherwise` fires exactly when `when` does not
+    hold — tool turns need a tool name, all OTHER roles must leave it null."""
+    from pyspark.sql import functions as F
+
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    rows = [
+        (0, "tool", "web_search"),   # pass (then)
+        (1, "tool", None),           # FAIL then: required
+        (2, "user", None),           # pass (else)
+        (3, "user", "stray_tool"),   # FAIL else: must be null
+    ]
+    df = spark.createDataFrame(rows, "id long, role string, tool string")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/ite",
+            "rules": [
+                {
+                    "kind": "conditional",
+                    "when": {"column": "role", "equals": "tool"},
+                    "then": {"column": "tool", "required": True},
+                    "otherwise": {"column": "tool", "is_null": True},
+                }
+            ],
+        }
+    )
+    viols = {
+        int(v["absolute_path"][0]): v
+        for v in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    assert set(viols) == {1, 3}
+    assert viols[1]["message"] == "'tool' is a required property"
+    assert viols[3]["message"] == "'stray_tool' is not of type 'null'"
+    assert viols[3]["failing_value"] == "stray_tool"
+
+
 def test_verdict_fail_partition_only(spark, transcripts, base_manifest):
     df = inject(transcripts, "invalid_enum")
     eng = ValidationEngine(_row_only(base_manifest))

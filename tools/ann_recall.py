@@ -33,7 +33,7 @@ def main() -> None:
     )
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ivf_sf_dir = os.environ.get("ANN_IVF_SF_DIR", "/root/testdata/sf0.01")
+    ivf_sf_dir = os.environ.get("ANN_IVF_SF_DIR", sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -51,10 +51,10 @@ def main() -> None:
     recall_lsh = topk_per_probe_recall(emb, QUERY_VEC, k, n_planes=8, multiprobe=True)
     recall_lsh_np = topk_per_probe_recall(emb, QUERY_VEC, k, n_planes=8, multiprobe=False)
 
-    # IVF at sf0.01: the nearest-centroid fold is 16 cells x 64 dims of
-    # literal expressions — codegen-heavy per ROW-BATCH compile, measured
-    # fine at sf0.01 but minutes at sf0.1 on this noisy host; recall is a
-    # property of the index geometry, not the corpus size
+    # IVF runs at the same sf as LSH since the nearest-centroid argmin
+    # became linear (array_min over (d, cell) structs — the old when-chain
+    # fold doubled the expression tree per centroid and OOMed the driver at
+    # plan build)
     emb_ivf = spark.read.parquet(f"{ivf_sf_dir}/embeddings.parquet")
     n_ivf = emb_ivf.count()
     assigned, cents = ivf_build(emb_ivf, n_cells=16)
@@ -80,6 +80,11 @@ Recall@{k} against the exact cosine top-{k} over {n:,} embeddings
 The oracle gate (q19) checks the approximate result DETERMINISTICALLY (the
 DuckDB twin replicates the probes exactly); this table is the complementary
 honesty number — how much of the true top-{k} the pruned scan retains.
+NOTE: the driver's synthetic embeddings are uniformly random (no cluster
+structure), the adversarial case for space-partitioning ANN — bucket
+membership barely correlates with cosine rank, so these recalls are FLOOR
+values; clustered real-world embeddings bucket far better. Single-probe
+recall@20 is capped near n/(k·2^planes) by bucket size alone.
 {MARK_END}"""
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
