@@ -806,6 +806,64 @@ def q47_centroid_stats(spark, sf_dir):
     return centroid_stats(emb).orderBy("label", "dim")
 
 
+def q48_cardinality_orders(spark, sf_dir):
+    """Cross-table cardinality rule (FK multiplicity — a constraint the
+    one-document reference cannot see): every order must match 1..7
+    lineitem rows. Ref side pre-aggregated to |distinct keys| (map-side
+    combine), co-partitioned left join, nothing broadcast or collected."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/orders_card",
+            "table": "orders",
+            "rules": [
+                {
+                    "kind": "cardinality",
+                    "columns": ["o_orderkey"],
+                    "ref_table": "lineitem",
+                    "ref_columns": ["l_orderkey"],
+                    "min_count": 1,
+                    "max_count": 7,
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(
+        m, key_columns=["o_orderkey"], instance_expr="CAST(pmod(o_orderkey, 16) AS STRING)"
+    )
+    return _flat(eng.violations(orders, ref_tables={"lineitem": li})).orderBy("path")
+
+
+def q49_rate_limit_events(spark, sf_dir):
+    """Sliding-window rate limit (burst detection): at most 5 events per
+    user within any trailing 24h window. One exchange on user_id + a RANGE
+    frame count — the same trailing-event-time state a streaming rate
+    limiter keeps."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("ts_epoch", F.unix_timestamp("ts"))
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_rate",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "rate_limit",
+                    "partition_by": ["user_id"],
+                    "order_by": ["ts_epoch"],
+                    "window_seconds": 86400,
+                    "max_count": 5,
+                }
+            ],
+        }
+    )
+    eng = _events_engine(m)
+    return _flat(eng.violations(ev)).orderBy("path", "failing_value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -861,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_stratified_sample": q45_stratified_sample,
         "q46_quantile_check": q46_quantile_check,
         "q47_centroid_stats": q47_centroid_stats,
+        "q48_cardinality_orders": q48_cardinality_orders,
+        "q49_rate_limit_events": q49_rate_limit_events,
     }
 
 
@@ -1606,5 +1666,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, dim, n_vecs,
                CAST((s - ((s % n_vecs + n_vecs) % n_vecs)) / n_vecs AS BIGINT) AS mean_e6
         FROM agg ORDER BY label, dim
+    """
+
+    sqls["q48_cardinality_orders"] = """
+        WITH rc AS (
+          SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+          WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+        )
+        SELECT 'schemas/orders_card/cardinality/o_orderkey' AS schema_id, 'FAIL' AS result,
+               CAST(o_orderkey % 16 AS VARCHAR) AS instance_name,
+               CAST(o_orderkey AS VARCHAR) AS path,
+               CAST(COALESCE(rc.n, 0) AS VARCHAR) AS failing_value,
+               '''' || CAST(o_orderkey AS VARCHAR) || ''' matches ' || CAST(COALESCE(rc.n, 0) AS VARCHAR)
+                 || ' row(s) in lineitem(l_orderkey); expected between 1 and 7' AS message
+        FROM orders o LEFT JOIN rc ON o.o_orderkey = rc.l_orderkey
+        WHERE COALESCE(rc.n, 0) NOT BETWEEN 1 AND 7
+        ORDER BY path
+    """
+
+    sqls["q49_rate_limit_events"] = """
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), w AS (
+          SELECT user_id, ts_epoch,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_epoch
+                                RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS c
+          FROM e
+        )
+        SELECT 'schemas/events_rate/rate_limit/user_id' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(user_id AS VARCHAR) || ':' || CAST(ts_epoch AS VARCHAR) AS path,
+               CAST(c AS VARCHAR) AS failing_value,
+               '''' || CAST(user_id AS VARCHAR) || ''' saw ' || CAST(c AS VARCHAR)
+                 || ' rows within 86400s; at most 5 allowed' AS message
+        FROM w WHERE c > 5
+        ORDER BY path, failing_value
     """
     return sqls

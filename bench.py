@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q45_stratified_sample",
     "q46_quantile_check",
     "q47_centroid_stats",
+    "q48_cardinality_orders",
+    "q49_rate_limit_events",
 ]
 
 

@@ -30,6 +30,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from schema_enforcer_spark.compiler import CompiledRule, compile_row_rule, compile_row_rules, py_repr, _dtype_of
 from schema_enforcer_spark.manifest import Manifest, Rule
@@ -472,6 +473,118 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _cardinality_violations(self, df: DataFrame, rule: Rule, ref_tables: dict[str, DataFrame]) -> DataFrame:
+        """Cross-table cardinality constraint (FK multiplicity): every
+        non-null key of this table must match between min_count and
+        max_count rows of ref_table. The reference validates one document
+        at a time and cannot see cross-table multiplicity at all; in Spark
+        it is the natural J4 extension — pre-aggregate the ref side on the
+        key (map-side combine shrinks it to |distinct keys|), left-join the
+        distinct fact keys (co-partitioned shuffle on the key, both sides),
+        flag out-of-range counts. Nothing is broadcast or collected: the
+        ref count table can be as large as the fact key set."""
+        cols = rule.params["columns"]
+        ref_name, ref_cols = rule.params["ref_table"], rule.params["ref_columns"]
+        lo = rule.get("min_count")
+        hi = rule.get("max_count")
+        if ref_name not in ref_tables:
+            raise KeyError(f"cardinality rule needs ref table {ref_name!r} in ref_tables")
+        rid = rule.get("id") or f"{self.manifest.id}/cardinality/{'+'.join(cols)}"
+        ref_counts = (
+            ref_tables[ref_name]
+            .filter(reduce(lambda a, b: a & b, [F.col(rc).isNotNull() for rc in ref_cols]))
+            .groupBy(*[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)])
+            .agg(F.count(F.lit(1)).alias("_rc"))
+        )
+        non_null = reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
+        keys = (
+            df.filter(non_null)
+            .groupBy(*cols)
+            .agg(F.min(self._instance_col(df)).alias("instance_name"))
+        )
+        joined = keys.join(ref_counts, on=cols, how="left").withColumn(
+            "_rc", F.coalesce(F.col("_rc"), F.lit(0))
+        )
+        fail = F.lit(False)
+        if lo is not None:
+            fail = fail | (F.col("_rc") < lo)
+        if hi is not None:
+            fail = fail | (F.col("_rc") > hi)
+        bounds = (
+            f"between {lo} and {hi}" if lo is not None and hi is not None
+            else (f"at least {lo}" if lo is not None else f"at most {hi}")
+        )
+        key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit("'"), key_str, F.lit(f"' matches "), F.col("_rc").cast("string"),
+                F.lit(f" row(s) in {ref_name}({', '.join(ref_cols)}); expected {bounds}"),
+            )
+        )
+        return joined.filter(fail).select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
+            F.col("_rc").cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _rate_limit_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        """Sliding-window rate constraint (burst detection): within each
+        partition_by group, the count of rows in the trailing
+        ``window_seconds`` (inclusive of the current row's instant) must
+        not exceed max_count. ONE exchange on the partition key — the same
+        shuffle shape as the fused ordering/contiguity pass — then a RANGE
+        frame count; a trailing event-time window is exactly the state a
+        streaming rate limiter keeps, so the rule translates to the
+        stateful streaming path unchanged. Window expressions cannot sit in
+        a filter, so the count materializes in a projection first."""
+        part = list(rule.params["partition_by"])
+        order = rule.params["order_by"]
+        oc = order if isinstance(order, str) else order[0]
+        wsec = int(rule.params["window_seconds"])
+        mx = int(rule.params["max_count"])
+        rid = rule.get("id") or f"{self.manifest.id}/rate_limit/{'+'.join(part)}"
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(oc).cast("long"))
+            .rangeBetween(-(wsec - 1), 0)
+        )
+        staged = df.select(
+            *[F.col(c) for c in part],
+            F.col(oc),
+            self._instance_col(df).alias("instance_name"),
+            F.count(F.lit(1)).over(w).alias("_c"),
+        )
+        key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in part])
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit("'"), key_str, F.lit("' saw "), F.col("_c").cast("string"),
+                F.lit(f" rows within {wsec}s; at most {mx} allowed"),
+            )
+        )
+        return staged.filter(F.col("_c") > mx).select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(
+                *[F.col(c).cast("string") for c in part], F.col(oc).cast("string")
+            ).alias("absolute_path"),
+            F.col("_c").cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
     def _fused_window_violations(self, df: DataFrame, rules: list[Rule]) -> DataFrame:
         """ALL ordering/contiguous/unique rules that share a partition-key
         prefix evaluate in ONE pass over ONE exchange:
@@ -795,6 +908,10 @@ class ValidationEngine:
                     parts.append(self._unique_violations(df, rule))
             elif rule.kind == "referential":
                 parts.append(self._referential_violations(df, rule, ref_tables))
+            elif rule.kind == "cardinality":
+                parts.append(self._cardinality_violations(df, rule, ref_tables))
+            elif rule.kind == "rate_limit":
+                parts.append(self._rate_limit_violations(df, rule))
             elif rule.kind in ("ordering", "contiguous"):
                 pass  # handled by the fused window pass above
             elif rule.kind == "aggregate":

@@ -72,6 +72,10 @@ TABLE_RULE_KINDS = {
     "drift",         # A8: KS/PSI vs a baseline histogram
     "sequence",      # W1 extension: allowed value transitions per partition
                      # (e.g. role alternation in a transcript: user→assistant)
+    "cardinality",   # J4 extension: FK multiplicity — key must match
+                     # [min_count, max_count] rows of ref_table
+    "rate_limit",    # W1 extension: trailing event-time window count cap
+                     # (burst detection per partition key)
 }
 
 RULE_KINDS = ROW_RULE_KINDS | TABLE_RULE_KINDS
@@ -147,6 +151,9 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "check": {"type": "string"},
                     "value": {},
                     "requires": {"type": "array", "minItems": 1, "items": {"type": "string"}},
+                    "min_count": {"type": "integer", "minimum": 0},
+                    "max_count": {"type": "integer", "minimum": 0},
+                    "window_seconds": {"type": "integer", "minimum": 1},
                 },
                 "additionalProperties": False,
             },
@@ -182,6 +189,8 @@ _PER_KIND_REQUIRED = {
     "const": ["column", "value"],
     "contains": ["column", "check"],
     "dependent_required": ["column", "requires"],
+    "cardinality": ["columns", "ref_table", "ref_columns"],
+    "rate_limit": ["partition_by", "order_by", "window_seconds", "max_count"],
 }
 
 # Sub-schema kinds allowed inside any_of/one_of/not `checks` entries: scalar
@@ -329,6 +338,8 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):
             errors.append(f"rules/{i}: length rule needs min_length or max_length")
+        if kind == "cardinality" and not ({"min_count", "max_count"} & rule.keys()):
+            errors.append(f"rules/{i}: cardinality rule needs min_count and/or max_count")
         if kind == "strict_columns" and rule.get("column") and not rule.get("columns"):
             errors.append(
                 f"rules/{i}: strict_columns on a struct column needs the declared "

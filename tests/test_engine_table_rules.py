@@ -160,6 +160,96 @@ def test_strict_columns(spark, transcripts):
     assert ValidationEngine(m).violations(transcripts).count() == 0
 
 
+def test_cardinality_rule(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    facts = spark.createDataFrame([(1,), (2,), (3,), (4,), (None,)], "k long")
+    # ref counts: k=1 → 0 rows, k=2 → 1, k=3 → 3, k=4 → 5
+    ref = spark.createDataFrame(
+        [(2,)] + [(3,)] * 3 + [(4,)] * 5 + [(None,)], "rk long"
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/card",
+            "rules": [
+                {
+                    "kind": "cardinality",
+                    "columns": ["k"],
+                    "ref_table": "ref",
+                    "ref_columns": ["rk"],
+                    "min_count": 1,
+                    "max_count": 3,
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["k"], instance_expr="'t'")
+    out = {
+        v["absolute_path"][0]: v
+        for v in eng.violations(facts, ref_tables={"ref": ref}).collect()
+    }
+    # k=1 has 0 matches (< min), k=4 has 5 (> max); NULL keys are skipped
+    assert set(out) == {"1", "4"}
+    assert out["1"]["failing_value"] == "0"
+    assert out["4"]["failing_value"] == "5"
+    assert out["1"]["message"] == "'1' matches 0 row(s) in ref(rk); expected between 1 and 3"
+    # min-only bound
+    m2 = manifest_from_dict(
+        {
+            "id": "schemas/card2",
+            "rules": [
+                {"kind": "cardinality", "columns": ["k"], "ref_table": "ref",
+                 "ref_columns": ["rk"], "min_count": 1}
+            ],
+        }
+    )
+    out2 = ValidationEngine(m2, key_columns=["k"], instance_expr="'t'").violations(
+        facts, ref_tables={"ref": ref}
+    ).collect()
+    assert [v["absolute_path"][0] for v in out2] == ["1"]
+    assert out2[0]["message"].endswith("expected at least 1")
+    # missing bounds rejected at meta-validation
+    import pytest as _pytest
+
+    from schema_enforcer_spark.manifest import InvalidManifest
+
+    with _pytest.raises(InvalidManifest, match="min_count and/or max_count"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "cardinality", "columns": ["k"],
+                                   "ref_table": "r", "ref_columns": ["rk"]}]}
+        )
+
+
+def test_rate_limit_rule(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    rows = [
+        # user 1: 3 events within 10s → 3rd (and 2nd if max=1) exceed max 2
+        (1, 100), (1, 105), (1, 109),
+        # user 1 much later: window slid past — no violation
+        (1, 1000),
+        # user 2: 2 events only
+        (2, 100), (2, 101),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_epoch long")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/rate",
+            "rules": [
+                {"kind": "rate_limit", "partition_by": ["user_id"],
+                 "order_by": ["ts_epoch"], "window_seconds": 10, "max_count": 2}
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["user_id"], instance_expr="'t'")
+    out = eng.violations(df).collect()
+    assert len(out) == 1
+    v = out[0]
+    assert v["absolute_path"] == ["1", "109"]
+    assert v["failing_value"] == "3"
+    assert v["message"] == "'1' saw 3 rows within 10s; at most 2 allowed"
+
+
 def test_invalid_manifest_fails_before_any_job(spark):
     with pytest.raises(InvalidManifest) as ei:
         load_manifest(os.path.join(REPO, "manifests", "invalid_manifest.yml"))
