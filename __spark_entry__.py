@@ -864,6 +864,39 @@ def q49_rate_limit_events(spark, sf_dir):
     return _flat(eng.violations(ev)).orderBy("path", "failing_value")
 
 
+def q50_dedup_materialize(spark, sf_dir):
+    """The near-dup pipeline's MATERIALIZATION step (q33 is the
+    diagnostic): drop every non-canonical member of a near-dup group and
+    summarize the cleaned corpus per language. Join-back on doc_id, then
+    one groupBy — the exact shape of a production dedup pass."""
+    from schema_enforcer_spark.functions.dedup import near_dup_groups
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    g = near_dup_groups(docs, threshold=0.8, num_hashes=64, bands=32)
+    kept = docs.join(g.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q51_top_terms(spark, sf_dir):
+    """Per-document distinguishing terms (tf-idf ranking in integer-
+    deterministic form — see textops.top_terms): top-3 terms per doc by
+    (tf desc, doc_freq asc, term)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        textops.top_terms(docs, k=3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "doc_freq")
+        .orderBy("doc_id", "rk")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -921,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_centroid_stats": q47_centroid_stats,
         "q48_cardinality_orders": q48_cardinality_orders,
         "q49_rate_limit_events": q49_rate_limit_events,
+        "q50_dedup_materialize": q50_dedup_materialize,
+        "q51_top_terms": q51_top_terms,
     }
 
 
@@ -1702,5 +1737,63 @@ def oracle_sql() -> dict[str, str]:
                  || ' rows within 86400s; at most 5 allowed' AS message
         FROM w WHERE c > 5
         ORDER BY path, failing_value
+    """
+
+    # q50: the q33 transitive-closure oracle, then keep only canonical
+    # members (comp == doc_id, incl. docs with no near-dup edge) and
+    # summarize per language
+    sqls["q50_dedup_materialize"] = r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(t.toks) - 1),
+                        i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2])
+                   ELSE [ARRAY_TO_STRING(t.toks, ' ')] END) AS sh
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+                FROM documents) t
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE ROUND(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) > 0
+                      THEN LEN(LIST_INTERSECT(a.sh, b.sh)) / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))
+                      ELSE 1.0 END, 6) >= 0.8
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ), cc AS (
+          SELECT src AS v, src AS comp FROM edges
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+        ), lab AS (
+          SELECT v, MIN(comp) AS comp FROM cc GROUP BY v
+        ), kept AS (
+          SELECT d.* FROM documents d LEFT JOIN lab l ON d.doc_id = l.v
+          WHERE COALESCE(l.comp, d.doc_id) = d.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM kept GROUP BY lang ORDER BY lang
+    """
+
+    sqls["q51_top_terms"] = r"""
+        WITH terms AS (
+          SELECT doc_id, UNNEST(LIST_FILTER(
+                   STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0)) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+        ), ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS rk
+          FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, doc_freq
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk
     """
     return sqls

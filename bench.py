@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q47_centroid_stats",
     "q48_cardinality_orders",
     "q49_rate_limit_events",
+    "q50_dedup_materialize",
+    "q51_top_terms",
 ]
 
 

@@ -267,6 +267,37 @@ def boilerplate_report(
     )
 
 
+def top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-document distinguishing terms — the tf-idf ranking in its
+    integer-deterministic form: rank a doc's terms by (tf DESC, corpus
+    doc-frequency ASC, term ASC) and keep the top k. This is the ordering
+    tf·idf induces when comparing terms within one document (idf is
+    monotone-decreasing in doc_freq), without computing a float score —
+    ln() differs in the last ulp across engines, ties at rounding
+    boundaries would break oracle parity, and the integer ordering needs
+    no tolerance argument at all.
+
+    Shape: one explode → tf groupBy (shuffle on (id, term), map-side
+    combine) → doc-freq groupBy (shuffle on term; input already one row
+    per (id, term) so count(*) IS document frequency) → join tf⋈df on term
+    → per-doc window top-k. Every shuffle is key-partitioned; no collects.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tf", "doc_freq")
+    )
+
+
 def with_repetition_ratio(df, text_col: str = "text", out_col: str = "rep_ratio", n: int = 4):
     """DataFrame-level repetition ratio that evaluates the n-gram transform
     ONCE per row: the grams array is materialized in an inner projection,
