@@ -95,6 +95,88 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
 _IDLE_TIMEOUT_MS = 30 * 60 * 1000
 
 
+_RATE_OUT_DDL = "key string, ts_epoch long, n_recent long, message string"
+# comma-joined epoch list, NOT array<long>: an array-typed state column makes
+# the HDFSStateStore commit hang in PySpark 4.1.2's applyInPandasWithState
+# (availableNow run never terminates) — scalar state round-trips fine, and
+# the list is bounded at max_count entries anyway
+_RATE_STATE_DDL = "times string"
+
+
+def stream_rate_limit(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int,
+    max_count: int,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``rate_limit`` rule (burst detection):
+    per key, emit a violation for every event whose trailing
+    ``window_seconds`` (inclusive) holds more than ``max_count`` events —
+    across micro-batch boundaries.
+
+    State is BOUNDED BY THE RULE, not by traffic: only the ``max_count``
+    most recent event times are retained per key (longs), because the check
+    only needs to know whether the trailing count *exceeds* max_count —
+    n_recent therefore saturates at max_count+1 under sustained floods
+    (the batch rule reports exact counts; re-run it over the closed data
+    for forensics). Counting is exact for in-order streams; an extremely
+    reordered stream can under-count (retained times are the newest, a
+    late event's window may overlap evicted older ones) — late data is the
+    watermark's job, this state closes the cross-batch gap. Events inside
+    each batch are processed in event-time order so within-batch bursts
+    fire exactly like the batch RANGE frame.
+
+    Keys idle for ``idle_timeout_ms`` (default: 2× the window, min 60 s) of
+    processing time are evicted, like the contiguity state."""
+    if idle_timeout_ms is None:
+        idle_timeout_ms = max(2 * window_seconds * 1000, 60_000)
+
+    def _fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        raw = state.get[0] if state.exists else ""
+        times = [int(x) for x in raw.split(",") if x] if raw else []
+        out_rows = []
+        pdfs = [pdf for pdf in batches]
+        if pdfs:
+            allb = pd.concat(pdfs, ignore_index=True).sort_values("_ts_e")
+            for t in allb["_ts_e"]:
+                t = int(t)
+                n = 1 + sum(1 for x in times if t - window_seconds < x <= t)
+                if n > max_count:
+                    out_rows.append(
+                        (k, t, n,
+                         f"'{k}' saw {n} rows within {window_seconds}s; "
+                         f"at most {max_count} allowed")
+                    )
+                times.append(t)
+                times = sorted(times)[-max_count:]
+        state.update((",".join(str(x) for x in times),))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["key", "ts_epoch", "n_recent", "message"])
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("_k"),
+            F.col(ts_col).cast("long").alias("_ts_e"),
+        )
+        .filter(F.col("_k").isNotNull() & F.col("_ts_e").isNotNull())
+        .groupBy("_k")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_RATE_OUT_DDL,
+            stateStructType=_RATE_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def stream_stateful_contiguity(stream_df: DataFrame) -> DataFrame:
     """Per-conversation stateful duplicate/regression + cross-batch
     ts-monotonicity detection across micro-batches. Shuffles on conv_id (the

@@ -219,3 +219,58 @@ def test_stream_session_stats(spark, stream_src):
 
     expected = {r["conv_id"]: r["n"] for r in spark.read.parquet(path).groupBy("conv_id").agg(SF.count(SF.lit(1)).alias("n")).collect()}
     assert by_conv == expected
+
+
+def test_stream_rate_limit_across_batches(spark, tmp_path):
+    """Streaming twin of the batch rate_limit rule: bursts must be detected
+    across micro-batch boundaries (events 1-2 in batch one, the
+    over-the-limit third event arriving in batch two)."""
+    import shutil
+
+    from schema_enforcer_spark.streaming.stateful import stream_rate_limit
+
+    schema = "user_id long, ts_epoch long"
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def _copy(rows, tag):
+        p = str(tmp_path / tag)
+        spark.createDataFrame(rows, schema).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(p, f), os.path.join(src_dir, f"{tag}_{f}"))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def run_once():
+        q = (
+            # explicit long idle timeout: the default (2x window, min 60s) is
+            # PROCESSING time and each availableNow run takes ~a minute on
+            # this host — the state would be evicted between the two runs
+            stream_rate_limit(
+                src, "user_id", "ts_epoch", window_seconds=10, max_count=2,
+                idle_timeout_ms=30 * 60 * 1000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # batch 1: user 1 has two events (at the limit), user 2 a within-batch
+    # burst of three — the third must fire already in batch one
+    _copy([(1, 100), (1, 104), (2, 200), (2, 201), (2, 202)], "b1")
+    rows = run_once()
+    assert [(r["key"], r["ts_epoch"], r["n_recent"]) for r in rows] == [("2", 202, 3)]
+    assert rows[0]["message"] == "'2' saw 3 rows within 10s; at most 2 allowed"
+    # batch 2: user 1's third event lands inside the trailing window spanned
+    # by batch 1's state (cross-batch burst); a much later event does not
+    _copy([(1, 107), (1, 500)], "b2")
+    rows = run_once()
+    fired = sorted((r["key"], r["ts_epoch"], r["n_recent"]) for r in rows)
+    assert fired == [("1", 107, 3), ("2", 202, 3)]
