@@ -18,8 +18,25 @@ from schema_enforcer_spark.functions.dedup import (
     embedding_near_dups,
 )
 from schema_enforcer_spark.functions.joins import asof_join, range_join_bucketed
-from schema_enforcer_spark.functions.sampling import hash_split, pack_sequences, split_bucket
-from schema_enforcer_spark.functions.similarity import brute_force_topk, ivf_build, ivf_topk, lsh_topk
+from schema_enforcer_spark.functions.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    split_bucket,
+    stratified_sample,
+)
+from schema_enforcer_spark.functions.similarity import (
+    brute_force_topk,
+    centroid_stats,
+    ivf_build,
+    ivf_topk,
+    lsh_topk,
+)
+from schema_enforcer_spark.functions.textops import (
+    boilerplate_report,
+    ngram_doc_freq,
+    top_terms,
+)
 
 __all__ = [
     "contamination_scores",
@@ -41,7 +58,13 @@ __all__ = [
     "pack_sequences",
     "split_bucket",
     "brute_force_topk",
+    "centroid_stats",
     "ivf_build",
     "ivf_topk",
     "lsh_topk",
+    "chunk_documents",
+    "stratified_sample",
+    "boilerplate_report",
+    "ngram_doc_freq",
+    "top_terms",
 ]

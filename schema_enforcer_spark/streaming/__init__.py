@@ -4,5 +4,16 @@ from schema_enforcer_spark.streaming.validate import (
     stream_dedup,
     stream_session_stats,
 )
+from schema_enforcer_spark.streaming.stateful import (
+    stream_rate_limit,
+    stream_stateful_contiguity,
+)
 
-__all__ = ["stream_row_violations", "stream_verdicts", "stream_dedup", "stream_session_stats"]
+__all__ = [
+    "stream_row_violations",
+    "stream_verdicts",
+    "stream_dedup",
+    "stream_session_stats",
+    "stream_rate_limit",
+    "stream_stateful_contiguity",
+]

@@ -123,3 +123,24 @@ def test_centroid_stats_exact_integer_means(spark):
     assert out[(20, 1)]["mean_e6"] == 1_250_000
     # floor-div semantics on negative sums: mean(-2.5, 0.5) floored at 1e-6
     assert out[(10, 1)]["n_vecs"] == 2
+
+
+def test_top_terms_integer_ranking(spark):
+    from schema_enforcer_spark.functions.textops import top_terms
+
+    rows = [
+        (0, "apple apple banana cherry"),   # tf: apple 2; banana/cherry tie on tf
+        (1, "banana banana cherry"),
+        (2, "cherry"),
+    ]
+    df = _docs(spark, rows)
+    out = {}
+    for r in top_terms(df, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tf"], r["doc_freq"]))
+    for v in out.values():
+        v.sort()
+    # doc 0: apple wins on tf; banana (df=2) beats cherry (df=3) on the
+    # doc-frequency tiebreak even though both have tf=1
+    assert out[0] == [(1, "apple", 2, 1), (2, "banana", 1, 2)]
+    assert out[1][0] == (1, "banana", 2, 2)
+    assert out[2] == [(1, "cherry", 1, 3)]

@@ -127,7 +127,18 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
     rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # preserve marker-delimited sections other tools maintain in this file
+    # (e.g. tools/ann_recall.py's <!-- ann-recall:begin/end --> block)
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = []
+    if os.path.exists(baseline_path):
+        import re as _re
+
+        with open(baseline_path, encoding="utf-8") as fh:
+            preserved = _re.findall(
+                r"<!-- [\w-]+:begin -->.*?<!-- [\w-]+:end -->", fh.read(), _re.S
+            )
+    with open(baseline_path, "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — measured scaling evidence
 
@@ -161,6 +172,8 @@ SCALE_TRIALS={trials}, SCALE_N_LOW={n_low}, SCALE_N_HIGH={n_high},
 SCALE_CORES={cores}).
 """
         )
+        for block in preserved:
+            fh.write("\n" + block + "\n")
     print(f"wrote BENCH/BASELINE.md (efficiency={efficiency:.3f})", file=sys.stderr)
 
 
