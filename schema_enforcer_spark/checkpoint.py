@@ -36,6 +36,10 @@ class CheckpointManager:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # the pending subset of the most recent run() — callers using
+        # defer_record pass it back to record() so lineage row counts don't
+        # re-aggregate the full input
+        self.last_pending: DataFrame | None = None
 
     def lineage(self) -> DataFrame:
         # probe through Spark, not the driver's local filesystem — a
@@ -52,7 +56,12 @@ class CheckpointManager:
             df = self.spark.read.parquet(self.path)
         except AnalysisException as e:
             cls = e.getCondition() if hasattr(e, "getCondition") else None
-            if cls == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
+            # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
+            # parquet yet (ops pre-created it, or a first run died before any
+            # commit) — semantically identical to first-run, not corruption
+            if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or any(
+                f"[{c}]" in str(e) for c in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            ):
                 return self.spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
             raise
         if "run_ns" not in df.columns:  # lineage written before run_ns existed
@@ -174,6 +183,7 @@ class CheckpointManager:
         would leave partitions marked complete whose violation rows never
         landed anywhere (the next resume would skip them forever)."""
         pend = self.pending(df, engine, verify_counts=verify_counts)
+        self.last_pending = pend
         n = pend.count()
         if n == 0:
             return None, 0

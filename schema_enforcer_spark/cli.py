@@ -23,6 +23,20 @@ import argparse
 import sys
 
 
+# Spark/Hive partition-path escaping (ExternalCatalogUtils.escapePathName):
+# these characters are %-hex-escaped in partition DIRECTORY names, and a null
+# partition value becomes the Hive default sentinel. Deleting a partition dir
+# by its raw value would miss any escaped name.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_partition_value(value: str | None) -> str:
+    if value is None or value == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in value)
+
+
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="schema-enforcer-spark")
     p.add_argument("--manifest", required=True, help="YAML/JSON constraint manifest")
@@ -140,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         report = eng.validate(df, ref_tables)
 
+    # the report fans out into several actions below (writes, lineage scan,
+    # FAIL-line collect, passes(), counts) — each would otherwise re-run the
+    # full pending-subset validation DAG from the scan up
+    report.violations.persist()
+    report.verdicts.persist()
+
     if args.output:
         root = args.output.rstrip("/")
         if args.checkpoint:
@@ -150,14 +170,17 @@ def main(argv: list[str] | None = None) -> int:
             # a partition goes FAIL→(now-empty) PASS. So: REPLACE exactly
             # this run's instance partitions — delete their subdirs (a
             # partition-count-sized driver op via the Hadoop FS API, any
-            # filesystem), then append partitioned by instance_name.
+            # filesystem), then append partitioned by instance_name. Dir
+            # names use Spark's Hive path escaping — deleting the RAW
+            # instance value would silently miss any name with ':'/'/'/'%'
+            # etc. and re-append duplicates on every resume.
             insts = [r["instance_name"] for r in report.verdicts.select("instance_name").distinct().collect()]
             jvm = spark._jvm
             hpath = jvm.org.apache.hadoop.fs.Path
             fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
             for sub in ("violations", "verdicts"):
                 for inst in insts:
-                    fs.delete(hpath(f"{root}/{sub}/instance_name={inst}"), True)
+                    fs.delete(hpath(f"{root}/{sub}/instance_name={escape_partition_value(inst)}"), True)
             report.violations.write.mode("append").partitionBy("instance_name").parquet(f"{root}/violations")
             report.verdicts.write.mode("append").partitionBy("instance_name").parquet(f"{root}/verdicts")
         else:
@@ -170,7 +193,9 @@ def main(argv: list[str] | None = None) -> int:
             # claims unfinished work
             report.violations.count()
             report.verdicts.count()
-        cm.record(df, eng, report)
+        # lineage row counts come from the PENDING subset this run actually
+        # validated — aggregating the full input would re-scan everything
+        cm.record(cm.last_pending if cm.last_pending is not None else df, eng, report)
 
     # FAIL-line format mirrors ValidationResult.print
     # (/root/reference/schema_enforcer/validation.py:53-91)

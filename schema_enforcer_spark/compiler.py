@@ -228,7 +228,18 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
             raise ValueError(f"contains rule needs an array column, got {dtype.simpleString()}")
         sub_kind = get("check")
         elem_dt = dtype.elementType
-        pred = col.isNull() | F.exists(col, lambda e: compile_check(e, elem_dt, sub_kind, get, label)[0])
+        # Existential quantifier inverts the engine's NULL-passes leniency:
+        # under exists(), a NULL element would VACUOUSLY satisfy the check.
+        # jsonschema semantics per sub-keyword: enum/const DO constrain a
+        # null instance (null fails unless listed), so a null element must
+        # not count as a witness there; value-domain checks (range, pattern,
+        # length, ...) ignore non-applicable instances in jsonschema too, so
+        # NULL-passes stays correct for them.
+        if sub_kind in ("enum", "const"):
+            elem_pred = lambda e: e.isNotNull() & compile_check(e, elem_dt, sub_kind, get, label)[0]  # noqa: E731
+        else:
+            elem_pred = lambda e: compile_check(e, elem_dt, sub_kind, get, label)[0]  # noqa: E731
+        pred = col.isNull() | F.exists(col, elem_pred)
         msg = F.concat(F.to_json(col), F.lit(" does not contain items matching the given schema"))
     elif kind == "dependent_required":
         # Draft-2019 dependentRequired / Draft-7 `dependencies` with a

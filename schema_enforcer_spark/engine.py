@@ -585,6 +585,74 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _sequence_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        """Allowed-transition sequence rule (W1 extension — e.g. role
+        alternation in a transcript): within each partition_by group ordered
+        by order_by, every adjacent (prev, cur) pair of ``column`` must be
+        in ``allowed_transitions``; the first value may additionally be
+        constrained to ``allowed_start``. One exchange + lag — the same
+        window shape as ordering/contiguity (kept standalone rather than
+        fused: the fused pass shares one sort but transitions need only the
+        lag). All comparisons are null-safe so a NULL value is itself an
+        invalid transition step, not a silently-dropped tri-state."""
+        part = list(rule.params["partition_by"])
+        order = list(rule.params["order_by"])
+        col_name = rule.params["column"]
+        trans = [tuple(t) for t in rule.params["allowed_transitions"]]
+        start = rule.get("allowed_start")
+        rid = rule.get("id") or f"{self.manifest.id}/sequence/{col_name}"
+        w = Window.partitionBy(*part).orderBy(*order)
+        staged = df.select(
+            *[F.col(c) for c in part],
+            *[F.col(c) for c in order],
+            self._instance_col(df).alias("instance_name"),
+            F.col(col_name).alias("_cur"),
+            F.lag(col_name).over(w).alias("_prev"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        ok_trans = reduce(
+            lambda a, b: a | b,
+            [
+                F.col("_prev").eqNullSafe(F.lit(a)) & F.col("_cur").eqNullSafe(F.lit(b))
+                for a, b in trans
+            ],
+        )
+        if start is not None:
+            ok_start = reduce(
+                lambda a, b: a | b, [F.col("_cur").eqNullSafe(F.lit(s)) for s in start]
+            )
+        else:
+            ok_start = F.lit(True)
+        is_first = F.col("_rn") == 1
+        fail = F.when(is_first, ~ok_start).otherwise(~ok_trans)
+        rep = F.coalesce(F.col("_cur").cast("string"), F.lit("None"))
+        prev_rep = F.coalesce(F.col("_prev").cast("string"), F.lit("None"))
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.when(
+                is_first,
+                F.concat(F.lit("'"), rep, F.lit(f"' is not an allowed start value for '{col_name}'")),
+            ).otherwise(
+                F.concat(F.lit("'"), rep, F.lit("' cannot follow '"), prev_rep, F.lit(f"' in '{col_name}'"))
+            )
+        )
+        return staged.filter(fail).select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit("PARTITION").alias("instance_type"),
+            F.array(
+                *[F.col(c).cast("string") for c in part],
+                *[F.col(c).cast("string") for c in order],
+                F.lit(col_name),
+            ).alias("absolute_path"),
+            F.col("_cur").cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
     def _fused_window_violations(self, df: DataFrame, rules: list[Rule]) -> DataFrame:
         """ALL ordering/contiguous/unique rules that share a partition-key
         prefix evaluate in ONE pass over ONE exchange:
@@ -912,6 +980,8 @@ class ValidationEngine:
                 parts.append(self._cardinality_violations(df, rule, ref_tables))
             elif rule.kind == "rate_limit":
                 parts.append(self._rate_limit_violations(df, rule))
+            elif rule.kind == "sequence":
+                parts.append(self._sequence_violations(df, rule))
             elif rule.kind in ("ordering", "contiguous"):
                 pass  # handled by the fused window pass above
             elif rule.kind == "aggregate":
@@ -920,6 +990,13 @@ class ValidationEngine:
                 from schema_enforcer_spark.stats import drift_violations
 
                 parts.append(drift_violations(self, df, rule))
+            elif rule.kind in ("conditional", "strict_columns"):
+                pass  # conditional rides the row-rule projection; strict is schema-grain
+            else:
+                # a registered kind with no evaluator would otherwise
+                # validate NOTHING and report PASS — fail loudly instead
+                # (this exact hole shipped for 'sequence' in round 2)
+                raise NotImplementedError(f"table rule kind {rule.kind!r} has no evaluator")
         if not parts:
             return df.sparkSession.createDataFrame([], _VIOLATION_SCHEMA_DDL)
         return reduce(lambda a, b: a.unionByName(b), parts)

@@ -179,7 +179,6 @@ def centroid_stats(
     df: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-label centroid statistics (the IVF-cell / class-prototype quality
     pass): for every (label, dimension), the member count and the centroid

@@ -50,8 +50,19 @@ def _contiguity_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> I
     out_rows = []
     for pdf in batches:
         has_ts = "ts" in pdf.columns
-        ts_ns = pdf["ts"].astype("int64") if has_ts else None
-        ts_null = pdf["ts"].isna() if has_ts else None
+        if has_ts:
+            ts_null = pdf["ts"].isna()
+            if pdf["ts"].dtype.kind == "M":
+                # datetime64: NaT converts to the int64-min sentinel, guarded
+                # below by ts_null
+                ts_ns = pdf["ts"].astype("int64")
+            else:
+                # integer-epoch ts arrives as float64 when any row is NULL;
+                # pandas 2.x astype('int64') raises on NaN — zero-fill the
+                # nulls (never read: the per-row guard skips them)
+                ts_ns = pd.to_numeric(pdf["ts"], errors="coerce").fillna(0).astype("int64")
+        else:
+            ts_ns = ts_null = None
         for i, idx in enumerate(pdf["turn_idx"]):
             idx = int(idx)
             if idx <= max_idx or idx in seen_now:

@@ -136,3 +136,47 @@ def test_cli_summary_flag(spark, data, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "Violations" in out and "schemas/transcripts_base" in out
+
+
+def test_escape_partition_value_unit():
+    from schema_enforcer_spark.cli import escape_partition_value
+
+    assert escape_partition_value("42") == "42"
+    assert escape_partition_value("2024-01-01") == "2024-01-01"
+    assert escape_partition_value("a:b") == "a%3Ab"
+    assert escape_partition_value("p/q=r%s") == "p%2Fq%3Dr%25s"
+    assert escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+
+
+def test_cli_checkpoint_output_escaped_instance_names(spark, data, capsys):
+    """Replace-on-resume must delete the HIVE-ESCAPED partition dir: with an
+    instance expr producing ':' (escaped to %3A in the directory name), a
+    raw-name delete would no-op and rows would re-append every resume."""
+    ckpt = data["root"] + "/ckpt_esc"
+    out = data["root"] + "/out_esc"
+    args = [
+        "--manifest", MANIFEST, "--input", data["bad"],
+        "--checkpoint", ckpt, "--output", out,
+        "--instance-expr", "concat('p:', CAST(partition_id AS STRING))",
+    ]
+    assert main(args) == 1
+    v1 = spark.read.parquet(out + "/violations").count()
+    assert main(args) == 1
+    assert spark.read.parquet(out + "/violations").count() == v1
+    # the physical dirs really are escaped
+    import os as _os
+
+    subdirs = [d for d in _os.listdir(out + "/violations") if d.startswith("instance_name=")]
+    assert subdirs and all("%3A" in d for d in subdirs)
+
+
+def test_checkpoint_empty_dir_is_first_run(spark, tmp_path):
+    """A pre-created EMPTY checkpoint dir (ops mkdir -p, or a run that died
+    before any commit) is first-run, not corruption."""
+    from schema_enforcer_spark.checkpoint import CheckpointManager
+
+    empty = tmp_path / "pre_created"
+    empty.mkdir()
+    cm = CheckpointManager(spark, str(empty))
+    assert cm.lineage().count() == 0

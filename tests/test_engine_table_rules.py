@@ -352,3 +352,47 @@ def test_fused_unique_detects_null_key_duplicates(spark):
     s = sorted(key(v) for v in ValidationEngine(standalone).violations(df).collect() if "/unique/" in v["schema_id"])
     f = sorted(key(v) for v in ValidationEngine(fused).violations(df).collect() if "/unique/" in v["schema_id"])
     assert s == f and len(s) == 1 and "appears 2 times" in s[0][1]
+
+
+def test_sequence_rule(spark):
+    """W1 extension: allowed value transitions per partition (role
+    alternation). Registered since round 2 but unimplemented until round 3
+    — the engine now fails loudly on evaluator-less kinds."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    rows = [
+        ("a", 0, "system"), ("a", 1, "user"), ("a", 2, "assistant"), ("a", 3, "user"),
+        ("b", 0, "assistant"),            # bad start
+        ("b", 1, "assistant"),            # assistant -> assistant not allowed
+        ("c", 0, "user"), ("c", 1, None),  # null step: invalid transition
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/seq",
+            "rules": [
+                {
+                    "kind": "sequence",
+                    "column": "role",
+                    "partition_by": ["conv_id"],
+                    "order_by": ["turn_idx"],
+                    "allowed_transitions": [
+                        ["system", "user"], ["user", "assistant"], ["assistant", "user"],
+                    ],
+                    "allowed_start": ["system", "user"],
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["conv_id"], instance_expr="conv_id")
+    out = sorted(
+        (tuple(v["absolute_path"]), v["message"])
+        for v in eng.violations(df).collect()
+    )
+    assert out == [
+        (("b", "0", "role"), "'assistant' is not an allowed start value for 'role'"),
+        (("b", "1", "role"), "'assistant' cannot follow 'assistant' in 'role'"),
+        (("c", "1", "role"), "'None' cannot follow 'user' in 'role'"),
+    ]
+    # clean conversation 'a' contributed nothing
+    assert not [p for p, _ in out if p[0] == "a"]

@@ -131,6 +131,32 @@ def test_contains_matches_jsonschema(spark):
     assert flagged == expect
 
 
+def test_contains_null_elements_match_jsonschema(spark):
+    """Existential checks invert NULL leniency: a null element must not
+    vacuously satisfy contains for null-constraining sub-keywords (enum),
+    while value-domain sub-checks (range) keep jsonschema's
+    non-applicable-instance pass."""
+    rows = [[None], [None, "x"], [None, "a"], ["x"], []]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v array<string>"
+    )
+    m = Manifest(
+        id="comp",
+        rules=(Rule(kind="contains", params={"column": "v", "check": "enum", "values": ["a"]}),),
+    )
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator(
+        {"type": "object", "properties": {"v": {"contains": {"enum": ["a"]}}}}
+    )
+    expect = {
+        i for i, val in enumerate(rows) if any(True for _ in v.iter_errors({"v": val}))
+    }
+    assert flagged == expect  # [None] and [None,'x'] and [] flagged; [None,'a'] not
+
+
 def test_dependent_required_matches_jsonschema(spark):
     rows = [
         ("tool_call", "web_search"),

@@ -274,3 +274,49 @@ def test_stream_rate_limit_across_batches(spark, tmp_path):
     rows = run_once()
     fired = sorted((r["key"], r["ts_epoch"], r["n_recent"]) for r in rows)
     assert fired == [("1", 107, 3), ("2", 202, 3)]
+
+
+def test_stateful_contiguity_long_epoch_ts_with_nulls(spark, tmp_path):
+    """An integer-epoch ts column with NULLs arrives in pandas as float64
+    with NaN — the state fn must tolerate it (astype('int64') on NaN raises
+    in pandas 2.x) and still catch cross-batch regressions on the non-null
+    rows."""
+    from schema_enforcer_spark.streaming.stateful import stream_stateful_contiguity
+
+    schema = "conv_id string, turn_idx int, ts long"
+    rows = [("c1", 0, 1000), ("c1", 1, None), ("c1", 2, 2000), ("c1", 3, 500)]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    import shutil
+
+    p = str(tmp_path / "b1")
+    # one ordered file per batch: multi-file batches reach the state fn as
+    # unordered chunks and within-batch idx order is the stateless path's job
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p, f), os.path.join(src_dir, "a_" + f))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def run_once():
+        q = (
+            stream_stateful_contiguity(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    assert run_once() == []  # NaN row tolerated, no violations yet
+    p2 = str(tmp_path / "b2")
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.parquet(p2)
+    for f in os.listdir(p2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p2, f), os.path.join(src_dir, "b_" + f))
+    regs = [r for r in run_once() if r["kind"] == "ts_regression"]
+    assert len(regs) == 1 and regs[0]["turn_idx"] == 3
