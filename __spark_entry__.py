@@ -897,6 +897,32 @@ def q51_top_terms(spark, sf_dir):
     )
 
 
+def q52_sequence_rule(spark, sf_dir):
+    """Allowed-transition sequence rule (role-alternation analogue on the
+    events stream): the same event_type may not occur twice in a row per
+    user. One exchange + lag — the W1 window shape."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_seq",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "sequence",
+                    "column": "event_type",
+                    "partition_by": ["user_id"],
+                    "order_by": ["event_id"],
+                    "allowed_transitions": [[a, b] for a in types for b in types if a != b],
+                    "allowed_start": types,
+                }
+            ],
+        }
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    eng = _events_engine(m)
+    return _flat(eng.violations(ev)).orderBy("path")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -956,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_rate_limit_events": q49_rate_limit_events,
         "q50_dedup_materialize": q50_dedup_materialize,
         "q51_top_terms": q51_top_terms,
+        "q52_sequence_rule": q52_sequence_rule,
     }
 
 
@@ -1795,5 +1822,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, doc_freq
         FROM ranked WHERE rk <= 3
         ORDER BY doc_id, rk
+    """
+
+    sqls["q52_sequence_rule"] = """
+        WITH w AS (
+          SELECT user_id, event_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT 'schemas/events_seq/sequence/event_type' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) || ':event_type' AS path,
+               event_type AS failing_value,
+               '''' || event_type || ''' cannot follow ''' || prev || ''' in ''event_type''' AS message
+        FROM w WHERE rn > 1 AND prev = event_type
+        ORDER BY path
     """
     return sqls

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q49_rate_limit_events",
     "q50_dedup_materialize",
     "q51_top_terms",
+    "q52_sequence_rule",
 ]
 
 
