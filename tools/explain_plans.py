@@ -242,6 +242,28 @@ def main() -> None:
         problems.append("centroid_stats lacks map-side partial aggregation")
     sections.append(("Embedding centroid stats (q47: one exchange, partial agg)", p12, notes12))
 
+    # 13. round-3 table rules: sequence + rate_limit are ONE-exchange window
+    # passes; cardinality is a pre-aggregated equi-join (never a nested loop)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    p13 = _formatted(entry.q52_sequence_rule(spark, sf))
+    notes13 = []
+    n_ex13 = len(re.findall(r"^\(\d+\) Exchange\s*$", p13, re.M))
+    if n_ex13 <= 2 and "Window" in p13:  # one for the lag window (+1 for the demo orderBy)
+        notes13.append(f"OK: sequence rule is a window pass ({n_ex13} exchange(s) incl. presentation sort)")
+    else:
+        problems.append(f"sequence rule plan unexpected ({n_ex13} Exchanges)")
+    sections.append(("Sequence rule (q52: lag window, one exchange)", p13, notes13))
+
+    p14 = _formatted(entry.q48_cardinality_orders(spark, sf))
+    notes14 = []
+    if "BroadcastNestedLoopJoin" in p14 or "CartesianProduct" in p14:
+        problems.append("cardinality rule planned as nested-loop/cartesian")
+    else:
+        notes14.append("OK: cardinality = pre-aggregated ref + equi-join, no nested loop")
+    if p14.count("HashAggregate") >= 2:
+        notes14.append("OK: ref side pre-aggregated (map-side combine) before the join")
+    sections.append(("Cardinality rule (q48: FK multiplicity)", p14, notes14))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
