@@ -25,7 +25,7 @@ from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
 from schema_enforcer_spark.binding import ManifestRegistry, ManifestNotDefined
 from schema_enforcer_spark.checkpoint import CheckpointManager
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Manifest",

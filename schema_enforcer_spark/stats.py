@@ -234,6 +234,26 @@ def histogram_df(df: DataFrame, expr: str, lo: float, hi: float, bins: int = 32)
     )
 
 
+def with_ts_gaps(
+    df: DataFrame,
+    partition_by: list[str] | str = "conv_id",
+    order_by: str = "turn_idx",
+    ts_col: str = "ts",
+    out_col: str = "ts_gap",
+) -> DataFrame:
+    """Add the inter-row event-time gap in seconds (NULL for each
+    partition's first row) — the preprocessing step for the north star's
+    ts-gap drift check: ``drift`` rules take a column expression, so the
+    window-derived gap materializes here first. One exchange on the
+    partition key (the same shuffle the ordering pass uses)."""
+    from pyspark.sql.window import Window
+
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*part).orderBy(order_by)
+    t = F.unix_timestamp(ts_col) if dict(df.dtypes).get(ts_col) == "timestamp" else F.col(ts_col).cast("long")
+    return df.withColumn(out_col, t - F.lag(t).over(w))
+
+
 def compute_histogram(df: DataFrame, expr: str, lo: float, hi: float, bins: int = 32) -> dict:
     """Collect a histogram to a plain dict — the stored-baseline format.
     Only `bins+2` rows ever reach the driver."""

@@ -112,3 +112,35 @@ def test_q20_hll_within_epsilon_of_exact(spark):
     for col, r in rows.items():
         assert r["within_tolerance"], f"{col}: HLL estimate outside 2% of exact {r['n_exact']}"
         assert r["n_exact"] == exact[col], f"{col}: n_exact {r['n_exact']} != q08 {exact[col]}"
+
+
+def test_drift_on_ts_gaps(spark, transcripts):
+    """North-star parity: KS/PSI drift on per-conversation ts GAPS — gaps
+    materialize via with_ts_gaps (window lag), then the ordinary drift rule
+    applies; stretched inter-turn times must fire, identical data must not."""
+    gapped = stats.with_ts_gaps(transcripts)
+    baseline = stats.compute_histogram(gapped, "ts_gap", lo=0.0, hi=600.0, bins=12)
+    m = Manifest(
+        id="schemas/drift_gap",
+        rules=(
+            Rule(
+                kind="drift",
+                params={"column": "ts_gap", "metric": "psi", "threshold": 0.1, "baseline": baseline},
+            ),
+        ),
+    )
+    assert ValidationEngine(m).violations(gapped).count() == 0
+    # stretch inter-turn gaps 4x: ts' = ts + 3 * (ts - first_ts) per conv
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id")
+    stretched = transcripts.withColumn(
+        "ts",
+        (
+            F.unix_timestamp("ts")
+            + 3 * (F.unix_timestamp("ts") - F.min(F.unix_timestamp("ts")).over(w))
+        ).cast("timestamp"),
+    )
+    viols = ValidationEngine(m).violations(stats.with_ts_gaps(stretched)).collect()
+    assert len(viols) == 1
+    assert "distribution drift on ts_gap" in viols[0]["message"]
