@@ -211,8 +211,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['schema_id']:<60} {r['n_violations']:>10} {r['n_instances']:>10}")
 
     any_fail = bool(failures) or not report.passes()
+    n = report.violations.count() if any_fail else 0
+    # release the fan-out caches — a long-lived session (tests, notebooks)
+    # calling main() repeatedly must not accumulate persisted DataFrames
+    report.violations.unpersist()
+    report.verdicts.unpersist()
     if any_fail:
-        n = report.violations.count()
         print(f"{n} violation(s) [{manifest.id}]")
         return 1
     print(f"ALL SCHEMA VALIDATION CHECKS PASSED [{manifest.id}]")
