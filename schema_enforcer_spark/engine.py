@@ -585,80 +585,16 @@ class ValidationEngine:
             message.alias("message"),
         )
 
-    def _sequence_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
-        """Allowed-transition sequence rule (W1 extension — e.g. role
-        alternation in a transcript): within each partition_by group ordered
-        by order_by, every adjacent (prev, cur) pair of ``column`` must be
-        in ``allowed_transitions``; the first value may additionally be
-        constrained to ``allowed_start``. One exchange + lag — the same
-        window shape as ordering/contiguity (kept standalone rather than
-        fused: the fused pass shares one sort but transitions need only the
-        lag). All comparisons are null-safe so a NULL value is itself an
-        invalid transition step, not a silently-dropped tri-state."""
-        part = list(rule.params["partition_by"])
-        order = list(rule.params["order_by"])
-        col_name = rule.params["column"]
-        trans = [tuple(t) for t in rule.params["allowed_transitions"]]
-        start = rule.get("allowed_start")
-        rid = rule.get("id") or f"{self.manifest.id}/sequence/{col_name}"
-        w = Window.partitionBy(*part).orderBy(*order)
-        staged = df.select(
-            *[F.col(c) for c in part],
-            *[F.col(c) for c in order],
-            self._instance_col(df).alias("instance_name"),
-            F.col(col_name).alias("_cur"),
-            F.lag(col_name).over(w).alias("_prev"),
-            F.row_number().over(w).alias("_rn"),
-        )
-        ok_trans = reduce(
-            lambda a, b: a | b,
-            [
-                F.col("_prev").eqNullSafe(F.lit(a)) & F.col("_cur").eqNullSafe(F.lit(b))
-                for a, b in trans
-            ],
-        )
-        if start is not None:
-            ok_start = reduce(
-                lambda a, b: a | b, [F.col("_cur").eqNullSafe(F.lit(s)) for s in start]
-            )
-        else:
-            ok_start = F.lit(True)
-        is_first = F.col("_rn") == 1
-        fail = F.when(is_first, ~ok_start).otherwise(~ok_trans)
-        rep = F.coalesce(F.col("_cur").cast("string"), F.lit("None"))
-        prev_rep = F.coalesce(F.col("_prev").cast("string"), F.lit("None"))
-        msg = rule.get("message")
-        message = (
-            F.lit(msg)
-            if msg
-            else F.when(
-                is_first,
-                F.concat(F.lit("'"), rep, F.lit(f"' is not an allowed start value for '{col_name}'")),
-            ).otherwise(
-                F.concat(F.lit("'"), rep, F.lit("' cannot follow '"), prev_rep, F.lit(f"' in '{col_name}'"))
-            )
-        )
-        return staged.filter(fail).select(
-            F.lit(rid).alias("schema_id"),
-            F.lit("FAIL").alias("result"),
-            F.col("instance_name"),
-            F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
-            F.array(
-                *[F.col(c).cast("string") for c in part],
-                *[F.col(c).cast("string") for c in order],
-                F.lit(col_name),
-            ).alias("absolute_path"),
-            F.col("_cur").cast("string").alias("failing_value"),
-            message.alias("message"),
-        )
-
     def _fused_window_violations(self, df: DataFrame, rules: list[Rule]) -> DataFrame:
-        """ALL ordering/contiguous/unique rules that share a partition-key
-        prefix evaluate in ONE pass over ONE exchange:
+        """ALL ordering/contiguous/unique/sequence rules that share a
+        partition-key prefix evaluate in ONE pass over ONE exchange:
 
         - ordering → lag, contiguous → row_number, both over
           ``partitionBy(part)``;
+        - sequence → lag + row_number over ``partitionBy(part)
+          orderBy(order_by)`` (allowed-transition pairs are null-safe
+          boolean algebra on the lag — fused in round 3 so a manifest with
+          ordering + sequence no longer pays a second exchange);
         - unique(cols) where cols[:-1] == part → duplicate ⇔ the last key
           column equals its ``lag`` under the SAME (part × order) window the
           other rules use, with the group size from a ties frame
@@ -709,6 +645,14 @@ class ValidationEngine:
                 aux_name = f"_prev_{i}"
                 aux.append(F.lag(col).over(w).alias(aux_name))
                 specs.append((rule, "ordering", col_name, aux_name, rule.get("strictly", True)))
+            elif rule.kind == "sequence":
+                # allowed-transition lag rides the group's exchange like
+                # ordering; row_number distinguishes the allowed_start check
+                w = Window.partitionBy(*part).orderBy(*rule.params["order_by"])
+                aux_name = f"_sprev_{i}"
+                aux.append(F.lag(col).over(w).alias(aux_name))
+                aux.append(F.row_number().over(w).alias(f"_srn_{i}"))
+                specs.append((rule, "sequence", col_name, aux_name, f"_srn_{i}"))
             else:  # contiguous
                 w = Window.partitionBy(*part).orderBy(col.asc())
                 aux_name = f"_exp_{i}"
@@ -716,7 +660,7 @@ class ValidationEngine:
                 specs.append((rule, "contiguous", col_name, aux_name, None))
         needed = list(dict.fromkeys([*part, *[s[2] for s in specs if s[1] != "unique"], *unique_cols_all,
                                      *[k for k in self.key_columns if k in df.columns],
-                                     *[o for r in rules if r.kind == "ordering" for o in r.params["order_by"] if o in df.columns]]))
+                                     *[o for r in rules if r.kind in ("ordering", "sequence") for o in r.params["order_by"] if o in df.columns]]))
         base = df.select(*needed, self._instance_col(df).alias("instance_name"), *aux)
 
         structs = []
@@ -753,6 +697,53 @@ class ValidationEngine:
                             F.lit(rid).alias("schema_id"),
                             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
                             key_str.alias("failing_value"),
+                            msg.alias("message"),
+                        ),
+                    )
+                )
+                continue
+            if kind == "sequence":
+                rn_name = extra
+                trans = [tuple(t) for t in rule.params["allowed_transitions"]]
+                start = rule.get("allowed_start")
+                cur, prev = F.col(col_name), F.col(aux_name)
+                ok_trans = reduce(
+                    lambda a, b: a | b,
+                    [prev.eqNullSafe(F.lit(a)) & cur.eqNullSafe(F.lit(b)) for a, b in trans],
+                )
+                ok_start = (
+                    reduce(lambda a, b: a | b, [cur.eqNullSafe(F.lit(s)) for s in start])
+                    if start is not None
+                    else F.lit(True)
+                )
+                is_first = F.col(rn_name) == 1
+                bad = F.when(is_first, ~ok_start).otherwise(~ok_trans)
+                rep = F.coalesce(cur.cast("string"), F.lit("None"))
+                prev_rep = F.coalesce(prev.cast("string"), F.lit("None"))
+                message = rule.get("message")
+                msg = (
+                    F.lit(message)
+                    if message
+                    else F.when(
+                        is_first,
+                        F.concat(F.lit("'"), rep, F.lit(f"' is not an allowed start value for '{col_name}'")),
+                    ).otherwise(
+                        F.concat(F.lit("'"), rep, F.lit("' cannot follow '"), prev_rep, F.lit(f"' in '{col_name}'"))
+                    )
+                )
+                rid = rule.get("id") or f"{self.manifest.id}/sequence/{col_name}"
+                order = list(rule.params["order_by"])
+                structs.append(
+                    F.when(
+                        bad,
+                        F.struct(
+                            F.lit(rid).alias("schema_id"),
+                            F.array(
+                                *[F.col(c).cast("string") for c in part],
+                                *[F.col(c).cast("string") for c in order],
+                                F.lit(col_name),
+                            ).alias("absolute_path"),
+                            cur.cast("string").alias("failing_value"),
                             msg.alias("message"),
                         ),
                     )
@@ -954,7 +945,7 @@ class ValidationEngine:
         # rides the same exchange (ClusteredDistribution satisfied) for free
         window_groups: dict[tuple, list[Rule]] = {}
         for rule in self.manifest.table_rules:
-            if rule.kind in ("ordering", "contiguous"):
+            if rule.kind in ("ordering", "contiguous", "sequence"):
                 window_groups.setdefault(tuple(rule.params["partition_by"]), []).append(rule)
         fused_uniques = set()
         for rule in self.manifest.table_rules:
@@ -980,9 +971,7 @@ class ValidationEngine:
                 parts.append(self._cardinality_violations(df, rule, ref_tables))
             elif rule.kind == "rate_limit":
                 parts.append(self._rate_limit_violations(df, rule))
-            elif rule.kind == "sequence":
-                parts.append(self._sequence_violations(df, rule))
-            elif rule.kind in ("ordering", "contiguous"):
+            elif rule.kind in ("ordering", "contiguous", "sequence"):
                 pass  # handled by the fused window pass above
             elif rule.kind == "aggregate":
                 parts.append(self._aggregate_violations(df, rule))
