@@ -923,6 +923,48 @@ def q52_sequence_rule(spark, sf_dir):
     return _flat(eng.violations(ev)).orderBy("path")
 
 
+def q53_rollup_stats(spark, sf_dir):
+    """Hierarchical corpus stats via ROLLUP(lang, source): per-(lang,source),
+    per-lang subtotals, and the grand total in ONE aggregation pass (Spark
+    expands the grouping sets; one shuffle with partial aggregation).
+    NULL-vs-subtotal ambiguity resolved with GROUPING() flags."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .select("g_lang", "g_source", "lang", "source", "n_docs", "total_chars", "min_id")
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+def q54_pivot_event_types(spark, sf_dir):
+    """Event-type pivot per user bucket: one groupBy + pivot with a
+    DECLARED value list (no extra distinct-scan job) → a count column per
+    type. The oracle twin is conditional aggregation — the relational
+    meaning of pivot."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    out = (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        out.select(
+            "bucket",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+        .orderBy("bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -983,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_dedup_materialize": q50_dedup_materialize,
         "q51_top_terms": q51_top_terms,
         "q52_sequence_rule": q52_sequence_rule,
+        "q53_rollup_stats": q53_rollup_stats,
+        "q54_pivot_event_types": q54_pivot_event_types,
     }
 
 
@@ -1838,5 +1882,28 @@ def oracle_sql() -> dict[str, str]:
                '''' || event_type || ''' cannot follow ''' || prev || ''' in ''event_type''' AS message
         FROM w WHERE rn > 1 AND prev = event_type
         ORDER BY path
+    """
+
+    sqls["q53_rollup_stats"] = """
+        SELECT CAST(GROUPING(lang) AS INT) AS g_lang,
+               CAST(GROUPING(source) AS INT) AS g_source,
+               lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_id
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY g_lang, g_source, lang, source
+    """
+
+    sqls["q54_pivot_event_types"] = """
+        SELECT user_id % 16 AS bucket,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'error') AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'view') AS n_view
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY bucket ORDER BY bucket
     """
     return sqls

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "q50_dedup_materialize",
     "q51_top_terms",
     "q52_sequence_rule",
+    "q53_rollup_stats",
+    "q54_pivot_event_types",
 ]
 
 
