@@ -166,3 +166,29 @@ def test_items_range_matches_jsonschema(spark, docs, lo, hi):
         inst = {} if xs is None else {"xs": [x for x in xs if x is not None]}
         expected = sum(1 for _ in v.iter_errors(inst))
         assert got.get(i, 0) == expected, f"doc {i}: engine={got.get(i, 0)} jsonschema={expected} xs={xs}"
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(st.one_of(st.none(), _text), min_size=1, max_size=12),
+    enum_vals=st.lists(_text, min_size=1, max_size=3, unique=True),
+    min_len=st.integers(min_value=0, max_value=6),
+    max_len=st.integers(min_value=6, max_value=12),
+    kind=st.sampled_from(["any_of", "one_of", "not"]),
+)
+def test_composition_matches_jsonschema(spark, rows, enum_vals, min_len, max_len, kind):
+    """Draft-7 anyOf/oneOf/not over randomized enum+length sub-schemas must
+    agree with Draft7Validator row-for-row (the newest compiler surface)."""
+    checks = [
+        {"kind": "enum", "values": list(enum_vals)},
+        {"kind": "length", "min_length": min_len, "max_length": max_len},
+    ]
+    sub_schemas = [
+        {"enum": list(enum_vals)},
+        {"minLength": min_len, "maxLength": max_len},
+    ]
+    rules = [Rule(kind=kind, params={"column": "v", "checks": checks})]
+    key = {"any_of": "anyOf", "one_of": "oneOf", "not": "not"}[kind]
+    schema_body = {key: sub_schemas} if kind != "not" else {"not": {"allOf": sub_schemas}}
+    schema = {"type": "object", "properties": {"v": schema_body}}
+    assert _run_engine(spark, rules, rows) == _oracle(schema, rows)
