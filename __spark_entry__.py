@@ -700,10 +700,13 @@ def q39_range_join(spark, sf_dir):
 
 
 def q40_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed: a pair within
-    distance 3 must agree on ≥1 of the 4 16-bit chunks (pigeonhole), so the
-    bucketed join finds EVERY such pair and an exact all-pairs DuckDB oracle
-    is a deterministic twin."""
+    """SimHash near-dup pairs (hamming ≤ 3), two-level chunk-bucketed: a
+    pair within distance 3 agrees on ≥1 of the 4 16-bit chunks AND, within
+    that chunk's 48-bit complement, on ≥1 of 4 12-bit sub-chunks (double
+    pigeonhole) — the join finds EVERY such pair with ~2^30 bucket keys
+    (vs 2^16 single-level, the round-3 scale hazard), so an exact all-pairs
+    DuckDB oracle is a deterministic twin. The default 5000-row bucket cap
+    cannot fire at ≤5000-doc test corpora."""
     from schema_enforcer_spark.functions.dedup import simhash_near_dups
 
     docs = _spread(_t(spark, sf_dir, "documents"))

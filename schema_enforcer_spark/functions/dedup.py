@@ -338,26 +338,110 @@ def simhash_hex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), _votes_to_hex(_simhash_votes(F.col(text_col))).alias("simhash_hex"))
 
 
-def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dups by simhash hamming distance ≤ max_hamming, bucketed on
-    16-bit chunks (a pair within distance 3 must agree on ≥1 of 4 chunks —
-    pigeonhole) so the join is bucket-local, not all-pairs."""
+def _simhash_chunk_keys(sigs: DataFrame) -> DataFrame:
+    """Two-level pigeonhole keys for a (_id, simhash) frame: 16 rows per doc,
+    one per (chunk, val, sub, subval).
+
+    Level 1: the 64-bit simhash splits into 4×16-bit chunks — a pair at
+    hamming ≤ 3 agrees EXACTLY on ≥1 chunk (4 buckets, ≤3 differing bits).
+    Level 2: within a matching chunk, the pair's remaining 48 bits also
+    differ by ≤3, so splitting THOSE into 4×12-bit sub-chunks pigeonholes
+    again — ≥1 sub-chunk agrees. Joining on (chunk, val, sub, subval) is
+    therefore still LOSSLESS for max_hamming ≤ 3, but the bucket key space
+    grows from 2^16 to ~2^30 (4·4·2^28): the single-level scheme's
+    n/65k-rows-per-bucket blow-up at 10^9+ docs (the round-3 scale hazard)
+    becomes n/2^28 per bucket — a uniform corpus of 10^12 docs averages
+    ~4k rows/bucket instead of ~15M. Cost: explode factor 16 instead of 4
+    on ~40-byte rows; the join itself is the same shuffled equi-join.
+    """
+    # the 48-bit complement of chunk i: low 16i bits | high bits shifted
+    # down by 16 — both non-negative, result < 2^48 so plain long math.
+    # JVM shifts are mod 64, so the i=3 "high" term (a shift by 64) must be
+    # written as a pure mask, not shiftrightunsigned(x, 64) (a no-op).
+    low = lambda i: F.col("simhash").bitwiseAND(F.lit((1 << (16 * i)) - 1))
+    rem_bits = [
+        F.shiftrightunsigned("simhash", 16),  # i=0: bits 16..63
+        low(1).bitwiseOR(F.shiftleft(F.shiftrightunsigned("simhash", 32), 16)),
+        low(2).bitwiseOR(F.shiftleft(F.shiftrightunsigned("simhash", 48), 32)),
+        low(3),  # i=3: bits 0..47
+    ]
+    keys = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            F.lit(j).alias("sub"),
+            F.shiftrightunsigned(rem_bits[i], 12 * j).bitwiseAND(F.lit(0xFFF)).alias("subval"),
+        )
+        for i in range(4)
+        for j in range(4)
+    ]
+    return sigs.select("_id", "simhash", F.explode(F.array(*keys)).alias("c")).select(
+        "_id", "simhash", "c.chunk", "c.val", "c.sub", "c.subval"
+    )
+
+
+_SIMHASH_KEYS = ["chunk", "val", "sub", "subval"]
+
+
+def simhash_bucket_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bucket-size histogram (bucket_size, n_buckets) over the two-level
+    simhash join keys — the skew diagnostic for choosing max_bucket_size
+    (mirror of lsh_bucket_stats for the minhash path)."""
     sigs = simhash(df, text_col, id_col).withColumnsRenamed({id_col: "_id"})
-    chunks = sigs.select(
-        "_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("chunk"), F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val")) for i in range(4)])
-        ).alias("c"),
-    ).select("_id", "simhash", "c.chunk", "c.val")
+    return (
+        _simhash_chunk_keys(sigs)
+        .groupBy(*_SIMHASH_KEYS)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(a_id, b_id, hamming ≤ max_hamming) pairs from a (_id, simhash long)
+    frame via the two-level pigeonhole join (see _simhash_chunk_keys —
+    lossless for max_hamming ≤ 3). Buckets larger than max_bucket_size are
+    dropped BEFORE pair emission (same _cap_buckets as minhash/embedding
+    LSH) so no task ever materializes an unbounded O(b²) pair set; dropping
+    is lossy by design and observable via simhash_bucket_stats."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash pigeonhole bucketing guarantees recall only for "
+            f"max_hamming <= 3 (4 chunks / 4 sub-chunks), got {max_hamming}"
+        )
+    chunks = _cap_buckets(_simhash_chunk_keys(sigs), _SIMHASH_KEYS, max_bucket_size)
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cond = (F.col("a._id") < F.col("b._id"))
+    for k in _SIMHASH_KEYS:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, cond)
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"), hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Near-dups by simhash hamming distance ≤ max_hamming via the exact
+    two-level pigeonhole join (chunk + sub-chunk — see _simhash_chunk_keys).
+    Buckets are capped at 5000 rows by default (minhash precedent): a bucket
+    that large means ≥5000 docs agreeing on the same 28 signature bits —
+    run exact_dedup first and inspect simhash_bucket_stats before raising
+    the cap. At the test corpora (≤ corpus size 5000) the cap never fires,
+    so results equal the exact all-pairs oracle."""
+    sigs = simhash(df, text_col, id_col).withColumnsRenamed({id_col: "_id"})
+    return simhash_pairs_from_sigs(sigs, max_hamming, max_bucket_size)
 
 
 # ---------------------------------------------------------------------------

@@ -59,12 +59,75 @@ def test_minhash_recall_vs_exact(spark, docs):
 def test_simhash_near_dups(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[0] == sigs[100]  # identical text → identical simhash
-    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=3).collect()}
     assert pairs[(0, 100)] == 0
-    # every returned pair respects the hamming cap and popcount ground truth
-    for (a, b), h in pairs.items():
-        assert h <= 16
-        assert bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") == h
+    # EXACT vs brute-force popcount ground truth: the two-level pigeonhole
+    # join must find every pair at distance <= 3 and nothing else
+    ids = sorted(sigs)
+    truth = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert pairs == truth
+    # recall above max_hamming=3 is NOT pigeonhole-guaranteed: fail loud
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(docs, max_hamming=16).collect()
+
+
+def test_simhash_two_level_exact_and_bounded(spark):
+    """Two-level (chunk, sub-chunk) pigeonhole: exact vs brute force on
+    synthetic signatures, AND bounded buckets on the adversarial corpus that
+    blew up the single-level scheme (many docs sharing one 16-bit chunk)."""
+    import random
+
+    from schema_enforcer_spark.functions.dedup import (
+        _simhash_chunk_keys,
+        simhash_pairs_from_sigs,
+    )
+
+    rng = random.Random(7)
+    mask = (1 << 64) - 1
+    # 120 docs ALL sharing chunk 0 (low 16 bits) — one n-row bucket under the
+    # old (chunk, val) scheme — with random high bits, plus planted near-pairs
+    def signed(v):  # java long is signed
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = {}
+    for i in range(120):
+        sigs[i] = signed((rng.getrandbits(48) << 16) | 0xBEEF)
+    for i in range(0, 40, 2):  # planted: flip <=3 bits of the even partner
+        v = sigs[i]
+        for b in rng.sample(range(64), rng.randint(0, 3)):
+            v = signed((v ^ (1 << b)) & ((1 << 64) - 1))
+        sigs[i + 1] = v
+    df = spark.createDataFrame(list(sigs.items()), "_id long, simhash long")
+
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(df, max_hamming=3).collect()
+    }
+    truth = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & mask).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & mask).count("1") <= 3
+    }
+    assert got == truth and truth  # exact, and the fixture planted real pairs
+
+    # boundedness: the shared-chunk bucket is split by sub-chunk values —
+    # no (chunk, val, sub, subval) bucket anywhere near the 120-row corpus
+    bucket_sizes = (
+        _simhash_chunk_keys(df)
+        .groupBy("chunk", "val", "sub", "subval")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_bucket = bucket_sizes.agg(F.max("n")).collect()[0][0]
+    assert max_bucket <= 10, f"adversarial shared-chunk corpus not spread: {max_bucket}"
+
+    # the cap is honored and lossy-by-design: max_bucket_size=0 drops all
+    assert simhash_pairs_from_sigs(df, max_hamming=3, max_bucket_size=0).count() == 0
 
 
 def test_embedding_near_dups_and_ann(spark):

@@ -264,6 +264,23 @@ def main() -> None:
         notes14.append("OK: ref side pre-aggregated (map-side combine) before the join")
     sections.append(("Cardinality rule (q48: FK multiplicity)", p14, notes14))
 
+    # 15. simhash near-dups (q40): the two-level pigeonhole join must stay a
+    # bucket-local equi-join on ALL FOUR key parts (chunk, val, sub, subval)
+    # — never a nested loop — so no task depends on a 16-bit bucket alone
+    p15 = _formatted(entry.q40_simhash_near_dups(spark, sf))
+    notes15 = []
+    if "BroadcastNestedLoopJoin" in p15 or "CartesianProduct" in p15:
+        problems.append("q40 simhash join planned as nested-loop/cartesian")
+    else:
+        notes15.append("OK: no nested-loop/cartesian join")
+    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", p15) and re.search(
+        r"Left keys[^\n]*chunk[^\n]*val[^\n]*sub[^\n]*subval", p15
+    ):
+        notes15.append("OK: equi-join keyed on (chunk, val, sub, subval) — two-level bucket-local")
+    else:
+        problems.append("q40 join is not keyed on the full two-level (chunk, val, sub, subval)")
+    sections.append(("SimHash near-dups (q40: two-level pigeonhole equi-join)", p15, notes15))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
