@@ -216,6 +216,7 @@ def boilerplate_report(
     id_col: str = "doc_id",
     n: int = 4,
     min_df: int = 5,
+    max_broadcast_grams: int = 2_000_000,
 ):
     """Per-document boilerplate measurement (the CCNet/RefinedWeb-style
     frequent-fragment signal, n-gram grain): an n-gram is *boilerplate* when
@@ -228,9 +229,13 @@ def boilerplate_report(
     derivation is cheap codegen; persisting the exploded table would cost
     more IO than recomputing it — same trade as word_shingles in minhash).
     Zipf guarantees df >= min_df keeps only a tiny head — that's the
-    broadcast side; if a corpus ever produced a huge frequent set, raise
-    min_df. The per-doc counts then groupBy the doc id (second shuffle,
-    proportional to docs). No all-pairs work, nothing driver-side.
+    broadcast side; the assumption is ENFORCED, not just documented: the
+    head is counted before broadcasting and a head larger than
+    max_broadcast_grams raises loudly (mirroring the CC non-convergence
+    raise) instead of silently shipping an executor-OOM-sized broadcast —
+    the fix is raising min_df. The per-doc counts then groupBy the doc id
+    (second shuffle, proportional to docs). No all-pairs work, nothing
+    driver-side.
 
     Returns (id, n_grams, n_boilerplate, boilerplate_fraction); docs with
     fewer than n tokens report 0 grams / fraction 0.0.
@@ -242,6 +247,16 @@ def boilerplate_report(
         .filter(F.col("doc_freq") >= min_df)
         .select("gram", F.lit(1).alias("_hit"))
     )
+    # one count-only action over the aggregated (tiny) side; the limit is a
+    # hard guard on broadcast size, ~50 bytes/gram → default ≈ 100 MB
+    n_frequent = frequent.count()
+    if n_frequent > max_broadcast_grams:
+        raise RuntimeError(
+            f"boilerplate_report: frequent-gram head has {n_frequent} grams "
+            f"(> max_broadcast_grams={max_broadcast_grams}) — broadcasting it "
+            "would blow executor memory. Raise min_df (the Zipf head should "
+            "be tiny) or max_broadcast_grams if you know the head fits."
+        )
     per_doc = (
         grams.join(F.broadcast(frequent), "gram", "left")
         .groupBy(id_col)

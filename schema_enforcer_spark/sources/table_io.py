@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import partitioning
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -47,7 +48,9 @@ class TableIO:
         if self.mode == "iceberg":
             w = df.writeTo(f"{self.root}.{name}")
             if bucket_col:
-                w = w.partitionedBy(F.bucket(self.num_buckets, bucket_col))
+                # partitioning.bucket is the Spark-4 home of the transform
+                # (plain F.bucket warns FutureWarning, removed in Spark 5)
+                w = w.partitionedBy(partitioning.bucket(self.num_buckets, bucket_col))
             (w.createOrReplace() if mode == "overwrite" else w.append())
             return
         out = df

@@ -49,6 +49,16 @@ def test_boilerplate_report_marks_frequent_grams(spark):
     assert freq["all rights reserved copyright"] == 3
 
 
+def test_boilerplate_broadcast_guard_trips(spark):
+    """min_df=1 makes EVERY gram 'frequent' — the pre-broadcast count guard
+    must refuse to ship that head instead of broadcasting unbounded data."""
+    rows = [(i, f"doc {i} has its very own unique ngram tail {i}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="max_broadcast_grams"):
+        boilerplate_report(_docs(spark, rows), n=4, min_df=1, max_broadcast_grams=3)
+    # the same corpus under the default limit still works
+    assert boilerplate_report(_docs(spark, rows), n=4, min_df=1).count() == 6
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     text = " ".join(f"w{i}" for i in range(10))
     rows = [(0, text), (1, "one two"), (2, ""), (3, None)]
