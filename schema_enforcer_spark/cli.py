@@ -48,6 +48,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--instance-expr", default=None)
     p.add_argument("--show-failures", type=int, default=20, help="max FAIL lines printed")
     p.add_argument(
+        "--show-pass",
+        action="store_true",
+        help="also print PASS lines for passing instances "
+        "(mirror of the reference's --show-pass, cli.py:28, printed at :101)",
+    )
+    p.add_argument(
         "--summary",
         action="store_true",
         help="print a per-rule summary (schema_id, violations, instances) after the FAIL lines",
@@ -58,6 +64,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="print which manifests bind to the input's columns and exit "
         "(mirror of the reference's --show-checks, cli.py:86-88)",
+    )
+    p.add_argument(
+        "--list-manifests",
+        action="store_true",
+        help="list the manifest(s) at --manifest (file or directory) and exit "
+        "— the `schema --list` analogue (reference cli.py:111, "
+        "manager.py print_schemas_list)",
+    )
+    p.add_argument(
+        "--dump-manifest",
+        action="store_true",
+        help="print the include-resolved manifest(s) as JSON and exit; with "
+        "--input, also print each compiled rule id + Catalyst expression "
+        "— the `schema --dump` analogue (reference cli.py:120, "
+        "manager.py dump_schema)",
     )
     p.add_argument(
         "--selftest",
@@ -76,9 +97,101 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _manifest_paths(path: str) -> list[str]:
+    """All manifest files under a directory (sorted), or the single resolved
+    file — the SchemaManager search-path analogue (reference
+    schemas/manager.py:36-60 loads every schema under a directory tree)."""
+    import glob
+    import os
+
+    from schema_enforcer_spark.manifest import find_manifest_file
+
+    if os.path.isdir(path):
+        return sorted(
+            p
+            for ext in ("yml", "yaml", "json")
+            for p in glob.glob(os.path.join(path, "**", f"*.{ext}"), recursive=True)
+        )
+    return [find_manifest_file(path)]
+
+
+def _schema_tools(args) -> int:
+    """--list-manifests / --dump-manifest: pure driver-side manifest
+    inspection (no Spark session unless --dump-manifest needs an --input
+    schema to compile expressions against)."""
+    import json
+    import os
+
+    from schema_enforcer_spark.manifest import InvalidManifest, load_manifest
+
+    paths = _manifest_paths(args.manifest)
+    loaded = []
+    for p in paths:
+        try:
+            loaded.append((p, load_manifest(p)))
+        except InvalidManifest as e:
+            for err in e.errors:
+                print(f"ERROR | invalid manifest | {p}: {err}", file=sys.stderr)
+            return 1
+    if not loaded:
+        print("ERROR | no manifests found", file=sys.stderr)
+        return 1
+
+    if args.list_manifests:
+        # reference print_schemas_list shape: ID / Type / Location / Filename,
+        # with the cwd shortened to "." (manager.py:88-107)
+        cwd = os.getcwd()
+        print(f"{'Schema ID':<40} {'Type':<10} {'Location':<30} Filename")
+        print("-" * 100)
+        for p, m in loaded:
+            loc = os.path.dirname(os.path.abspath(p)).replace(cwd, ".")
+            print(f"{m.id:<40} {'manifest':<10} {loc:<30} {os.path.basename(p)}")
+        return 0
+
+    # --dump-manifest: include-resolved normalized JSON (the reference dumps
+    # schema data with $refs resolved, manager.py:109-124)
+    for _, m in loaded:
+        print(
+            json.dumps(
+                {
+                    "id": m.id,
+                    "table": m.table,
+                    "columns": list(m.columns),
+                    "strict": m.strict,
+                    "applies_to": list(m.applies_to),
+                    "rules": [{"kind": r.kind, **r.params} for r in m.rules],
+                },
+                indent=2,
+                default=str,
+            )
+        )
+    if args.input:
+        # debugging aid: the Catalyst expression each row rule compiled to
+        # against the actual input schema (table rules print their kind/grain)
+        from pyspark.sql import SparkSession
+
+        from schema_enforcer_spark.compiler import compile_row_rules
+
+        builder = SparkSession.builder.appName("schema-enforcer-spark:dump")
+        if args.master:
+            builder = builder.master(args.master)
+        spark = builder.getOrCreate()
+        df = spark.read.parquet(args.input)
+        print("\nCompiled rules:")
+        for _, m in loaded:
+            for cr in compile_row_rules(df, m):
+                print(f"  {cr.rule_id}: {str(cr.predicate)}")
+            for r in m.table_rules:
+                print(f"  {m.id}/{r.kind}: table-grain rule {json.dumps(r.params, default=str)}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.list_manifests or args.dump_manifest:
+        return _schema_tools(args)
     from pyspark.sql import SparkSession
+    from pyspark.sql.functions import col as F_col
 
     from schema_enforcer_spark.checkpoint import CheckpointManager
     from schema_enforcer_spark.engine import ValidationEngine
@@ -203,6 +316,19 @@ def main(argv: list[str] | None = None) -> int:
     for v in failures:
         prop = ":".join(v["absolute_path"] or [])
         print(f"FAIL | [ERROR] {v['message']} [{v['instance_type']}] {v['instance_location']}/{v['instance_name']} [PROPERTY] {prop}")
+
+    if args.show_pass:
+        # reference print_passed (validation.py:82-91): PASS | [TYPE] name
+        # [SCHEMA ID] id. Verdicts are partition-grain so the collect is
+        # bounded by (#partitions × #schemas), capped like the FAIL lines.
+        passed = (
+            report.verdicts.filter(F_col("result") == "PASS")
+            .orderBy("schema_id", "instance_name")
+            .limit(args.show_failures)
+            .collect()
+        )
+        for p in passed:
+            print(f"PASS | [PARTITION] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
 
     if args.summary:
         print(f"{'Rule':<60} {'Violations':>10} {'Instances':>10}")

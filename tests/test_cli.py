@@ -180,3 +180,70 @@ def test_checkpoint_empty_dir_is_first_run(spark, tmp_path):
     empty.mkdir()
     cm = CheckpointManager(spark, str(empty))
     assert cm.lineage().count() == 0
+
+
+def test_cli_show_pass(spark, data, capsys):
+    """--show-pass prints PASS lines for passing partitions in the reference
+    print_passed shape (validation.py:82-91): PASS | [TYPE] name [SCHEMA ID]."""
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--show-pass"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS | [PARTITION] " in out and "[SCHEMA ID] schemas/transcripts_base" in out
+    # without the flag no PASS lines are printed (default behavior unchanged)
+    main(["--manifest", MANIFEST, "--input", data["clean"]])
+    assert "PASS | [PARTITION]" not in capsys.readouterr().out
+    # on bad data the flag still prints PASS lines for the clean partitions
+    rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--show-pass"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL | [ERROR]" in out and "PASS | [PARTITION] " in out
+
+
+def test_cli_list_manifests(tmp_path, capsys):
+    """--list-manifests on a directory enumerates every manifest file with
+    the reference table columns (manager.py print_schemas_list); an invalid
+    manifest in the tree fails loud like SchemaManager's InvalidJSONSchema."""
+    import shutil
+
+    mdir = tmp_path / "mans"
+    mdir.mkdir()
+    for name in ("transcripts_base.yml", "transcripts_agg.yml"):
+        shutil.copy(os.path.join(REPO, "manifests", name), mdir / name)
+    rc = main(["--manifest", str(mdir), "--list-manifests"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Schema ID" in out and "Filename" in out
+    assert "schemas/transcripts_base" in out and "transcripts_base.yml" in out
+    assert "schemas/transcripts_agg" in out
+    # a directory containing an invalid manifest fails loud (reference
+    # SchemaManager raises InvalidJSONSchema before any listing)
+    shutil.copy(os.path.join(REPO, "manifests", "invalid_manifest.yml"), mdir / "bad.yml")
+    rc = main(["--manifest", str(mdir), "--list-manifests"])
+    assert rc == 1
+    assert "invalid manifest" in capsys.readouterr().err
+    # single-file form lists exactly one row
+    rc = main(["--manifest", MANIFEST, "--list-manifests"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count("schemas/transcripts_base") == 1
+
+
+def test_cli_dump_manifest(spark, data, capsys):
+    """--dump-manifest prints the include-resolved manifest as JSON
+    (reference dump_schema, manager.py:109-124); with --input it also prints
+    each compiled rule id + Catalyst expression."""
+    import json
+
+    rc = main(["--manifest", MANIFEST, "--dump-manifest"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    dumped = json.loads(out)
+    assert dumped["id"] == "schemas/transcripts_base"
+    assert any(r["kind"] == "enum" for r in dumped["rules"])
+
+    rc = main(["--manifest", MANIFEST, "--dump-manifest", "--input", data["clean"]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Compiled rules:" in out
+    assert "schemas/transcripts_base/enum/role:" in out
+    # the printed expression is the real compiled Catalyst predicate
+    assert "Column<" in out
