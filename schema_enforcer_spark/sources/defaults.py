@@ -89,4 +89,124 @@ def inventory_defaults(spark, host_vars: dict[str, dict], group_vars: dict | Non
     for host, hv in sorted(host_vars.items()):
         merged = render_templates(merge_vars(group_vars or {}, hv))
         rows.append({key: host, **merged})
-    return spark.createDataFrame(rows)
+    return spark.createDataFrame(_normalize_rows(rows))
+
+
+def _normalize_rows(rows: list[dict]) -> list[dict]:
+    """Give every row the union of keys (missing → None) so schema inference
+    never sees ragged dicts — hosts rarely define identical var sets."""
+    all_keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in all_keys:
+                all_keys.append(k)
+    return [{k: r.get(k) for k in all_keys} for r in rows]
+
+
+def _load_yaml(path: str) -> dict:
+    import yaml
+
+    with open(path, encoding="utf-8") as fh:
+        data = yaml.safe_load(fh)
+    return data or {}
+
+
+def _dir_vars(base: str, name: str) -> dict:
+    """Vars for one group/host name under a group_vars/ or host_vars/ dir:
+    ``<base>/<name>.{yml,yaml,json}`` first-hit, else every file inside a
+    ``<base>/<name>/`` directory merged in filename order (the Ansible
+    layout both reference and docs describe)."""
+    import os
+
+    for ext in ("yml", "yaml", "json"):
+        p = os.path.join(base, f"{name}.{ext}")
+        if os.path.isfile(p):
+            return _load_yaml(p)
+    d = os.path.join(base, name)
+    if os.path.isdir(d):
+        layers = [
+            _load_yaml(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.rsplit(".", 1)[-1] in ("yml", "yaml", "json")
+        ]
+        return merge_vars(*layers)
+    return {}
+
+
+def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: dict | None = None):
+    """Parse an Ansible-style inventory layout into the defaults dim table
+    feeding merge_defaults() — the ingestion path for the reference's
+    AnsibleInventory source (/root/reference/schema_enforcer/
+    ansible_inventory.py:13-58: InventoryManager + VariableManager +
+    Templar).
+
+    Layout::
+
+        <inventory_dir>/
+          hosts.yml          # group tree: {all: {children: {g: {hosts: ...}}}}
+          group_vars/        # <group>.yml or <group>/<files>.yml
+          host_vars/         # <host>.yml  or <host>/<files>.yml
+
+    Precedence (low → high), the documented Ansible merge order restricted
+    to what the reference consumes: for each of the host's groups ordered
+    ancestors-first (siblings alphabetical, 'all' always first) the
+    inventory-file ``vars:`` block then the group_vars/ files; then the
+    inline host vars from the hosts file; then host_vars/ files; then
+    ``extra_vars`` (the reference's run-time extra_vars, highest). Jinja
+    templates render to a fixpoint afterwards (Templar analogue).
+
+    Driver-side only — an inventory is dim-sized by construction; the
+    returned DataFrame broadcasts through merge_defaults at any corpus
+    scale."""
+    import os
+
+    from schema_enforcer_spark.manifest import find_manifest_file
+
+    hosts_file = find_manifest_file(os.path.join(inventory_dir, "hosts"))
+    tree = _load_yaml(hosts_file)
+
+    # walk the group tree: host → [(depth, group)], groups may repeat via
+    # multiple memberships; inline vars collected per group and per host
+    group_vars_inline: dict[str, dict] = {}
+    host_inline: dict[str, dict] = {}
+    host_groups: dict[str, list[tuple[int, str]]] = {}
+
+    def walk(name: str, node: dict | None, depth: int) -> None:
+        node = node or {}
+        group_vars_inline.setdefault(name, {}).update(node.get("vars") or {})
+        for host, hv in sorted((node.get("hosts") or {}).items()):
+            host_inline.setdefault(host, {}).update(hv or {})
+            host_groups.setdefault(host, [])
+            if (depth, name) not in host_groups[host]:
+                host_groups[host].append((depth, name))
+        for child, cnode in sorted((node.get("children") or {}).items()):
+            walk(child, cnode, depth + 1)
+            # membership in a child implies membership in this group
+            for host in list(host_groups):
+                if any(g == child for _, g in host_groups[host]) and not any(
+                    g == name for _, g in host_groups[host]
+                ):
+                    host_groups[host].append((depth, name))
+
+    for top, node in sorted(tree.items()):
+        walk(top, node, 0 if top == "all" else 1)
+
+    gv_dir = os.path.join(inventory_dir, "group_vars")
+    hv_dir = os.path.join(inventory_dir, "host_vars")
+    rows = []
+    for host in sorted(host_groups):
+        ordered = sorted(
+            set(host_groups[host]), key=lambda dg: (dg[0], dg[1] != "all", dg[1])
+        )
+        layers: list[dict] = []
+        for _, g in ordered:
+            layers.append(group_vars_inline.get(g, {}))
+            layers.append(_dir_vars(gv_dir, g))
+        layers.append(host_inline.get(host, {}))
+        layers.append(_dir_vars(hv_dir, host))
+        layers.append(extra_vars or {})
+        merged = render_templates(merge_vars(*layers))
+        rows.append({key: host, **merged})
+    if not rows:
+        raise ValueError(f"no hosts found in inventory {inventory_dir}")
+    return spark.createDataFrame(_normalize_rows(rows))

@@ -215,3 +215,73 @@ def test_inventory_vars_merge_and_templating(spark):
     df = spark.createDataFrame([("conv-1", None), ("conv-2", "explicit")], "conv_id string, tool string")
     out = {r["conv_id"]: r["tool"] for r in merge_defaults(df, dim, keys=["conv_id"]).collect()}
     assert out == {"conv-1": "sfo-tool", "conv-2": "explicit"}
+
+
+def test_load_inventory_layout_precedence(spark, tmp_path):
+    """Ansible-layout ingestion (reference ansible_inventory.py:13-58):
+    group_vars/host_vars directory precedence + inline inventory vars +
+    Jinja rendering, ending in the merge_defaults dim-table shape (q30)."""
+    import os
+
+    from schema_enforcer_spark.sources.defaults import load_inventory, merge_defaults
+
+    inv = tmp_path / "inventory"
+    (inv / "group_vars").mkdir(parents=True)
+    (inv / "host_vars" / "conv-c").mkdir(parents=True)
+    (inv / "hosts.yml").write_text(
+        "all:\n"
+        "  vars:\n"
+        "    region: global\n"
+        "    dns: '{{ site }}-dns'\n"
+        "  children:\n"
+        "    dc1:\n"
+        "      hosts:\n"
+        "        conv-a:\n"
+        "          rack: r1\n"
+        "        conv-b:\n"
+        "    dc2:\n"
+        "      hosts:\n"
+        "        conv-c:\n"
+    )
+    (inv / "group_vars" / "all.yml").write_text("tool: default_tool\nsite: hq\n")
+    (inv / "group_vars" / "dc1.yml").write_text("site: east\n")
+    (inv / "host_vars" / "conv-a.yml").write_text("tool: special\n")
+    # dir-form host_vars: files merge in filename order (later wins)
+    (inv / "host_vars" / "conv-c" / "01_base.yml").write_text("tool: c1\nextra: x\n")
+    (inv / "host_vars" / "conv-c" / "02_override.yml").write_text("tool: c2\n")
+
+    dim = load_inventory(spark, str(inv), key="conv_id")
+    rows = {r["conv_id"]: r.asDict() for r in dim.collect()}
+
+    assert set(rows) == {"conv-a", "conv-b", "conv-c"}
+    a, b, c = rows["conv-a"], rows["conv-b"], rows["conv-c"]
+    # host_vars file > group_vars; child group_vars > group_vars/all
+    assert a["tool"] == "special" and a["site"] == "east"
+    # inline hosts-file vars survive; Jinja renders against the MERGED vars
+    assert a["rack"] == "r1" and a["dns"] == "east-dns"
+    # sibling host without overrides: group chain only
+    assert b["tool"] == "default_tool" and b["site"] == "east" and b["dns"] == "east-dns"
+    # dc2 host: no dc1 leakage; dir-form host_vars merge in filename order
+    assert c["site"] == "hq" and c["dns"] == "hq-dns"
+    assert c["tool"] == "c2" and c["extra"] == "x"
+    # 'all' inventory vars reach every host
+    assert all(r["region"] == "global" for r in rows.values())
+
+    # extra_vars (run-time) win over everything, like the reference's
+    # AnsibleInventory(extra_vars=...)
+    dim2 = load_inventory(spark, str(inv), key="conv_id", extra_vars={"tool": "forced"})
+    assert {r["tool"] for r in dim2.collect()} == {"forced"}
+
+    # the q30 shape: dim table feeds merge_defaults, row value wins
+    df = spark.createDataFrame(
+        [("conv-a", None), ("conv-b", "explicit")], "conv_id string, tool string"
+    )
+    out = {r["conv_id"]: r["tool"] for r in merge_defaults(df, dim, keys=["conv_id"]).collect()}
+    assert out == {"conv-a": "special", "conv-b": "explicit"}
+
+    # a hostless inventory fails loud
+    empty = tmp_path / "empty_inv"
+    empty.mkdir()
+    (empty / "hosts.yml").write_text("all:\n  children: {}\n")
+    with pytest.raises(ValueError, match="no hosts"):
+        load_inventory(spark, str(empty))
