@@ -66,6 +66,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(mirror of the reference's --show-checks, cli.py:86-88)",
     )
     p.add_argument(
+        "--write-baseline",
+        action="store_true",
+        help="compute and persist the drift-rule baseline histograms from "
+        "--input to <checkpoint>/drift_baselines.json, then exit "
+        "(requires --checkpoint)",
+    )
+    p.add_argument(
+        "--baseline",
+        action="store_true",
+        help="load stored drift baselines from <checkpoint>/"
+        "drift_baselines.json for drift rules without inline baselines",
+    )
+    p.add_argument(
         "--list-manifests",
         action="store_true",
         help="list the manifest(s) at --manifest (file or directory) and exit "
@@ -248,6 +261,24 @@ def main(argv: list[str] | None = None) -> int:
     for spec in args.ref_table:
         name, _, path = spec.partition("=")
         ref_tables[name] = spark.read.parquet(path)
+
+    if args.write_baseline or args.baseline:
+        from schema_enforcer_spark.stats import (
+            baseline_store_path,
+            load_drift_baselines,
+            write_drift_baselines,
+        )
+
+        if not args.checkpoint:
+            print("ERROR | --write-baseline/--baseline require --checkpoint "
+                  "(baselines live under the checkpoint dir)", file=sys.stderr)
+            return 2
+        store = baseline_store_path(args.checkpoint)
+        if args.write_baseline:
+            written = write_drift_baselines(spark, df, manifest, store)
+            print(f"wrote {len(written)} drift baseline(s) to {store}")
+            return 0
+        eng_kw["drift_baselines"] = load_drift_baselines(spark, store)
 
     eng = ValidationEngine(manifest, **eng_kw)
 

@@ -150,11 +150,15 @@ class ValidationEngine:
         key_columns: list[str] | None = None,
         instance_expr: str | None = None,
         num_buckets: int = 32,
+        drift_baselines: dict[str, dict] | None = None,
     ):
         self.manifest = manifest
         self.key_columns = key_columns or ["conv_id", "turn_idx"]
         self.instance_expr = instance_expr
         self.num_buckets = num_buckets
+        # stored drift baselines (rule id → compute_histogram dict) — the
+        # --write-baseline/--baseline lifecycle; inline rule baselines win
+        self.drift_baselines = drift_baselines or {}
 
     # -- helpers -----------------------------------------------------------
 

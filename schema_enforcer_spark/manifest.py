@@ -144,6 +144,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "metric": {"enum": ["ks", "psi"]},
                     "threshold": {"type": "number"},
                     "baseline": {},
+                    "lo": {"type": "number"},
+                    "hi": {"type": "number"},
                     "bins": {"type": "integer"},
                     "message": {"type": "string"},
                     "id": {"type": "string"},
@@ -181,7 +183,9 @@ _PER_KIND_REQUIRED = {
     "aggregate": ["left", "operator", "right"],
     "strict_columns": [],
     "conditional": ["when", "then"],
-    "drift": ["column", "metric", "threshold", "baseline"],
+    # baseline may instead come from a stored baseline file (--baseline);
+    # a custom check below requires either inline baseline or lo+hi bounds
+    "drift": ["column", "metric", "threshold"],
     "sequence": ["column", "partition_by", "order_by", "allowed_transitions"],
     "any_of": ["column", "checks"],
     "one_of": ["column", "checks"],
@@ -338,6 +342,11 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):
             errors.append(f"rules/{i}: length rule needs min_length or max_length")
+        if kind == "drift" and "baseline" not in rule and not ({"lo", "hi"} <= rule.keys()):
+            errors.append(
+                f"rules/{i}: drift rule needs an inline 'baseline' histogram or "
+                "'lo'+'hi' bucket bounds (for the stored-baseline flow)"
+            )
         if kind == "cardinality" and not ({"min_count", "max_count"} & rule.keys()):
             errors.append(f"rules/{i}: cardinality rule needs min_count and/or max_count")
         if kind == "strict_columns" and rule.get("column") and not rule.get("columns"):

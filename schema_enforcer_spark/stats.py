@@ -303,24 +303,104 @@ _DRIFT_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Stored drift baselines (the --write-baseline/--baseline CLI lifecycle):
+# one JSON file under the checkpoint dir mapping rule id → the
+# compute_histogram dict, written/read through the Hadoop FS API so the
+# checkpoint dir can live on HDFS/S3, not just the local disk.
+# ---------------------------------------------------------------------------
+
+
+def baseline_store_path(checkpoint_dir: str) -> str:
+    # underscore prefix: the lineage parquet table lives at the checkpoint
+    # root, and Spark's file index skips `_`/`.`-prefixed names (the
+    # _SUCCESS convention) — any other name would corrupt lineage reads
+    return f"{checkpoint_dir.rstrip('/')}/_drift_baselines.json"
+
+
+def drift_rule_id(manifest, rule) -> str:
+    """The baseline-store key — identical to the violation schema_id."""
+    return rule.get("id") or f"{manifest.id}/drift/{rule.params['column']}"
+
+
+def write_drift_baselines(spark, df: DataFrame, manifest, path: str) -> dict[str, dict]:
+    """Compute + persist the baseline histogram for every drift rule in the
+    manifest: bucket spec from the rule's lo/hi/bins (falling back to an
+    inline baseline's). One distributed histogram pass per rule; ≤ bins+2
+    numbers per rule reach the driver/file."""
+    import json
+
+    baselines: dict[str, dict] = {}
+    for rule in manifest.table_rules:
+        if rule.kind != "drift":
+            continue
+        spec = rule.get("baseline") or {}
+        lo = float(rule.get("lo", spec.get("lo", 0.0)))
+        hi = float(rule.get("hi", spec.get("hi", 0.0)))
+        bins = int(rule.get("bins", spec.get("bins", 32)))
+        baselines[drift_rule_id(manifest, rule)] = compute_histogram(
+            df, rule.params["column"], lo, hi, bins
+        )
+    _hadoop_write_text(spark, path, json.dumps(baselines, indent=2))
+    return baselines
+
+
+def load_drift_baselines(spark, path: str) -> dict[str, dict]:
+    import json
+
+    return json.loads(_hadoop_read_text(spark, path))
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def drift_violations(engine, df: DataFrame, rule) -> DataFrame:
     """Manifest `drift` rule: compare df's histogram of rule.column (a SQL
-    expression, e.g. 'length(text)') against rule.baseline
+    expression, e.g. 'length(text)') against the baseline histogram
     ({lo, hi, bins, counts}) using KS or PSI; one violation row iff the
-    statistic exceeds rule.threshold.
+    statistic exceeds rule.threshold. The baseline is the rule's inline
+    ``baseline`` when present, else the engine's stored baselines (the
+    --write-baseline/--baseline lifecycle) keyed by rule id; neither
+    existing raises loudly rather than silently passing.
 
     The raw-data pass is a distributed histogram; the drift statistic is
     computed on ≤ bins+2 numbers. At 10^12 rows the scan dominates and
     parallelizes perfectly; nothing row-sized ever reaches the driver.
     """
-    base = rule.params["baseline"]
+    rid_key = drift_rule_id(engine.manifest, rule)
+    base = rule.get("baseline") or getattr(engine, "drift_baselines", {}).get(rid_key)
+    if base is None:
+        raise RuntimeError(
+            f"drift rule {rid_key!r} has no baseline: inline one in the "
+            "manifest or run the CLI with --checkpoint + --write-baseline "
+            "first, then validate with --baseline"
+        )
     metric = rule.params["metric"]
     threshold = float(rule.params["threshold"])
     expr = rule.params["column"]
     cur = compute_histogram(df, expr, float(base["lo"]), float(base["hi"]), int(base["bins"]))
     stat = ks_statistic(base["counts"], cur["counts"]) if metric == "ks" else psi(base["counts"], cur["counts"])
     spark = df.sparkSession
-    rid = rule.get("id") or f"{engine.manifest.id}/drift/{expr}"
+    rid = rid_key
     if stat <= threshold:
         return spark.createDataFrame([], _DRIFT_SCHEMA)
     msg = rule.get("message") or (

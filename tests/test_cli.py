@@ -247,3 +247,74 @@ def test_cli_dump_manifest(spark, data, capsys):
     assert "schemas/transcripts_base/enum/role:" in out
     # the printed expression is the real compiled Catalyst predicate
     assert "Column<" in out
+
+
+def test_cli_drift_baseline_lifecycle(spark, tmp_path, capsys):
+    """--write-baseline persists drift histograms under the checkpoint dir;
+    a later --baseline run validates against them: clean data passes,
+    shifted data fires PSI."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    man = tmp_path / "drift.yml"
+    man.write_text(
+        "id: schemas/drift_test\n"
+        "table: transcripts\n"
+        "rules:\n"
+        "  - kind: drift\n"
+        "    column: length(text)\n"
+        "    metric: psi\n"
+        "    threshold: 0.2\n"
+        "    lo: 0\n"
+        "    hi: 400\n"
+        "    bins: 16\n"
+    )
+    base_df = gen_transcripts(spark, n_convs=30, seed=1)
+    p_base = str(tmp_path / "base")
+    base_df.write.parquet(p_base)
+    # shifted: every text tripled → length distribution moves right hard
+    p_shift = str(tmp_path / "shift")
+    base_df.withColumn("text", F.concat("text", "text", "text")).write.parquet(p_shift)
+
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(["--manifest", str(man), "--input", p_base, "--checkpoint", ckpt, "--write-baseline"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "wrote 1 drift baseline(s)" in out
+    assert os.path.isfile(os.path.join(ckpt, "_drift_baselines.json"))
+
+    # clean re-run against the stored baseline: no drift (fresh ckpt dir so
+    # lineage from other runs can't skip partitions; baselines copied in —
+    # the promote-a-baseline ops pattern)
+    ckpt2 = str(tmp_path / "ckpt2")
+    os.makedirs(ckpt2)
+    shutil.copy(os.path.join(ckpt, "_drift_baselines.json"), ckpt2)
+    rc = main(["--manifest", str(man), "--input", p_base, "--checkpoint", ckpt2, "--baseline"])
+    assert rc == 0
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" in capsys.readouterr().out
+
+    # shifted data fires
+    ckpt3 = str(tmp_path / "ckpt3")
+    os.makedirs(ckpt3)
+    shutil.copy(os.path.join(ckpt, "_drift_baselines.json"), ckpt3)
+    rc = main(["--manifest", str(man), "--input", p_shift, "--checkpoint", ckpt3, "--baseline"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "distribution drift on length(text): psi=" in out
+
+    # no stored baseline and none inline → loud failure, not a silent pass
+    ckpt4 = str(tmp_path / "ckpt4")
+    with pytest.raises(Exception, match="no baseline"):
+        main(["--manifest", str(man), "--input", p_base, "--checkpoint", ckpt4])
+
+
+def test_drift_rule_requires_baseline_or_bounds():
+    from schema_enforcer_spark.manifest import validate_manifest_dict
+
+    errs = validate_manifest_dict(
+        {
+            "id": "schemas/x",
+            "rules": [{"kind": "drift", "column": "length(text)", "metric": "ks", "threshold": 0.1}],
+        }
+    )
+    assert any("baseline" in e and "lo" in e for e in errs)
