@@ -968,6 +968,30 @@ def q54_pivot_event_types(spark, sf_dir):
     )
 
 
+ANN_QUERY_CLUSTER = 7
+
+
+def q55_ann_clustered(spark, sf_dir):
+    """ANN top-k on CLUSTERED embeddings — the credible-recall demonstration
+    (measured recall@20 = 1.0 at n=2000/32 clusters, tools/ann_recall.py +
+    BENCH/BASELINE.md): uniform-random embeddings are the adversarial case
+    for space-partitioning ANN, so this query replants the embeddings
+    table's ids as a 32-cluster corpus (md5-derived, engine-portable —
+    synth.clustered_embedding) and probes with q19's exact lsh_topk config
+    (8 planes, multiprobe hamming-1). The embedding materializes behind a
+    projection barrier so the 128-md5 generation runs once per row, not
+    once per plane dot."""
+    from schema_enforcer_spark.synth import clustered_embedding, cluster_center
+
+    emb = (
+        _spread(_t(spark, sf_dir, "embeddings"))
+        .select("vec_id")
+        .withColumn("embedding", clustered_embedding("vec_id"))
+    )
+    q = cluster_center(ANN_QUERY_CLUSTER)
+    return lsh_topk(emb, q, k=20, n_planes=8, multiprobe=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1030,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_sequence_rule": q52_sequence_rule,
         "q53_rollup_stats": q53_rollup_stats,
         "q54_pivot_event_types": q54_pivot_event_types,
+        "q55_ann_clustered": q55_ann_clustered,
     }
 
 
@@ -1908,5 +1933,45 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) FILTER (event_type = 'view') AS n_view
         FROM events WHERE user_id IS NOT NULL
         GROUP BY bucket ORDER BY bucket
+    """
+
+    # q55: clustered-embedding ANN — replicate synth.clustered_embedding
+    # (md5 hex→int, same IEEE double op order) then q19's probe logic with
+    # the cluster-7 center as the query.
+    from schema_enforcer_spark.synth import cluster_center
+
+    def _sql_md5_unit(s: str) -> str:
+        return (
+            f"(CAST((CAST(('0x' || SUBSTR(MD5({s}), 1, 8)) AS BIGINT) % 2001) AS DOUBLE)"
+            f" / 1000.0 - 1.0)"
+        )
+
+    _emb55 = (
+        "LIST_TRANSFORM(RANGE(0, 64), d -> "
+        + _sql_md5_unit("CAST(vec_id % 32 AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+        + " + "
+        + _sql_md5_unit("CAST(vec_id AS VARCHAR) || '#' || CAST(d AS VARCHAR)")
+        + " * 0.05)"
+    )
+    q55_vec = cluster_center(ANN_QUERY_CLUSTER)
+    planes55 = _hyperplanes(64, 8, 42)
+    qbits55 = "".join(
+        "1" if sum(a * b for a, b in zip(q55_vec, p)) >= 0 else "0" for p in planes55
+    )
+    probes55 = {qbits55}
+    for i in range(8):
+        probes55.add(qbits55[:i] + ("0" if qbits55[i] == "1" else "1") + qbits55[i + 1:])
+    probe_list55 = ", ".join(f"'{p}'" for p in sorted(probes55))
+    qv55 = ", ".join(repr(float(x)) for x in q55_vec)
+    sqls["q55_ann_clustered"] = f"""
+        WITH e AS (
+          SELECT vec_id, {_emb55} AS embedding FROM embeddings
+        ), b AS (
+          SELECT vec_id, embedding, {_sql_bucket('embedding', planes55)} AS bucket
+          FROM e
+        )
+        SELECT vec_id, ROUND({_sql_cosine('embedding', f'[{qv55}]')}, 6) AS cosine
+        FROM b WHERE bucket IN ({probe_list55})
+        ORDER BY ROUND({_sql_cosine('embedding', f'[{qv55}]')}, 6) DESC, vec_id ASC LIMIT 20
     """
     return sqls

@@ -178,3 +178,63 @@ def inject(df: DataFrame, case: str) -> DataFrame:
     if case == "extra_column":
         return df.withColumn("debug_blob", F.lit("x"))
     raise ValueError(f"unknown case {case!r}; known: {sorted(INJECTION_KEYS) + ['extra_column']}")
+
+
+# ---------------------------------------------------------------------------
+# Planted-cluster embeddings (the ANN credible-recall corpus)
+# ---------------------------------------------------------------------------
+#
+# Uniform-random embeddings are the adversarial case for space-partitioning
+# ANN (bucket membership barely correlates with cosine rank); real embedding
+# tables cluster. This generator plants n_clusters centers and scatters
+# members around them with small deterministic noise — every value derives
+# from md5(vec_id/cluster, dim) so an ANSI-SQL oracle replicates the table
+# bit-for-bit (same trick as the fingerprint/hash-split oracles).
+
+
+def _md5_unit(s: F.Column) -> F.Column:
+    """md5-derived value in [-1, 1]: hex2int(first 8 hex chars) % 2001 maps
+    to 0..2000, then /1000 - 1. Exact integer steps + IEEE double ops in a
+    fixed order — engine-portable."""
+    h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return (h % 2001) / F.lit(1000.0) - F.lit(1.0)
+
+
+def clustered_embedding(
+    id_col: str, dim: int = 64, n_clusters: int = 32, noise: float = 0.05
+) -> F.Column:
+    """array<double> embedding for a row id: center(id % n_clusters) plus
+    noise·unit — one expression, no UDF, no driver data."""
+    c = (F.col(id_col) % n_clusters).cast("string")
+    i = F.col(id_col).cast("string")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: _md5_unit(F.concat_ws(":", c, d.cast("string")))
+        + _md5_unit(F.concat_ws("#", i, d.cast("string"))) * F.lit(noise),
+    )
+
+
+def gen_clustered_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 32,
+    noise: float = 0.05,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias(id_col),
+        clustered_embedding("id", dim, n_clusters, noise).alias("embedding"),
+    )
+
+
+def cluster_center(cluster: int, dim: int = 64) -> list[float]:
+    """The planted center as Python floats — the query vector for recall
+    tests and the q55 oracle (same md5 formula, driver-side)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{cluster}:{d}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001) / 1000.0 - 1.0)
+    return out

@@ -485,3 +485,26 @@ def test_contamination_scores(spark):
     assert out[1]["n_shared_shingles"] == out[1]["n_shingles"] > 0
     assert 0 < out[2]["n_shared_shingles"] < out[2]["n_shingles"]
     assert out[3]["n_shared_shingles"] == 0
+
+
+def test_ann_recall_on_clustered_embeddings(spark):
+    """The shipped ANN configs must reach production-credible recall on
+    clustered data (the realistic case — uniform-random embeddings are the
+    adversarial floor, documented in BENCH/BASELINE.md): q19/q55's lsh_topk
+    defaults and IVF at n_cells=n_clusters both >= 0.8 recall@20."""
+    from schema_enforcer_spark.functions.similarity import ivf_build, ivf_topk
+    from schema_enforcer_spark.synth import cluster_center, gen_clustered_embeddings
+
+    emb = gen_clustered_embeddings(spark, 2000, dim=64, n_clusters=32).cache()
+    q = cluster_center(7)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=20).collect()}
+
+    approx = {r["vec_id"] for r in lsh_topk(emb, q, k=20, n_planes=8, multiprobe=True).collect()}
+    lsh_recall = len(exact & approx) / 20
+    assert lsh_recall >= 0.8, f"lsh_topk recall {lsh_recall} on clustered corpus"
+
+    assigned, cents = ivf_build(emb, n_cells=32)
+    ivf = {r["vec_id"] for r in ivf_topk(assigned, cents, q, k=20, nprobe=4).collect()}
+    ivf_recall = len(exact & ivf) / 20
+    assert ivf_recall >= 0.8, f"ivf_topk recall {ivf_recall} on clustered corpus"
+    emb.unpersist()

@@ -64,6 +64,23 @@ def main() -> None:
     recall_ivf4 = len(exact & ivf4) / k
     recall_ivf8 = len(exact & ivf8) / k
 
+    # clustered corpus (q55): the realistic case — same operators, same
+    # shipped parameters, planted 32-cluster structure (synth)
+    from __spark_entry__ import ANN_QUERY_CLUSTER
+    from schema_enforcer_spark.functions.similarity import lsh_topk
+    from schema_enforcer_spark.synth import cluster_center, gen_clustered_embeddings
+
+    n_cl = 2000
+    emb_cl = gen_clustered_embeddings(spark, n_cl, dim=64, n_clusters=32).cache()
+    q_cl = cluster_center(ANN_QUERY_CLUSTER)
+    exact_cl = {r[0] for r in brute_force_topk(emb_cl, q_cl, k).collect()}
+    lsh_cl = {r[0] for r in lsh_topk(emb_cl, q_cl, k, n_planes=8, multiprobe=True).collect()}
+    recall_lsh_cl = len(exact_cl & lsh_cl) / k
+    assigned_cl, cents_cl = ivf_build(emb_cl, n_cells=32)
+    ivf_cl = {r[0] for r in ivf_topk(assigned_cl, cents_cl, q_cl, k, nprobe=4).collect()}
+    recall_ivf_cl = len(exact_cl & ivf_cl) / k
+    emb_cl.unpersist()
+
     section = f"""{MARK_BEGIN}
 ## ANN recall vs brute force (tools/ann_recall.py)
 
@@ -85,6 +102,16 @@ structure), the adversarial case for space-partitioning ANN — bucket
 membership barely correlates with cosine rank, so these recalls are FLOOR
 values; clustered real-world embeddings bucket far better. Single-probe
 recall@20 is capped near n/(k·2^planes) by bucket size alone.
+
+**Clustered corpus (the realistic case — q55, synth planted 32 clusters,
+{n_cl:,} vecs, query = a planted center):** the SAME shipped parameters
+reach production-credible recall; asserted >= 0.8 by
+tests/test_functions.py::test_ann_recall_on_clustered_embeddings.
+
+| operator | parameters | recall@{k} |
+|---|---|---|
+| lsh_topk (q55 = q19 config) | 8 hyperplanes, multiprobe hamming-1 | {recall_lsh_cl:.2f} |
+| ivf_topk | 32 cells, nprobe=4 | {recall_ivf_cl:.2f} |
 {MARK_END}"""
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
