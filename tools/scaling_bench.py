@@ -20,6 +20,14 @@ Methodology notes (this host is a shared microVM with bursty CPU steal and
 Env knobs: SCALE_CONVS (default 8_000_000), SCALE_TRIALS (default 3),
 SCALE_N_LOW / SCALE_N_HIGH executor counts (default 1 / 4),
 SCALE_CORES per executor (default 4).
+
+SCALE_CC=1 switches to the connected-components scaling section instead
+(the dedup-graph path): a ~10^7-edge synthetic graph of long chains (the
+round-count stressor), big stars (the skew stressor) and random pairs,
+run through connected_components_with_rounds at N and 4N executors;
+writes the <!-- cc-scaling --> block of BENCH/BASELINE.md with rounds +
+efficiency. Knobs: SCALE_CC_EDGES (default 10_000_000), SCALE_TRIALS,
+SCALE_N_LOW/HIGH/CORES as above.
 """
 
 from __future__ import annotations
@@ -83,6 +91,155 @@ spark.stop()
 """
 
 
+_CC_CHAIN_LEN = 40          # diameter stressor: rounds must stay O(log 40)
+_CC_STAR_SPOKES = 10_000    # skew stressor: one hub key with 10^4 neighbors
+
+_CC_GEN_TEMPLATE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "128")
+         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+E = {edges}
+CH, SP = {chain_len}, {spokes}
+# 20% chains, 20% stars, 60% random — rounded DOWN to whole chains/stars so
+# the run-side component-count assertion has an exact expectation
+e_chain = ((E // 5) // (CH - 1)) * (CH - 1)
+e_star = ((E // 5) // SP) * SP
+e_rand = E - e_chain - e_star
+# separate vertex namespaces keep the diameters controlled (random edges
+# must not short-circuit the chains)
+C0, S0, R0 = 0, 10**10, 2 * 10**10
+chains = spark.range(e_chain).select(
+    (F.lit(C0) + (F.col("id") / (CH - 1)).cast("long") * CH + F.col("id") % (CH - 1)).alias("a_id"),
+    (F.lit(C0) + (F.col("id") / (CH - 1)).cast("long") * CH + F.col("id") % (CH - 1) + 1).alias("b_id"),
+)
+stars = spark.range(e_star).select(
+    (F.lit(S0) + (F.col("id") / SP).cast("long") * (SP + 1)).alias("a_id"),
+    (F.lit(S0) + (F.col("id") / SP).cast("long") * (SP + 1) + 1 + F.col("id") % SP).alias("b_id"),
+)
+# mean degree ~8: a sparse (degree-2, critical-regime) random graph grows
+# long thin paths whose diameter dwarfs the chains' 40 and breaks the
+# round-count bound; at degree 8 the random component's diameter is
+# ~log_7(V) << 40, so the chains stay the diameter-dominant structure
+V = max(e_rand // 4, 1)
+rand = spark.range(e_rand).select(
+    (F.lit(R0) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(V))).alias("a_id"),
+    (F.lit(R0) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(V))).alias("b_id"),
+).filter(F.col("a_id") != F.col("b_id"))
+chains.unionByName(stars).unionByName(rand).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
+
+_CC_RUN_TEMPLATE = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from schema_enforcer_spark.functions.dedup import connected_components_with_rounds
+
+n_exec, cores = {n_exec}, {cores}
+spark = (SparkSession.builder.master(f"local-cluster[{{n_exec}},{{cores}},6144]")
+         .appName(f"cc-scaling-{{n_exec}}x{{cores}}")
+         .config("spark.sql.shuffle.partitions", "64")  # FIXED: same plan at both sizes
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "8g")
+         .config("spark.executor.memory", "6g")
+         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+pairs = spark.read.parquet({path!r})
+n_edges = pairs.count()
+t0 = time.monotonic()
+labels, rounds = connected_components_with_rounds(pairs, max_iter=30)
+# force full materialization + a correctness probe: every chain collapses to
+# one component labeled by its own min vertex (namespace < 10^10)
+chain_comps = labels.filter(F.col("v") < 10**10).select("component").distinct().count()
+el = time.monotonic() - t0
+n_chains = ({edges} // 5) // ({chain_len} - 1)  # gen writes exactly this many whole chains
+assert chain_comps == n_chains, (chain_comps, n_chains)
+print(json.dumps({{"n_exec": n_exec, "cores": cores, "edges": n_edges,
+                   "sec": round(el, 3), "rounds": rounds,
+                   "edges_per_sec": round(n_edges / el, 1)}}))
+spark.stop()
+"""
+
+
+def cc_main() -> None:
+    import math
+    import re as _re
+
+    edges = int(os.environ.get("SCALE_CC_EDGES", "10000000"))
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    n_low = int(os.environ.get("SCALE_N_LOW", "1"))
+    n_high = int(os.environ.get("SCALE_N_HIGH", "4"))
+    cores = int(os.environ.get("SCALE_CORES", "1"))
+    path = f"/dev/shm/bench_cc_edges_{edges}"
+    if not os.path.exists(path):
+        print(f"generating {edges} edges at {path} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, "-c", _CC_GEN_TEMPLATE.format(
+                repo=REPO, edges=edges, chain_len=_CC_CHAIN_LEN, spokes=_CC_STAR_SPOKES, path=path)],
+            timeout=1800, check=True,
+        )
+
+    results = {n_low: [], n_high: []}
+    for t in range(trials):
+        for n_exec in (n_low, n_high):
+            r = _run(_CC_RUN_TEMPLATE.format(
+                repo=REPO, n_exec=n_exec, cores=cores, path=path,
+                edges=edges, chain_len=_CC_CHAIN_LEN))
+            if r:
+                results[n_exec].append(r)
+                print(f"trial {t}: {n_exec}x{cores} -> {r['sec']}s "
+                      f"({r['edges_per_sec']:,.0f} eps, {r['rounds']} rounds)", file=sys.stderr)
+
+    best_low = min(results[n_low], key=lambda r: r["sec"])
+    best_high = min(results[n_high], key=lambda r: r["sec"])
+    efficiency = (best_high["edges_per_sec"] / best_low["edges_per_sec"]) / (n_high / n_low)
+    rounds = max(r["rounds"] for rs in results.values() for r in rs)
+    bound = math.ceil(math.log2(_CC_CHAIN_LEN)) + 2
+    rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
+    rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
+    section = f"""<!-- cc-scaling:begin -->
+## Connected-components scaling (SCALE_CC=1 tools/scaling_bench.py)
+
+Dedup-graph path (near_dup_groups' CC core) on a {best_low['edges']:,}-edge
+synthetic graph: 20% chains of length {_CC_CHAIN_LEN} (round-count stressor),
+20% stars of {_CC_STAR_SPOKES:,} spokes (skew stressor), 60% random pairs.
+Same interleaved best-of-{trials} local-cluster methodology as the headline
+table; each run asserts every chain collapsed to exactly one component.
+
+| config | edges | best wall sec | edges/sec | rounds | all trials |
+|---|---|---|---|---|---|
+| {n_low} executor(s) x {cores} cores (N)  | {best_low['edges']:,} | {best_low['sec']} | {best_low['edges_per_sec']:,.0f} | {best_low['rounds']} | {rows_low} |
+| {n_high} executors x {cores} cores (4N) | {best_high['edges']:,} | {best_high['sec']} | {best_high['edges_per_sec']:,.0f} | {best_high['rounds']} | {rows_high} |
+
+- rounds: **{rounds}** (pointer-jumping bound: ceil(log2(diameter {_CC_CHAIN_LEN})) + 2 = {bound})
+- scaling efficiency: **{efficiency:.3f}** (criterion: >= 0.8)
+<!-- cc-scaling:end -->"""
+
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(baseline_path, encoding="utf-8") as fh:
+        text = fh.read()
+    if "<!-- cc-scaling:begin -->" in text:
+        text = _re.sub(
+            r"<!-- cc-scaling:begin -->.*?<!-- cc-scaling:end -->", section, text, flags=_re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(baseline_path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    print(json.dumps({"rounds": rounds, "bound": bound,
+                      "scaling_efficiency": round(efficiency, 3)}))
+    print(f"wrote BENCH/BASELINE.md cc-scaling (efficiency={efficiency:.3f}, rounds={rounds})",
+          file=sys.stderr)
+
+
 def _run(code: str) -> dict | None:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, check=False)
     for line in out.stdout.splitlines():
@@ -93,6 +250,9 @@ def _run(code: str) -> dict | None:
 
 
 def main() -> None:
+    if os.environ.get("SCALE_CC"):
+        cc_main()
+        return
     n_convs = int(os.environ.get("SCALE_CONVS", "8000000"))
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
     n_low = int(os.environ.get("SCALE_N_LOW", "1"))
