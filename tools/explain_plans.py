@@ -273,8 +273,9 @@ def main() -> None:
         problems.append("q40 simhash join planned as nested-loop/cartesian")
     else:
         notes15.append("OK: no nested-loop/cartesian join")
-    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", p15) and re.search(
-        r"Left keys[^\n]*chunk[^\n]*val[^\n]*sub[^\n]*subval", p15
+    left_keys15 = re.search(r"Left keys[^\n]*", p15)
+    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", p15) and left_keys15 and all(
+        k in left_keys15.group(0) for k in ("chunk", "val", "sub", "subval")
     ):
         notes15.append("OK: equi-join keyed on (chunk, val, sub, subval) — two-level bucket-local")
     else:
