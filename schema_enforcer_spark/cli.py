@@ -41,6 +41,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="schema-enforcer-spark")
     p.add_argument("--manifest", required=True, help="YAML/JSON constraint manifest")
     p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
+    p.add_argument(
+        "--inventory",
+        default=None,
+        metavar="DIR",
+        help="Ansible inventory directory as the input: hosts' merged+"
+        "rendered vars become the rows, validated as [HOST] instances "
+        "(the reference `ansible` command, cli.py:227-265)",
+    )
+    p.add_argument(
+        "--limit",
+        default=None,
+        metavar="HOST",
+        help="with --inventory: restrict validation to one host "
+        "(reference ansible --limit)",
+    )
     p.add_argument("--output", default=None, help="results root; writes <output>/violations and <output>/verdicts")
     p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
     p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
@@ -244,10 +259,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"FAIL | {case} [{manifest.id}] {reason}")
         return 0 if res.ok else 1
 
-    if not args.input:
+    if args.inventory:
+        from schema_enforcer_spark.sources.defaults import load_inventory
+
+        df = load_inventory(spark, args.inventory, key="host")
+        n_hosts = df.count()
+        print(f"Found {n_hosts} hosts in the inventory")
+        if args.limit:
+            df = df.filter(df["host"] == args.limit)
+        # hosts are the instances: HOST grain, host-keyed paths (reference
+        # ansible command prints [HOST] lines, cli.py:227-265)
+        if not eng_kw.get("instance_expr"):
+            eng_kw["instance_expr"] = "host"
+        eng_kw["key_columns"] = ["host"]
+        eng_kw["instance_type"] = "HOST"
+    elif not args.input:
         print("ERROR | --input is required", file=sys.stderr)
         return 2
-    df = spark.read.parquet(args.input)
+    else:
+        df = spark.read.parquet(args.input)
     if args.show_checks:
         from schema_enforcer_spark.binding import ManifestRegistry
 
@@ -346,7 +376,12 @@ def main(argv: list[str] | None = None) -> int:
     failures = report.violations.orderBy("message").limit(args.show_failures).collect()
     for v in failures:
         prop = ":".join(v["absolute_path"] or [])
-        print(f"FAIL | [ERROR] {v['message']} [{v['instance_type']}] {v['instance_location']}/{v['instance_name']} [PROPERTY] {prop}")
+        if v["instance_type"] == "HOST":
+            # reference print_failed HOST form (validation.py:68): no
+            # location prefix, just the hostname
+            print(f"FAIL | [ERROR] {v['message']} [HOST] {v['instance_name']} [PROPERTY] {prop}")
+        else:
+            print(f"FAIL | [ERROR] {v['message']} [{v['instance_type']}] {v['instance_location']}/{v['instance_name']} [PROPERTY] {prop}")
 
     if args.show_pass:
         # reference print_passed (validation.py:82-91): PASS | [TYPE] name
@@ -358,8 +393,9 @@ def main(argv: list[str] | None = None) -> int:
             .limit(args.show_failures)
             .collect()
         )
+        grain = "HOST" if args.inventory else "PARTITION"
         for p in passed:
-            print(f"PASS | [PARTITION] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
+            print(f"PASS | [{grain}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
 
     if args.summary:
         print(f"{'Rule':<60} {'Violations':>10} {'Instances':>10}")

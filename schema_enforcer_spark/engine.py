@@ -151,11 +151,16 @@ class ValidationEngine:
         instance_expr: str | None = None,
         num_buckets: int = 32,
         drift_baselines: dict[str, dict] | None = None,
+        instance_type: str = "PARTITION",
     ):
         self.manifest = manifest
         self.key_columns = key_columns or ["conv_id", "turn_idx"]
         self.instance_expr = instance_expr
         self.num_buckets = num_buckets
+        # violation-row instance grain label: "PARTITION" for table inputs,
+        # "HOST" for the Ansible-inventory source (reference validation.py
+        # prints [HOST] lines for inventory-validated instances)
+        self.instance_type = instance_type
         # stored drift baselines (rule id → compute_histogram dict) — the
         # --write-baseline/--baseline lifecycle; inline rule baselines win
         self.drift_baselines = drift_baselines or {}
@@ -187,7 +192,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             self._instance_col(df).alias("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             path.alias("absolute_path"),
             failing_value.alias("failing_value"),
             message.alias("message"),
@@ -373,7 +378,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.col("v.absolute_path").alias("absolute_path"),
             F.col("v.failing_value").alias("failing_value"),
             F.col("v.message").alias("message"),
@@ -410,7 +415,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
             key_str.alias("failing_value"),
             message.alias("message"),
@@ -471,7 +476,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
             key_str.alias("failing_value"),
             message.alias("message"),
@@ -533,7 +538,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
             F.col("_rc").cast("string").alias("failing_value"),
             message.alias("message"),
@@ -581,7 +586,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.array(
                 *[F.col(c).cast("string") for c in part], F.col(oc).cast("string")
             ).alias("absolute_path"),
@@ -799,7 +804,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.col("v.absolute_path").alias("absolute_path"),
             F.col("v.failing_value").alias("failing_value"),
             F.col("v.message").alias("message"),
@@ -873,7 +878,7 @@ class ValidationEngine:
             F.lit("FAIL").alias("result"),
             F.col("_inst").alias("instance_name"),
             F.lit(self.manifest.table).alias("instance_location"),
-            F.lit("PARTITION").alias("instance_type"),
+            F.lit(self.instance_type).alias("instance_type"),
             F.array(*[F.col(g).cast("string") for g in group]).alias("absolute_path"),
             left_str.alias("failing_value"),
             message.alias("message"),
@@ -924,7 +929,7 @@ class ValidationEngine:
         rid = (rule.get("id") if rule else None) or f"{self.manifest.id}/strict_columns"
         rows = [
             (
-                rid, "FAIL", "table", self.manifest.table, "PARTITION",
+                rid, "FAIL", "table", self.manifest.table, self.instance_type,
                 [*path_prefix, c], c, f"Additional properties are not allowed ('{c}' was unexpected)",
             )
             for c in extras

@@ -547,8 +547,13 @@ def connected_components_with_rounds(
     40-long chain converges in ~6 rounds, shallow near-dup clusters in 2-3.
     Per round: one shuffle join edge-sized + one labels-sized self-join.
     Lineage is cut with localCheckpoint each round so the plan doesn't
-    grow; the per-round convergence probe is one small action on a
-    labels-sized frame, never row-scale data to the driver."""
+    grow. Convergence is detected via the label SUM: min-propagation only
+    ever decreases labels, so the (exact, decimal — overflow-free at any
+    vertex count) sum of components strictly decreases until the fixpoint;
+    comparing consecutive sums is one map-side aggregation per round (no
+    shuffle, one row to the driver) where the earlier labels⨝labels probe
+    paid a full shuffled join per round — measured as the scaling
+    bottleneck on multi-executor runs of 10^7-edge graphs."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -564,7 +569,11 @@ def connected_components_with_rounds(
         .withColumn("component", F.col("v"))
         .localCheckpoint()
     )
-    changed = 1
+    def _label_sum(ldf: DataFrame):
+        return ldf.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -590,17 +599,13 @@ def connected_components_with_rounds(
             ).alias("component"),
         )
         new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds — the graph has a component with a longer propagation "

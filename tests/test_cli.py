@@ -318,3 +318,41 @@ def test_drift_rule_requires_baseline_or_bounds():
         }
     )
     assert any("baseline" in e and "lo" in e for e in errs)
+
+
+def test_cli_inventory_validation(spark, tmp_path, capsys):
+    """--inventory validates each host's merged+rendered vars as a [HOST]
+    instance — the reference `ansible` command shape (cli.py:227-265):
+    'Found N hosts', FAIL lines with [HOST], --limit restricts, --show-pass
+    prints PASS | [HOST] lines."""
+    inv = tmp_path / "inv"
+    (inv / "group_vars").mkdir(parents=True)
+    (inv / "host_vars").mkdir()
+    (inv / "hosts.yml").write_text(
+        "all:\n  children:\n    dc1:\n      hosts:\n        spine1:\n        leaf1:\n"
+    )
+    (inv / "group_vars" / "all.yml").write_text("role: switch\nsite: hq\n")
+    (inv / "host_vars" / "spine1.yml").write_text("role: spinny\n")  # invalid enum
+    man = tmp_path / "hosts.yml"
+    man.write_text(
+        "id: schemas/hosts\n"
+        "table: hosts\n"
+        "rules:\n"
+        "  - kind: enum\n"
+        "    column: role\n"
+        "    values: [switch, spine, leaf]\n"
+        "  - kind: required\n"
+        "    column: site\n"
+    )
+    rc = main(["--manifest", str(man), "--inventory", str(inv)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "Found 2 hosts in the inventory" in out
+    assert "FAIL | [ERROR] 'spinny' is not one of ['switch', 'spine', 'leaf'] [HOST] spine1 [PROPERTY] spine1:role" in out
+
+    # --limit to the clean host passes; --show-pass prints the HOST form
+    rc = main(["--manifest", str(man), "--inventory", str(inv), "--limit", "leaf1", "--show-pass"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS | [HOST] leaf1 [SCHEMA ID] schemas/hosts" in out
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" in out

@@ -122,11 +122,13 @@ stars = spark.range(e_star).select(
     (F.lit(S0) + (F.col("id") / SP).cast("long") * (SP + 1)).alias("a_id"),
     (F.lit(S0) + (F.col("id") / SP).cast("long") * (SP + 1) + 1 + F.col("id") % SP).alias("b_id"),
 )
-# mean degree ~8: a sparse (degree-2, critical-regime) random graph grows
+# mean degree ~16: a sparse (degree-2, critical-regime) random graph grows
 # long thin paths whose diameter dwarfs the chains' 40 and breaks the
-# round-count bound; at degree 8 the random component's diameter is
-# ~log_7(V) << 40, so the chains stay the diameter-dominant structure
-V = max(e_rand // 4, 1)
+# round-count bound; at degree 16 the random component's diameter is
+# ~log_15(V) << 40, so the chains stay the diameter-dominant structure
+# (degree 8 measured diameter-comparable to the chains at 10^7 edges —
+# the combined graph took 10 rounds vs the chains-only bound of 8)
+V = max(e_rand // 8, 1)
 rand = spark.range(e_rand).select(
     (F.lit(R0) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(V))).alias("a_id"),
     (F.lit(R0) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(V))).alias("b_id"),
