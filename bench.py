@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q52_sequence_rule",
     "q53_rollup_stats",
     "q54_pivot_event_types",
+    "q55_ann_clustered",
 ]
 
 

@@ -133,6 +133,64 @@ def _dir_vars(base: str, name: str) -> dict:
     return {}
 
 
+def _parse_ini_inventory(text: str) -> dict:
+    """Minimal Ansible INI inventory → the hosts.yml tree shape: sections
+    ``[group]`` (host lines with inline ``k=v`` vars), ``[group:vars]``,
+    ``[group:children]``. Ungrouped leading hosts land in ``ungrouped``.
+    Values parse as YAML scalars (so ``x=3`` is an int, like Ansible)."""
+    import shlex
+
+    import yaml
+
+    def scalar(v: str):
+        return yaml.safe_load(v)
+
+    groups: dict[str, dict] = {}
+
+    def g(name: str) -> dict:
+        return groups.setdefault(name, {"hosts": {}, "children": {}, "vars": {}})
+
+    section, mode = "ungrouped", "hosts"
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].split(";", 1)[0].strip()
+        if not line:
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            name = line[1:-1]
+            if name.endswith(":vars"):
+                section, mode = name[: -len(":vars")], "vars"
+            elif name.endswith(":children"):
+                section, mode = name[: -len(":children")], "children"
+            else:
+                section, mode = name, "hosts"
+            g(section)
+            continue
+        if mode == "vars":
+            k, _, v = line.partition("=")
+            g(section)["vars"][k.strip()] = scalar(v.strip())
+        elif mode == "children":
+            g(section)["children"][line] = None  # resolved below
+        else:
+            parts = shlex.split(line)
+            hv = {}
+            for p in parts[1:]:
+                k, _, v = p.partition("=")
+                hv[k] = scalar(v)
+            g(section)["hosts"][parts[0]] = hv or None
+
+    # nest children under their parents; everything else under all.children
+    nested = set()
+    for name, node in groups.items():
+        node["children"] = {
+            c: groups.get(c) or {"hosts": {}} for c in node["children"]
+        }
+        nested.update(node["children"])
+    top = {name: node for name, node in groups.items() if name not in nested and name != "all"}
+    all_node = groups.get("all", {"hosts": {}, "children": {}, "vars": {}})
+    all_node.setdefault("children", {}).update(top)
+    return {"all": all_node}
+
+
 def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: dict | None = None):
     """Parse an Ansible-style inventory layout into the defaults dim table
     feeding merge_defaults() — the ingestion path for the reference's
@@ -162,8 +220,27 @@ def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: 
 
     from schema_enforcer_spark.manifest import find_manifest_file
 
-    hosts_file = find_manifest_file(os.path.join(inventory_dir, "hosts"))
-    tree = _load_yaml(hosts_file)
+    if os.path.isfile(inventory_dir):
+        # the reference's `-i inventory.ini` form: a file path; group_vars/
+        # host_vars live next to it
+        hosts_file, inventory_dir = inventory_dir, os.path.dirname(inventory_dir)
+    else:
+        try:
+            hosts_file = find_manifest_file(os.path.join(inventory_dir, "hosts"))
+        except FileNotFoundError:
+            ini = [
+                p
+                for p in (os.path.join(inventory_dir, n) for n in ("hosts.ini", "inventory.ini", "hosts"))
+                if os.path.isfile(p)
+            ]
+            if not ini:
+                raise
+            hosts_file = ini[0]
+    if hosts_file.endswith((".yml", ".yaml", ".json")):
+        tree = _load_yaml(hosts_file)
+    else:
+        with open(hosts_file, encoding="utf-8") as fh:
+            tree = _parse_ini_inventory(fh.read())
 
     # walk the group tree: host → [(depth, group)], groups may repeat via
     # multiple memberships; inline vars collected per group and per host

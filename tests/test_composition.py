@@ -285,3 +285,43 @@ def test_load_inventory_layout_precedence(spark, tmp_path):
     (empty / "hosts.yml").write_text("all:\n  children: {}\n")
     with pytest.raises(ValueError, match="no hosts"):
         load_inventory(spark, str(empty))
+
+
+def test_load_inventory_ini_form(spark, tmp_path):
+    """INI inventory (the reference example's `-i inventory.ini` form,
+    cli.py:252-254): [group] host lines with inline vars, [group:vars],
+    [group:children]; loader also accepts the FILE path directly."""
+    from schema_enforcer_spark.sources.defaults import load_inventory
+
+    inv = tmp_path / "ini_inv"
+    (inv / "group_vars").mkdir(parents=True)
+    (inv / "inventory.ini").write_text(
+        "[spines]\n"
+        "spine1 rack=r1 mtu=9000\n"
+        "spine2\n"
+        "\n"
+        "[leafs]\n"
+        "leaf1\n"
+        "\n"
+        "[dc1:children]\n"
+        "spines\n"
+        "leafs\n"
+        "\n"
+        "[dc1:vars]\n"
+        "site = east\n"
+        "[all:vars]\n"
+        "dns = '{{ site }}-dns'\n"
+    )
+    (inv / "group_vars" / "spines.yml").write_text("role: spine\n")
+
+    dim = load_inventory(spark, str(inv), key="host")
+    rows = {r["host"]: r.asDict() for r in dim.collect()}
+    assert set(rows) == {"spine1", "spine2", "leaf1"}
+    assert rows["spine1"]["rack"] == "r1" and rows["spine1"]["mtu"] == 9000  # YAML scalar
+    assert rows["spine1"]["role"] == "spine" and rows["leaf1"].get("role") is None
+    # [dc1:vars] reach hosts through the children nesting; Jinja renders
+    assert all(r["site"] == "east" and r["dns"] == "east-dns" for r in rows.values())
+
+    # file-path form (the reference's -i flag shape)
+    dim2 = load_inventory(spark, str(inv / "inventory.ini"), key="host")
+    assert dim2.count() == 3
