@@ -73,6 +73,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="print a per-rule summary (schema_id, violations, instances) after the FAIL lines",
     )
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="force strict column checking even when the manifest doesn't "
+        "set strict: true — undeclared input columns become violations "
+        "(mirror of the reference's validate --strict, cli.py:34-41, which "
+        "injects additionalProperties: false)",
+    )
     p.add_argument("--master", default=None, help="override spark master (default: from spark-submit)")
     p.add_argument(
         "--show-checks",
@@ -233,6 +241,22 @@ def main(argv: list[str] | None = None) -> int:
         for err in e.errors:
             print(f"ERROR | invalid manifest | {err}", file=sys.stderr)
         return 1
+
+    if args.strict and not manifest.strict:
+        # the reference's --strict rewrites every schema with
+        # additionalProperties: false (validation.py via cli.py:34-41); here
+        # the declared column set plays that role, so strict without one
+        # would silently check nothing — fail loudly instead
+        if not manifest.columns:
+            print(
+                "ERROR | --strict needs the manifest to declare 'columns' "
+                "(the additionalProperties universe)",
+                file=sys.stderr,
+            )
+            return 1
+        import dataclasses
+
+        manifest = dataclasses.replace(manifest, strict=True)
 
     builder = SparkSession.builder.appName(f"schema-enforcer-spark:{manifest.id}")
     if args.master:

@@ -195,18 +195,22 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
     elif kind == "unique_items":
         pred = col.isNull() | (F.array_size(F.array_distinct(col)) == F.array_size(col))
         msg = F.concat(F.to_json(col), F.lit(" has non-unique elements"))
-    elif kind in ("any_of", "one_of", "not"):
-        # Draft-7 composition (anyOf / oneOf / not — jsonschema/_validators.py
-        # anyOf_draft4 etc.): each entry of `checks` is a sub-schema expressed
-        # as a scalar rule spec ({kind: range, maximum: 5}); the composition
-        # is pure boolean algebra over the sub-predicates, still one
-        # projection inside whole-stage codegen. NULL always passes (the
-        # engine-wide convention: only `required`/`not_empty` fail on NULL) —
-        # matching jsonschema, where a missing property is never validated.
+    elif kind in ("any_of", "all_of", "one_of", "not"):
+        # Draft-7 composition (anyOf / allOf / oneOf / not —
+        # jsonschema/_validators.py anyOf_draft4 etc.): each entry of
+        # `checks` is a sub-schema expressed as a scalar rule spec
+        # ({kind: range, maximum: 5}); the composition is pure boolean
+        # algebra over the sub-predicates, still one projection inside
+        # whole-stage codegen. NULL always passes (the engine-wide
+        # convention: only `required`/`not_empty` fail on NULL) — matching
+        # jsonschema, where a missing property is never validated.
         subs = [compile_check(col, dtype, spec["kind"], spec.get, label)[0] for spec in get("checks")]
         if kind == "any_of":
             pred = col.isNull() | reduce(operator.or_, subs)
             msg = F.concat(rep, F.lit(" is not valid under any of the given schemas"))
+        elif kind == "all_of":
+            pred = col.isNull() | reduce(operator.and_, subs)
+            msg = F.concat(rep, F.lit(" is not valid under all of the given schemas"))
         elif kind == "one_of":
             n_valid = reduce(operator.add, (s.cast("int") for s in subs))
             pred = col.isNull() | (n_valid == 1)

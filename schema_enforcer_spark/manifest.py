@@ -48,6 +48,7 @@ ROW_RULE_KINDS = {
     "unique_items",  # P13  (array column: elements distinct within the cell)
     "not_empty",     # convenience: required + minLength 1
     "any_of",        # Draft-7 anyOf: value valid under >=1 of the sub-checks
+    "all_of",        # Draft-7 allOf: value valid under every sub-check
     "one_of",        # Draft-7 oneOf: valid under exactly 1 sub-check
     "not",           # Draft-7 not: must NOT be valid under the sub-check
     "const",         # Draft-6 const: value must equal the literal
@@ -188,6 +189,7 @@ _PER_KIND_REQUIRED = {
     "drift": ["column", "metric", "threshold"],
     "sequence": ["column", "partition_by", "order_by", "allowed_transitions"],
     "any_of": ["column", "checks"],
+    "all_of": ["column", "checks"],
     "one_of": ["column", "checks"],
     "not": ["column", "checks"],
     "const": ["column", "value"],
@@ -197,13 +199,14 @@ _PER_KIND_REQUIRED = {
     "rate_limit": ["partition_by", "order_by", "window_seconds", "max_count"],
 }
 
-# Sub-schema kinds allowed inside any_of/one_of/not `checks` entries: scalar
-# row checks only (no nesting, no items/contains — the composition predicate
-# must stay a plain boolean expression over one column).
+# Sub-schema kinds allowed inside any_of/all_of/one_of/not `checks` entries:
+# scalar row checks only (no nesting, no items/contains — the composition
+# predicate must stay a plain boolean expression over one column).
 _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
     "items",
     "contains",
     "any_of",
+    "all_of",
     "one_of",
     "not",
     "dependent_required",
@@ -302,7 +305,7 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "inside an array-element lambda; explode the array and use a "
                         "plain format rule instead"
                     )
-        if kind in ("any_of", "one_of", "not") and isinstance(rule.get("checks"), list):
+        if kind in ("any_of", "all_of", "one_of", "not") and isinstance(rule.get("checks"), list):
             for j, spec in enumerate(rule["checks"]):
                 if not isinstance(spec, dict):
                     continue

@@ -15,6 +15,16 @@ path can't see:
 State is four longs per conversation, evicted after 30 min of
 processing-time idleness — the store is bounded by recently-ACTIVE
 conversations (~32 bytes each), not all conversations ever seen.
+
+availableNow caveat (drain-and-stop maintenance runs): pending
+processing-time timers make MicroBatchExecution keep scheduling NO-DATA
+micro-batches until every timer has fired — with a 30-min idle timeout the
+"drain available data and terminate" query spins empty batches for 30
+minutes. For such runs set
+``spark.sql.streaming.noDataMicroBatches.enabled=false`` (eviction then
+rides on data batches only, which is the correct trade for a bounded run);
+continuous production streams keep the default, where no-data batches are
+exactly what lets idle state expire.
 """
 
 from __future__ import annotations

@@ -31,6 +31,13 @@ def spark():
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # availableNow + applyInPandasWithState + ProcessingTimeTimeout:
+        # pending state timers make MicroBatchExecution schedule no-data
+        # batches FOREVER (the query only terminates once every timer fired —
+        # 30 min here), so every stateful streaming test saturates its
+        # awaitTermination cap and leaks a live query. Drain-and-stop
+        # maintenance runs must disable no-data batches.
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         .getOrCreate()
     )
     yield s

@@ -356,3 +356,29 @@ def test_cli_inventory_validation(spark, tmp_path, capsys):
     assert rc == 0
     assert "PASS | [HOST] leaf1 [SCHEMA ID] schemas/hosts" in out
     assert "ALL SCHEMA VALIDATION CHECKS PASSED" in out
+
+
+def test_cli_strict_flag(spark, data, tmp_path, capsys):
+    """--strict forces strict column checking without the manifest opting in
+    (reference validate --strict, cli.py:34-41: injects additionalProperties
+    false) — an undeclared input column becomes a violation; without the
+    flag the same input passes."""
+    extra = str(tmp_path / "extra")
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(data["clean"]).withColumn("debug_blob", F.lit("x")).write.parquet(extra)
+    rc = main(["--manifest", MANIFEST, "--input", extra])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--manifest", MANIFEST, "--input", extra, "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "Additional properties are not allowed ('debug_blob' was unexpected)" in out
+
+    # a manifest with no declared columns can't define the universe: loud error
+    man = tmp_path / "nocols.yml"
+    man.write_text("id: schemas/nocols\nrules:\n  - kind: required\n    column: conv_id\n")
+    rc = main(["--manifest", str(man), "--input", extra, "--strict"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "--strict needs the manifest to declare 'columns'" in err

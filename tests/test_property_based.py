@@ -174,11 +174,12 @@ def test_items_range_matches_jsonschema(spark, docs, lo, hi):
     enum_vals=st.lists(_text, min_size=1, max_size=3, unique=True),
     min_len=st.integers(min_value=0, max_value=6),
     max_len=st.integers(min_value=6, max_value=12),
-    kind=st.sampled_from(["any_of", "one_of", "not"]),
+    kind=st.sampled_from(["any_of", "all_of", "one_of", "not"]),
 )
 def test_composition_matches_jsonschema(spark, rows, enum_vals, min_len, max_len, kind):
-    """Draft-7 anyOf/oneOf/not over randomized enum+length sub-schemas must
-    agree with Draft7Validator row-for-row (the newest compiler surface)."""
+    """Draft-7 anyOf/allOf/oneOf/not over randomized enum+length sub-schemas
+    must agree with Draft7Validator row-for-row (the newest compiler
+    surface)."""
     checks = [
         {"kind": "enum", "values": list(enum_vals)},
         {"kind": "length", "min_length": min_len, "max_length": max_len},
@@ -188,7 +189,7 @@ def test_composition_matches_jsonschema(spark, rows, enum_vals, min_len, max_len
         {"minLength": min_len, "maxLength": max_len},
     ]
     rules = [Rule(kind=kind, params={"column": "v", "checks": checks})]
-    key = {"any_of": "anyOf", "one_of": "oneOf", "not": "not"}[kind]
+    key = {"any_of": "anyOf", "all_of": "allOf", "one_of": "oneOf", "not": "not"}[kind]
     schema_body = {key: sub_schemas} if kind != "not" else {"not": {"allOf": sub_schemas}}
     schema = {"type": "object", "properties": {"v": schema_body}}
     assert _run_engine(spark, rules, rows) == _oracle(schema, rows)

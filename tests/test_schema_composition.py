@@ -1,4 +1,4 @@
-"""Draft-7 composition keywords (anyOf/oneOf/not — jsonschema
+"""Draft-7 composition keywords (anyOf/allOf/oneOf/not — jsonschema
 _validators.py) plus const / contains / dependentRequired, cross-checked
 against a real Draft7Validator the same way test_property_based.py does.
 The reference validates these through jsonschema itself
@@ -57,6 +57,30 @@ def test_any_of_matches_jsonschema(spark):
     schema = {
         "type": "object",
         "properties": {"v": {"anyOf": [{"enum": ["abc", "zzzz"]}, {"pattern": "^hello"}]}},
+    }
+    assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
+
+
+def test_all_of_matches_jsonschema(spark):
+    # conjunction: 'abc' passes both checks; 'zzzz' passes the enum but not
+    # the pattern; 'hello world' passes neither
+    rules = [
+        Rule(
+            kind="all_of",
+            params={
+                "column": "v",
+                "checks": [
+                    {"kind": "enum", "values": ["abc", "zzzz", "hello world"]},
+                    {"kind": "pattern", "pattern": "^[a-z]+$"},
+                ],
+            },
+        )
+    ]
+    schema = {
+        "type": "object",
+        "properties": {
+            "v": {"allOf": [{"enum": ["abc", "zzzz", "hello world"]}, {"pattern": "^[a-z]+$"}]}
+        },
     }
     assert _flagged(spark, rules, ROWS) == _oracle(schema, ROWS)
 

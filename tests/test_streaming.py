@@ -40,6 +40,7 @@ def _run(stream_df, name):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()  # defensive: never leak a live query into later tests
     return q
 
 
@@ -65,6 +66,7 @@ def test_stream_verdicts(spark, stream_src):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()  # defensive: never leak a live query into later tests
     rows = spark.sql("select * from verd").collect()
     assert rows
     fails = [r for r in rows if r["result"] == "FAIL"]
@@ -116,6 +118,7 @@ def test_stateful_contiguity(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
     assert run_once() == []  # clean first batch
@@ -180,6 +183,7 @@ def test_stateful_ts_regression_across_batches(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
     _copy(base, "b1")
@@ -207,6 +211,7 @@ def test_stream_session_stats(spark, stream_src):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()  # defensive: never leak a live query into later tests
     rows = spark.sql("select * from sess").collect()
     assert rows
     by_conv = {}
@@ -260,6 +265,7 @@ def test_stream_rate_limit_across_batches(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
     # batch 1: user 1 has two events (at the limit), user 2 a within-batch
@@ -310,6 +316,7 @@ def test_stateful_contiguity_long_epoch_ts_with_nulls(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
     assert run_once() == []  # NaN row tolerated, no violations yet
@@ -361,6 +368,7 @@ def test_stream_sequence_rule_across_batches(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
     # batch 1: user 1 runs start→mid (clean, in-batch order by ts); user 2
