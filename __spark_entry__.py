@@ -992,6 +992,43 @@ def q55_ann_clustered(spark, sf_dir):
     return lsh_topk(emb, q, k=20, n_planes=8, multiprobe=True)
 
 
+def q56_pattern_properties(spark, sf_dir):
+    """Draft-7 patternProperties over a MAP column (the reference's
+    interface-name maps, /root/reference/examples/ansible/schema/schemas/
+    interfaces.yml:9-16): events re-shaped as {if_<event_type>: value} maps;
+    keys matching ^if_(click|view|signup)$ get a range check on the value,
+    everything else violates additional_properties: false with jsonschema's
+    exact message. One transform() over map_entries — same zero-shuffle
+    single-projection shape as the items rule."""
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        "event_id",
+        "user_id",
+        F.create_map(
+            F.concat(F.lit("if_"), F.coalesce(F.col("event_type"), F.lit("null"))),
+            F.col("value"),
+        ).alias("ifaces"),
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_ifaces",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "pattern_properties",
+                    "column": "ifaces",
+                    "pattern": "^if_(click|view|signup)$",
+                    "check": "range",
+                    "maximum": 300.0,
+                    "additional_properties": False,
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["event_id"], instance_expr=_INST)
+    return _flat(eng.violations(mapped)).orderBy("path", "message")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1055,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_rollup_stats": q53_rollup_stats,
         "q54_pivot_event_types": q54_pivot_event_types,
         "q55_ann_clustered": q55_ann_clustered,
+        "q56_pattern_properties": q56_pattern_properties,
     }
 
 
@@ -1973,5 +2011,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, ROUND({_sql_cosine('embedding', f'[{qv55}]')}, 6) AS cosine
         FROM b WHERE bucket IN ({probe_list55})
         ORDER BY ROUND({_sql_cosine('embedding', f'[{qv55}]')}, 6) DESC, vec_id ASC LIMIT 20
+    """
+    # q56: patternProperties over the {if_<event_type>: value} map — an
+    # entry either fails the additionalProperties rejection (key outside the
+    # pattern) or, for matching keys, the range check on its value
+    sqls["q56_pattern_properties"] = """
+        WITH viol AS (
+          SELECT 'schemas/events_ifaces/pattern_properties/ifaces' AS schema_id,
+                 'FAIL' AS result,
+                 CAST(user_id % 16 AS VARCHAR) AS instance_name,
+                 CAST(event_id AS VARCHAR) || ':ifaces:if_' || COALESCE(event_type, 'null') AS path,
+                 'if_' || COALESCE(event_type, 'null') AS failing_value,
+                 'Additional properties are not allowed (''if_' || COALESCE(event_type, 'null')
+                   || ''' was unexpected)' AS message
+          FROM events
+          WHERE COALESCE(event_type, 'null') NOT IN ('click', 'view', 'signup')
+          UNION ALL
+          SELECT 'schemas/events_ifaces/pattern_properties/ifaces', 'FAIL',
+                 CAST(user_id % 16 AS VARCHAR),
+                 CAST(event_id AS VARCHAR) || ':ifaces:if_' || event_type,
+                 CAST(value AS VARCHAR),
+                 CAST(value AS VARCHAR) || ' is greater than the maximum of 300.0'
+          FROM events
+          WHERE event_type IN ('click', 'view', 'signup') AND value > 300.0
+        )
+        SELECT * FROM viol ORDER BY path, message
     """
     return sqls

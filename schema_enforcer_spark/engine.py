@@ -333,12 +333,111 @@ class ValidationEngine:
             out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
         return out
 
+    def _pattern_properties_violation_arrays(self, df: DataFrame) -> list[Column]:
+        """Draft-7 patternProperties over a MAP column (the reference's
+        interface-name maps, examples/ansible/schema/schemas/
+        interfaces.yml:9-16, validated through jsonschema patternProperties_
+        draft3 in _validators.py): ONE transform() over map_entries() emits
+        a violation struct per offending entry — entries whose key matches
+        ``pattern`` get ``check`` applied to the value (or its ``field``);
+        with ``additional_properties: false``, keys matching nothing are
+        rejected with jsonschema's exact additionalProperties message. Same
+        single-projection, zero-shuffle shape as the items rule."""
+        from schema_enforcer_spark.compiler import _dtype_in, compile_check, has_column_path
+
+        out: list[Column] = []
+        for rule in self.manifest.row_rules:
+            if rule.kind != "pattern_properties":
+                continue
+            col_name = rule.params["column"]
+            if not has_column_path(df, col_name):
+                continue
+            map_dt = _dtype_of(df, col_name)
+            if not isinstance(map_dt, T.MapType):
+                raise ValueError(
+                    f"pattern_properties rule column {col_name!r} is "
+                    f"{map_dt.simpleString()}, not a map"
+                )
+            pattern = rule.params["pattern"]
+            field = rule.get("field")
+            check = rule.get("check")
+            reject_extras = rule.get("additional_properties") is False
+            val_dt = map_dt.valueType
+            target_dt = _dtype_in(val_dt, field, []) if field else val_dt
+            label = (field or col_name).split(".")[-1]
+            rid = rule.get("id") or f"{self.manifest.id}/pattern_properties/{col_name}"
+            custom_msg = rule.get("message")
+            key_elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
+
+            def make_viol(_field, _check, _label, _rid, _cm, _tdt, _col, _keys, _rule, _pat, _rej):
+                def viol(e):
+                    matched = e["key"].rlike(_pat)
+                    branches = []
+                    if _rej:
+                        # jsonschema message parity (_validators.py
+                        # additionalProperties: "Additional properties are
+                        # not allowed ('%s' %s unexpected)")
+                        branches.append(
+                            (
+                                ~matched,
+                                F.struct(
+                                    F.lit(_rid).alias("schema_id"),
+                                    F.array(*_keys, F.lit(_col), e["key"]).alias("absolute_path"),
+                                    e["key"].alias("failing_value"),
+                                    F.concat(
+                                        F.lit("Additional properties are not allowed ('"),
+                                        e["key"],
+                                        F.lit("' was unexpected)"),
+                                    ).alias("message"),
+                                ),
+                            )
+                        )
+                    if _check is not None:
+                        val = e["value"]
+                        for part in (_field.split(".") if _field else []):
+                            val = val[part]
+                        pred, msg = compile_check(val, _tdt, _check, _rule.get, _label)
+                        if _cm:
+                            msg = F.lit(_cm)
+                        path_tail = [] if _check in ("required",) else (
+                            [F.lit(p) for p in _field.split(".")] if _field else []
+                        )
+                        branches.append(
+                            (
+                                matched & ~F.coalesce(pred, F.lit(True)),
+                                F.struct(
+                                    F.lit(_rid).alias("schema_id"),
+                                    F.array(*_keys, F.lit(_col), e["key"], *path_tail).alias("absolute_path"),
+                                    val.cast("string").alias("failing_value"),
+                                    msg.alias("message"),
+                                ),
+                            )
+                        )
+                    expr = F.when(*branches[0])
+                    for cond, struct in branches[1:]:
+                        expr = expr.when(cond, struct)
+                    return expr
+
+                return viol
+
+            viol = make_viol(
+                field, check, label, rid, custom_msg, target_dt, col_name,
+                key_elems, rule, pattern, reject_extras,
+            )
+            empty = F.array().cast(
+                "array<struct<schema_id:string,absolute_path:array<string>,failing_value:string,message:string>>"
+            )
+            arr = F.array_compact(F.transform(F.map_entries(F.col(col_name)), viol))
+            out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
+        return out
+
     def row_fail_count(self, df: DataFrame) -> Column:
         """Number of row rules the row fails — the streaming-verdict
         building block (windowed sum of this = per-window fail count)."""
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         flags = [(~F.coalesce(cr.predicate, F.lit(True))).cast("int") for cr in compiled]
         flags.extend(F.size(arr) for arr in self._items_violation_arrays(df))
+        flags.extend(F.size(arr) for arr in self._pattern_properties_violation_arrays(df))
         if not flags:
             return F.lit(0)
         out = flags[0]
@@ -348,7 +447,7 @@ class ValidationEngine:
 
     def row_violations(self, df: DataFrame) -> DataFrame | None:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
-        item_arrays = self._items_violation_arrays(df)
+        item_arrays = self._items_violation_arrays(df) + self._pattern_properties_violation_arrays(df)
         if not compiled and not item_arrays:
             return None
         structs = [

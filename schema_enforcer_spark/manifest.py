@@ -54,6 +54,12 @@ ROW_RULE_KINDS = {
     "const",         # Draft-6 const: value must equal the literal
     "contains",      # Draft-6 contains: array holds >=1 element passing check
     "dependent_required",  # Draft-2019 dependentRequired: col present => others present
+    "pattern_properties",  # Draft-7 patternProperties over a MAP column:
+                     # entries whose key matches `pattern` get `check`
+                     # applied to the value (or value `field`); with
+                     # additional_properties: false, non-matching keys are
+                     # violations (the reference's interface-name maps,
+                     # examples/ansible/schema/schemas/interfaces.yml:9-16)
     "items",         # P12/P5 nested: per-element check on an array column
                      # (optionally on a struct field of each element) — the
                      # reference's items/properties walk re-expressed as one
@@ -157,6 +163,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "min_count": {"type": "integer", "minimum": 0},
                     "max_count": {"type": "integer", "minimum": 0},
                     "window_seconds": {"type": "integer", "minimum": 1},
+                    "additional_properties": {"type": "boolean"},
                 },
                 "additionalProperties": False,
             },
@@ -177,6 +184,7 @@ _PER_KIND_REQUIRED = {
     "unique_items": ["column"],
     "not_empty": ["column"],
     "items": ["column", "check"],
+    "pattern_properties": ["column", "pattern"],
     "unique": ["columns"],
     "referential": ["columns", "ref_table", "ref_columns"],
     "ordering": ["column", "partition_by", "order_by"],
@@ -204,6 +212,7 @@ _PER_KIND_REQUIRED = {
 # predicate must stay a plain boolean expression over one column).
 _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
     "items",
+    "pattern_properties",
     "contains",
     "any_of",
     "all_of",
@@ -338,9 +347,35 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "inside an array-element lambda; explode the array and use a "
                         "plain format rule instead"
                     )
+        if kind == "pattern_properties":
+            check = rule.get("check")
+            if check is None and not (rule.get("additional_properties") is False):
+                errors.append(
+                    f"rules/{i}: pattern_properties needs 'check' (validate matching "
+                    "values) and/or 'additional_properties: false' (reject "
+                    "non-matching keys) — with neither it checks nothing"
+                )
+            if check is not None:
+                if check not in _COMPOSABLE_CHECK_KINDS:
+                    errors.append(
+                        f"rules/{i}: pattern_properties 'check' must be a scalar "
+                        f"row-rule kind, got {check!r}"
+                    )
+                else:
+                    for req in _PER_KIND_REQUIRED.get(check, []):
+                        if req != "column" and req not in rule:
+                            errors.append(
+                                f"rules/{i}: pattern_properties check {check!r} requires field {req!r}"
+                            )
+                    if check == "format" and rule.get("format") == "regex":
+                        errors.append(
+                            f"rules/{i}: format 'regex' is a Python-UDF check and cannot "
+                            "run inside a map-entry lambda; explode the map and use a "
+                            "plain format rule instead"
+                        )
         # range/length bound requirements apply whether the check is the rule
-        # kind itself or an items/contains sub-check
-        effective = rule.get("check") if kind in ("items", "contains") else kind
+        # kind itself or an items/contains/pattern_properties sub-check
+        effective = rule.get("check") if kind in ("items", "contains", "pattern_properties") else kind
         if effective == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):

@@ -239,3 +239,113 @@ def test_composition_meta_validation():
         manifest_from_dict(
             {"id": "m", "rules": [{"kind": "contains", "column": "v", "check": "items"}]}
         )
+
+
+def test_pattern_properties_matches_jsonschema(spark):
+    """Draft-7 patternProperties over a map column (the reference's
+    interface-name maps): matching keys get the sub-check on their value,
+    additional_properties: false rejects non-matching keys — row verdicts
+    agree with Draft7Validator."""
+    docs = [
+        None,
+        {"swp1": 10, "swp2": 20},          # all match, all in range
+        {"swp1": 99},                      # matching key, value out of range
+        {"eth0": 10},                      # non-matching key
+        {"swp3": 10, "eth1": 5},           # mixed
+        {},
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,long>"
+    )
+    rules = (
+        Rule(
+            kind="pattern_properties",
+            params={
+                "column": "v",
+                "pattern": "^swp",
+                "check": "range",
+                "maximum": 50,
+                "additional_properties": False,
+            },
+        ),
+    )
+    m = Manifest(id="comp", rules=rules)
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    schema = {
+        "type": "object",
+        "properties": {
+            "v": {
+                "type": "object",
+                "patternProperties": {"^swp": {"maximum": 50}},
+                "additionalProperties": False,
+            }
+        },
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": d}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
+
+    # message + path parity on the single-extra case (jsonschema
+    # additionalProperties message format)
+    rows = ValidationEngine(m, key_columns=["id"]).violations(df.filter("id = 3")).collect()
+    [r] = rows
+    assert r["message"] == "Additional properties are not allowed ('eth0' was unexpected)"
+    assert list(r["absolute_path"]) == ["3", "v", "eth0"]
+
+
+def test_pattern_properties_struct_field(spark):
+    """field= digs into struct values: every matching interface's `role`
+    must be in the enum; path carries [column, key, field]."""
+    df = spark.createDataFrame(
+        [
+            (0, {"swp1": ("uplink", 100)}),
+            (1, {"swp1": ("wat", 100), "mgmt0": ("oob", 10)}),
+        ],
+        "id long, v map<string,struct<role:string,speed:long>>",
+    )
+    rules = (
+        Rule(
+            kind="pattern_properties",
+            params={
+                "column": "v",
+                "pattern": "^swp",
+                "field": "role",
+                "check": "enum",
+                "values": ["uplink", "downlink"],
+            },
+        ),
+    )
+    m = Manifest(id="comp", rules=rules)
+    rows = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    [r] = rows
+    assert list(r["absolute_path"]) == ["1", "v", "swp1", "role"]
+    assert r["message"] == "'wat' is not one of ['uplink', 'downlink']"
+    assert r["failing_value"] == "wat"
+
+
+def test_pattern_properties_meta_validation():
+    # neither check nor additional_properties:false → checks nothing → error
+    with pytest.raises(InvalidManifest, match="checks nothing"):
+        manifest_from_dict(
+            {
+                "id": "m",
+                "rules": [{"kind": "pattern_properties", "column": "v", "pattern": "^a"}],
+            }
+        )
+    # sub-check params are enforced like items'
+    with pytest.raises(InvalidManifest, match="requires field"):
+        manifest_from_dict(
+            {
+                "id": "m",
+                "rules": [
+                    {"kind": "pattern_properties", "column": "v", "pattern": "^a", "check": "enum"}
+                ],
+            }
+        )
