@@ -431,6 +431,60 @@ class ValidationEngine:
             out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
         return out
 
+    def _property_names_violation_arrays(self, df: DataFrame) -> list[Column]:
+        """Draft-7 propertyNames over a MAP column (jsonschema
+        _validators.py propertyNames: the sub-schema validates each KEY
+        string): one transform() over map_keys() emits a violation per
+        offending key, message straight from the compiled sub-check
+        ("'ab' is too short" etc.). With pattern_properties and
+        strict_columns this completes the object-keyword family;
+        min/maxProperties is a `length` rule on the map (F.size counts
+        entries)."""
+        from schema_enforcer_spark.compiler import compile_check, has_column_path
+
+        out: list[Column] = []
+        for rule in self.manifest.row_rules:
+            if rule.kind != "property_names":
+                continue
+            col_name = rule.params["column"]
+            if not has_column_path(df, col_name):
+                continue
+            map_dt = _dtype_of(df, col_name)
+            if not isinstance(map_dt, T.MapType):
+                raise ValueError(
+                    f"property_names rule column {col_name!r} is "
+                    f"{map_dt.simpleString()}, not a map"
+                )
+            check = rule.params["check"]
+            rid = rule.get("id") or f"{self.manifest.id}/property_names/{col_name}"
+            custom_msg = rule.get("message")
+            key_elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
+
+            def make_viol(_check, _rid, _cm, _col, _keys, _rule):
+                def viol(k):
+                    pred, msg = compile_check(k, T.StringType(), _check, _rule.get, _col)
+                    if _cm:
+                        msg = F.lit(_cm)
+                    return F.when(
+                        ~F.coalesce(pred, F.lit(True)),
+                        F.struct(
+                            F.lit(_rid).alias("schema_id"),
+                            F.array(*_keys, F.lit(_col), k).alias("absolute_path"),
+                            k.alias("failing_value"),
+                            msg.alias("message"),
+                        ),
+                    )
+
+                return viol
+
+            viol = make_viol(check, rid, custom_msg, col_name, key_elems, rule)
+            empty = F.array().cast(
+                "array<struct<schema_id:string,absolute_path:array<string>,failing_value:string,message:string>>"
+            )
+            arr = F.array_compact(F.transform(F.map_keys(F.col(col_name)), viol))
+            out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
+        return out
+
     def row_fail_count(self, df: DataFrame) -> Column:
         """Number of row rules the row fails — the streaming-verdict
         building block (windowed sum of this = per-window fail count)."""
@@ -438,6 +492,7 @@ class ValidationEngine:
         flags = [(~F.coalesce(cr.predicate, F.lit(True))).cast("int") for cr in compiled]
         flags.extend(F.size(arr) for arr in self._items_violation_arrays(df))
         flags.extend(F.size(arr) for arr in self._pattern_properties_violation_arrays(df))
+        flags.extend(F.size(arr) for arr in self._property_names_violation_arrays(df))
         if not flags:
             return F.lit(0)
         out = flags[0]
@@ -447,7 +502,11 @@ class ValidationEngine:
 
     def row_violations(self, df: DataFrame) -> DataFrame | None:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
-        item_arrays = self._items_violation_arrays(df) + self._pattern_properties_violation_arrays(df)
+        item_arrays = (
+            self._items_violation_arrays(df)
+            + self._pattern_properties_violation_arrays(df)
+            + self._property_names_violation_arrays(df)
+        )
         if not compiled and not item_arrays:
             return None
         structs = [

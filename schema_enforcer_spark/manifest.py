@@ -54,6 +54,12 @@ ROW_RULE_KINDS = {
     "const",         # Draft-6 const: value must equal the literal
     "contains",      # Draft-6 contains: array holds >=1 element passing check
     "dependent_required",  # Draft-2019 dependentRequired: col present => others present
+    "property_names",  # Draft-7 propertyNames over a MAP column: every key
+                     # must satisfy `check` (length/pattern/enum/...);
+                     # completes the object-keyword family with
+                     # pattern_properties + strict_columns
+                     # (min/maxProperties = a `length` rule on the map —
+                     # F.size counts entries)
     "pattern_properties",  # Draft-7 patternProperties over a MAP column:
                      # entries whose key matches `pattern` get `check`
                      # applied to the value (or value `field`); with
@@ -185,6 +191,7 @@ _PER_KIND_REQUIRED = {
     "not_empty": ["column"],
     "items": ["column", "check"],
     "pattern_properties": ["column", "pattern"],
+    "property_names": ["column", "check"],
     "unique": ["columns"],
     "referential": ["columns", "ref_table", "ref_columns"],
     "ordering": ["column", "partition_by", "order_by"],
@@ -213,6 +220,7 @@ _PER_KIND_REQUIRED = {
 _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
     "items",
     "pattern_properties",
+    "property_names",
     "contains",
     "any_of",
     "all_of",
@@ -347,6 +355,25 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "inside an array-element lambda; explode the array and use a "
                         "plain format rule instead"
                     )
+        if kind == "property_names":
+            check = rule.get("check")
+            if check is not None and check not in _COMPOSABLE_CHECK_KINDS:
+                errors.append(
+                    f"rules/{i}: property_names 'check' must be a scalar row-rule "
+                    f"kind, got {check!r}"
+                )
+            elif check is not None:
+                for req in _PER_KIND_REQUIRED.get(check, []):
+                    if req != "column" and req not in rule:
+                        errors.append(
+                            f"rules/{i}: property_names check {check!r} requires field {req!r}"
+                        )
+                if check == "format" and rule.get("format") == "regex":
+                    errors.append(
+                        f"rules/{i}: format 'regex' is a Python-UDF check and cannot "
+                        "run inside a map-key lambda; explode the map and use a "
+                        "plain format rule instead"
+                    )
         if kind == "pattern_properties":
             check = rule.get("check")
             if check is None and not (rule.get("additional_properties") is False):
@@ -375,7 +402,11 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         )
         # range/length bound requirements apply whether the check is the rule
         # kind itself or an items/contains/pattern_properties sub-check
-        effective = rule.get("check") if kind in ("items", "contains", "pattern_properties") else kind
+        effective = (
+            rule.get("check")
+            if kind in ("items", "contains", "pattern_properties", "property_names")
+            else kind
+        )
         if effective == "range" and not ({"minimum", "maximum", "exclusive_minimum", "exclusive_maximum"} & rule.keys()):
             errors.append(f"rules/{i}: range rule needs at least one bound")
         if effective == "length" and not ({"min_length", "max_length"} & rule.keys()):

@@ -349,3 +349,52 @@ def test_pattern_properties_meta_validation():
                 ],
             }
         )
+
+
+def test_property_names_matches_jsonschema(spark):
+    """Draft-7 propertyNames: the sub-check validates each map KEY;
+    agreement with Draft7Validator plus message parity from the compiled
+    sub-check ("'<key>' is too long")."""
+    docs = [
+        None,
+        {"ab": 1},
+        {"abcdefgh": 2},          # key too long
+        {"ok": 1, "waytoolongkey": 2},
+        {},
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,long>"
+    )
+    rules = (
+        Rule(
+            kind="property_names",
+            params={"column": "v", "check": "length", "max_length": 4},
+        ),
+    )
+    m = Manifest(id="comp", rules=rules)
+    out = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    got = {int(r["absolute_path"][0]) for r in out}
+    schema = {
+        "type": "object",
+        "properties": {"v": {"type": "object", "propertyNames": {"maxLength": 4}}},
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": d}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
+    by_key = {r["failing_value"]: r for r in out}
+    assert by_key["abcdefgh"]["message"] == "'abcdefgh' is too long"
+    assert list(by_key["waytoolongkey"]["absolute_path"]) == ["3", "v", "waytoolongkey"]
+
+    # min/maxProperties falls out of `length` on the map (F.size = entries)
+    m2 = Manifest(
+        id="comp", rules=(Rule(kind="length", params={"column": "v", "min_length": 1}),)
+    )
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m2, key_columns=["id"]).violations(df).collect()
+    }
+    assert flagged == {4}  # only the empty map; NULL passes (required's job)
