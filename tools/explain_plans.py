@@ -282,6 +282,23 @@ def main() -> None:
         problems.append("q40 join is not keyed on the full two-level (chunk, val, sub, subval)")
     sections.append(("SimHash near-dups (q40: two-level pigeonhole equi-join)", p15, notes15))
 
+    # 16. map-entry rules (q56 patternProperties): like the items rule, the
+    # whole validation must stay one scan → one projection (transform over
+    # map_entries) → explode — zero Exchange before the final sort
+    p16 = _formatted(entry.q56_pattern_properties(spark, sf))
+    notes16 = []
+    n_ex16 = len(re.findall(r"^\(\d+\) Exchange\s*$", p16, re.M))
+    if n_ex16 <= 1:  # only the orderBy's range partitioning
+        notes16.append(f"OK: {n_ex16} Exchange(s) — map-entry validation rides the scan projection; only the final sort shuffles")
+    else:
+        problems.append(f"q56 pattern_properties has {n_ex16} Exchanges (want <=1: just the sort)")
+    # count physical operators (detail headers), not tree-summary mentions
+    if len(re.findall(r"^\(\d+\) Scan parquet", p16, re.M)) == 1:
+        notes16.append("OK: exactly one parquet scan")
+    else:
+        problems.append("q56 pattern_properties scans the input more than once")
+    sections.append(("patternProperties map-entry rule (q56: one scan, zero pre-sort exchanges)", p16, notes16))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
