@@ -116,6 +116,9 @@ _SPARK_TYPE_CHECK = {
     ),
     "null": lambda c, dt: c.isNull(),
     "array": lambda c, dt: F.lit(isinstance(dt, T.ArrayType)),
+    # JSON objects land in Spark as structs (fixed fields) or maps (dynamic
+    # keys — the patternProperties shape); both are 'object'
+    "object": lambda c, dt: F.lit(isinstance(dt, (T.StructType, T.MapType))),
 }
 
 

@@ -117,7 +117,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "kind": {"enum": sorted(RULE_KINDS)},
                     "column": {"type": "string"},
                     "columns": {"type": "array", "items": {"type": "string"}},
-                    "type": {"enum": ["string", "integer", "number", "boolean", "timestamp", "null", "array"]},
+                    "type": {"enum": ["string", "integer", "number", "boolean", "timestamp", "null", "array", "object"]},
                     "values": {"type": "array"},
                     "pattern": {"type": "string"},
                     "format": {"enum": SUPPORTED_FORMATS},

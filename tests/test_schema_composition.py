@@ -398,3 +398,23 @@ def test_property_names_matches_jsonschema(spark):
         for r in ValidationEngine(m2, key_columns=["id"]).violations(df).collect()
     }
     assert flagged == {4}  # only the empty map; NULL passes (required's job)
+
+
+def test_type_object_matches_jsonschema(spark):
+    """Draft-7 `type: object`: structs (fixed fields) and maps (dynamic
+    keys) both count as objects; scalar columns fail the static check."""
+    df = spark.createDataFrame(
+        [(0, {"a": 1}, ("x",), "s")],
+        "id long, m map<string,long>, st struct<f:string>, s string",
+    )
+    ok = Manifest(
+        id="comp",
+        rules=(
+            Rule(kind="type", params={"column": "m", "type": "object"}),
+            Rule(kind="type", params={"column": "st", "type": "object"}),
+        ),
+    )
+    assert ValidationEngine(ok, key_columns=["id"]).violations(df).count() == 0
+    bad = Manifest(id="comp", rules=(Rule(kind="type", params={"column": "s", "type": "object"}),))
+    [r] = ValidationEngine(bad, key_columns=["id"]).violations(df).collect()
+    assert r["message"] == "'s' is not of type 'object'"
