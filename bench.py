@@ -39,63 +39,6 @@ BEST_OF = int(os.environ.get("BENCH_BEST_OF", "3"))
 # measuring against the sandbox's slow virtual disk would misattribute
 TRANSCRIPTS_PATH = os.environ.get("BENCH_TRANSCRIPTS_PATH", f"/dev/shm/bench_transcripts_{N_CONVS}")
 
-BENCH_QUERIES = [
-    "q01_pricing_summary",
-    "q02_validate_events_violations",
-    "q03_validate_events_verdicts",
-    "q04_unique_dup_keys",
-    "q05_referential_orphans",
-    "q06_ordering_check",
-    "q07_agg_rule_error_budget",
-    "q08_column_stats_events",
-    "q09_window_gaps",
-    "q10_hist_doc_len",
-    "q11_text_quality",
-    "q12_lang_id",
-    "q13_dedup_exact",
-    "q14_topk_cosine",
-    "q15_psi_drift",
-    "q16_minhash_near_dups",
-    "q17_simhash",
-    "q18_embedding_near_dups",
-    "q19_ann_topk",
-    "q20_stats_hll",
-    "q21_salted_agg",
-    "q22_topk_per_group",
-    "q23_set_ops",
-    "q24_json_extract",
-    "q25_fingerprint",
-    "q26_sessionize",
-    "q27_bpe_token_count",
-    "q28_multimodal_features",
-    "q29_nested_validation",
-    "q30_merge_defaults",
-    "q31_asof_join",
-    "q32_ks_drift",
-    "q33_near_dup_groups",
-    "q34_hash_split",
-    "q35_sequence_packing",
-    "q36_pii_counts",
-    "q37_repetition_ratio",
-    "q38_contamination",
-    "q39_range_join",
-    "q40_simhash_near_dups",
-    "q41_term_doc_freq",
-    "q42_composition_validation",
-    "q43_boilerplate_ngrams",
-    "q44_doc_chunks",
-    "q45_stratified_sample",
-    "q46_quantile_check",
-    "q47_centroid_stats",
-    "q48_cardinality_orders",
-    "q49_rate_limit_events",
-    "q50_dedup_materialize",
-    "q51_top_terms",
-    "q52_sequence_rule",
-    "q53_rollup_stats",
-    "q54_pivot_event_types",
-    "q55_ann_clustered",
-]
 
 
 def _noop(df):
@@ -146,7 +89,9 @@ def main() -> None:
     qs = entry.queries()
     names = ["validate_transcripts"]
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
-        names += BENCH_QUERIES
+        # every queries() entry, always — a hand-maintained list silently
+        # drops newly added queries from the recorded bench
+        names += sorted(qs)
     best: dict[str, float] = {}
     for _ in range(BEST_OF):
         for name in names:
