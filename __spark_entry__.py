@@ -480,7 +480,7 @@ def q28_multimodal_features(spark, sf_dir):
         "n_bytes",
         F.round(F.col("feat")[0].cast("double"), 6).alias("f0"),
         F.round(fsum, 6).alias("fsum"),
-    ).orderBy("media_id")
+    )  # no orderBy: range-sort sampling would run the Arrow UDF twice
 
 
 def q29_nested_validation(spark, sf_dir):
@@ -777,7 +777,8 @@ def q44_doc_chunks(spark, sf_dir):
     return (
         chunk_documents(docs, chunk_tokens=64, overlap=16)
         .select("doc_id", "chunk_idx", F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"), "chunk_text")
-        .orderBy("doc_id", "chunk_idx")
+        # no orderBy: keeps the plan-asserted zero-exchange shape AND avoids
+        # the range-sort sampling re-running the explode (multiset gate)
     )
 
 
