@@ -188,7 +188,28 @@ def _parse_ini_inventory(text: str) -> dict:
     top = {name: node for name, node in groups.items() if name not in nested and name != "all"}
     all_node = groups.get("all", {"hosts": {}, "children": {}, "vars": {}})
     all_node.setdefault("children", {}).update(top)
-    return {"all": all_node}
+    tree = {"all": all_node}
+
+    # a cyclic children graph leaves every group of the cycle "nested" and
+    # therefore unreachable from the top — its hosts would silently vanish.
+    # Ansible rejects cyclic inventories; so do we.
+    reachable: set[str] = set()
+
+    def reach(name: str, node: dict | None) -> None:
+        if name in reachable:
+            return
+        reachable.add(name)
+        for c, cn in ((node or {}).get("children") or {}).items():
+            reach(c, cn)
+
+    reach("all", all_node)
+    lost = sorted(set(groups) - reachable)
+    if lost:
+        raise ValueError(
+            f"cyclic group membership in inventory: group(s) {lost} are only "
+            "reachable through their own descendants"
+        )
+    return tree
 
 
 def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: dict | None = None):
@@ -248,7 +269,13 @@ def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: 
     host_inline: dict[str, dict] = {}
     host_groups: dict[str, list[tuple[int, str]]] = {}
 
-    def walk(name: str, node: dict | None, depth: int) -> None:
+    def walk(name: str, node: dict | None, depth: int, stack: tuple[str, ...] = ()) -> None:
+        if name in stack:
+            # Ansible itself rejects cyclic group graphs; without this guard
+            # a [a:children] b / [b:children] a inventory recurses forever
+            raise ValueError(
+                f"cyclic group membership in inventory: {' -> '.join((*stack, name))}"
+            )
         node = node or {}
         group_vars_inline.setdefault(name, {}).update(node.get("vars") or {})
         for host, hv in sorted((node.get("hosts") or {}).items()):
@@ -257,7 +284,7 @@ def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: 
             if (depth, name) not in host_groups[host]:
                 host_groups[host].append((depth, name))
         for child, cnode in sorted((node.get("children") or {}).items()):
-            walk(child, cnode, depth + 1)
+            walk(child, cnode, depth + 1, (*stack, name))
             # membership in a child implies membership in this group
             for host in list(host_groups):
                 if any(g == child for _, g in host_groups[host]) and not any(

@@ -325,3 +325,17 @@ def test_load_inventory_ini_form(spark, tmp_path):
     # file-path form (the reference's -i flag shape)
     dim2 = load_inventory(spark, str(inv / "inventory.ini"), key="host")
     assert dim2.count() == 3
+
+
+def test_load_inventory_cyclic_children_raises(spark, tmp_path):
+    """A cyclic group graph must fail loudly (Ansible rejects these too),
+    not recurse forever."""
+    from schema_enforcer_spark.sources.defaults import load_inventory
+
+    inv = tmp_path / "cyc"
+    inv.mkdir()
+    (inv / "inventory.ini").write_text(
+        "[a]\nh1\n\n[a:children]\nb\n\n[b:children]\na\n"
+    )
+    with pytest.raises(ValueError, match="cyclic group membership"):
+        load_inventory(spark, str(inv / "inventory.ini"), key="host")
