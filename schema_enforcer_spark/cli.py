@@ -92,14 +92,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--write-baseline",
         action="store_true",
         help="compute and persist the drift-rule baseline histograms from "
-        "--input to <checkpoint>/drift_baselines.json, then exit "
+        "--input to <checkpoint>/_drift_baselines.json, then exit "
         "(requires --checkpoint)",
     )
     p.add_argument(
         "--baseline",
         action="store_true",
         help="load stored drift baselines from <checkpoint>/"
-        "drift_baselines.json for drift rules without inline baselines",
+        "_drift_baselines.json for drift rules without inline baselines",
     )
     p.add_argument(
         "--list-manifests",
@@ -256,7 +256,10 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         import dataclasses
 
-        manifest = dataclasses.replace(manifest, strict=True)
+        # with --inventory the loader injects the 'host' key column — it's
+        # part of the engine's plumbing, not an undeclared user var
+        cols = (*manifest.columns, "host") if args.inventory and "host" not in manifest.columns else manifest.columns
+        manifest = dataclasses.replace(manifest, strict=True, columns=cols)
 
     builder = SparkSession.builder.appName(f"schema-enforcer-spark:{manifest.id}")
     if args.master:
@@ -291,6 +294,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Found {n_hosts} hosts in the inventory")
         if args.limit:
             df = df.filter(df["host"] == args.limit)
+            if df.count() == 0:
+                # a typo'd --limit must not green-light a host that was
+                # never checked (the reference ansible --limit errors on an
+                # unmatched host pattern)
+                print(f"ERROR | --limit {args.limit!r} matches no host in the inventory",
+                      file=sys.stderr)
+                return 2
         # hosts are the instances: HOST grain, host-keyed paths (reference
         # ansible command prints [HOST] lines, cli.py:227-265)
         if not eng_kw.get("instance_expr"):
@@ -309,7 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         bound = reg.automap(df.columns)
         print(f"{'Instance':<40} Schema ID")
         print("-" * 80)
-        print(f"{args.input:<40} {[m.id for m in bound]}")
+        print(f"{args.inventory or args.input:<40} {[m.id for m in bound]}")
         return 0
     ref_tables = {}
     for spec in args.ref_table:

@@ -246,6 +246,10 @@ def boilerplate_report(
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_df)
         .select("gram", F.lit(1).alias("_hit"))
+        # materialize ONCE: the guard count below is a separate action, and
+        # without this it would re-run the full corpus-wide gram aggregation
+        # a second time for the broadcast join (the derived-table reuse trap)
+        .localCheckpoint()
     )
     # one count-only action over the aggregated (tiny) side; the limit is a
     # hard guard on broadcast size, ~50 bytes/gram → default ≈ 100 MB

@@ -89,7 +89,24 @@ def inventory_defaults(spark, host_vars: dict[str, dict], group_vars: dict | Non
     for host, hv in sorted(host_vars.items()):
         merged = render_templates(merge_vars(group_vars or {}, hv))
         rows.append({key: host, **merged})
-    return spark.createDataFrame(_normalize_rows(rows))
+    return _rows_to_df(spark, rows)
+
+
+def _rows_to_df(spark, rows: list[dict]):
+    """createDataFrame with ragged-dict normalization AND a type for
+    all-null vars: a var that is None for every host (YAML ``some_var:``
+    placeholder) defeats schema inference — type it string explicitly
+    instead of crashing ingestion."""
+    from pyspark.sql import functions as F
+
+    norm = _normalize_rows(rows)
+    all_none = [k for k in norm[0] if all(r[k] is None for r in norm)]
+    if not all_none:
+        return spark.createDataFrame(norm)
+    df = spark.createDataFrame([{k: v for k, v in r.items() if k not in all_none} for r in norm])
+    for k in all_none:
+        df = df.withColumn(k, F.lit(None).cast("string"))
+    return df.select(*norm[0].keys())
 
 
 def _normalize_rows(rows: list[dict]) -> list[dict]:
@@ -152,8 +169,10 @@ def _parse_ini_inventory(text: str) -> dict:
 
     section, mode = "ungrouped", "hosts"
     for raw in text.splitlines():
-        line = raw.split("#", 1)[0].split(";", 1)[0].strip()
-        if not line:
+        # whole-line comments only — Ansible's INI parser does not strip
+        # '#'/';' mid-line, and doing so corrupts values like pass="p#ss"
+        line = raw.strip()
+        if not line or line.startswith(("#", ";")):
             continue
         if line.startswith("[") and line.endswith("]"):
             name = line[1:-1]
@@ -313,4 +332,4 @@ def load_inventory(spark, inventory_dir: str, key: str = "conv_id", extra_vars: 
         rows.append({key: host, **merged})
     if not rows:
         raise ValueError(f"no hosts found in inventory {inventory_dir}")
-    return spark.createDataFrame(_normalize_rows(rows))
+    return _rows_to_df(spark, rows)

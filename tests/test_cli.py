@@ -382,3 +382,42 @@ def test_cli_strict_flag(spark, data, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert "--strict needs the manifest to declare 'columns'" in err
+
+
+def test_cli_limit_unmatched_host_errors(spark, tmp_path, capsys):
+    """A typo'd --limit must error, not report ALL PASSED on zero hosts
+    (reference ansible --limit errors on an unmatched pattern)."""
+    inv = tmp_path / "inv"
+    (inv / "host_vars").mkdir(parents=True)
+    (inv / "hosts.yml").write_text("all:\n  hosts:\n    leaf1:\n")
+    (inv / "host_vars" / "leaf1.yml").write_text("role: leaf\n")
+    man = tmp_path / "m.yml"
+    man.write_text("id: schemas/h\nrules:\n  - kind: required\n    column: role\n")
+    rc = main(["--manifest", str(man), "--inventory", str(inv), "--limit", "laef1"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "matches no host" in captured.err
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" not in captured.out
+
+
+def test_cli_strict_with_inventory_ignores_host_key(spark, tmp_path, capsys):
+    """--strict + --inventory: the loader-injected 'host' key column is
+    engine plumbing, not an undeclared var."""
+    inv = tmp_path / "inv"
+    (inv / "host_vars").mkdir(parents=True)
+    (inv / "hosts.yml").write_text("all:\n  hosts:\n    leaf1:\n")
+    (inv / "host_vars" / "leaf1.yml").write_text("role: leaf\n")
+    man = tmp_path / "m.yml"
+    man.write_text(
+        "id: schemas/h\ncolumns: [role]\nrules:\n  - kind: required\n    column: role\n"
+    )
+    rc = main(["--manifest", str(man), "--inventory", str(inv), "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "'host' was unexpected" not in out
+
+    # --show-checks with --inventory must print, not crash on args.input=None
+    rc = main(["--manifest", str(man), "--inventory", str(inv), "--show-checks"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Schema ID" in out

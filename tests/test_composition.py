@@ -339,3 +339,25 @@ def test_load_inventory_cyclic_children_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cyclic group membership"):
         load_inventory(spark, str(inv / "inventory.ini"), key="host")
+
+
+def test_load_inventory_hash_in_values_and_all_null_var(spark, tmp_path):
+    """'#'/';' are comment starts only at line start (Ansible semantics) —
+    values containing them survive; a var that is null for EVERY host gets
+    an explicit string type instead of crashing schema inference."""
+    from schema_enforcer_spark.sources.defaults import load_inventory
+
+    inv = tmp_path / "inv"
+    (inv / "group_vars").mkdir(parents=True)
+    (inv / "inventory.ini").write_text(
+        "# full-line comment\n"
+        "[web]\n"
+        'web1 ansible_password="p#ss" token=ab;cd\n'
+    )
+    (inv / "group_vars" / "all.yml").write_text("placeholder:\n")  # YAML null
+    dim = load_inventory(spark, str(inv / "inventory.ini"), key="host")
+    [row] = dim.collect()
+    assert row["ansible_password"] == "p#ss"
+    assert row["token"] == "ab;cd"
+    assert row["placeholder"] is None
+    assert dict(dim.dtypes)["placeholder"] == "string"

@@ -200,6 +200,12 @@ def cc_main() -> None:
                 print(f"trial {t}: {n_exec}x{cores} -> {r['sec']}s "
                       f"({r['edges_per_sec']:,.0f} eps, {r['rounds']} rounds)", file=sys.stderr)
 
+    for n in (n_low, n_high):
+        if not results[n]:
+            raise RuntimeError(
+                f"every trial of the {n}-executor config failed (see subprocess "
+                "stderr above) — no scaling number to report"
+            )
     best_low = min(results[n_low], key=lambda r: r["sec"])
     best_high = min(results[n_high], key=lambda r: r["sec"])
     efficiency = (best_high["edges_per_sec"] / best_low["edges_per_sec"]) / (n_high / n_low)
@@ -273,6 +279,12 @@ def main() -> None:
                 results[n_exec].append(r)
                 print(f"trial {t}: {n_exec}x{cores} -> {r['sec']}s ({r['turns_per_sec']:,.0f} tps)", file=sys.stderr)
 
+    for n in (n_low, n_high):
+        if not results[n]:
+            raise RuntimeError(
+                f"every trial of the {n}-executor config failed (see subprocess "
+                "stderr above) — no scaling number to report"
+            )
     best_low = min(results[n_low], key=lambda r: r["sec"])
     best_high = min(results[n_high], key=lambda r: r["sec"])
     ratio = n_high / n_low
