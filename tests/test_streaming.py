@@ -39,7 +39,7 @@ def _run(stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
     q.stop()  # defensive: never leak a live query into later tests
     return q
 
@@ -65,7 +65,7 @@ def test_stream_verdicts(spark, stream_src):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
     q.stop()  # defensive: never leak a live query into later tests
     rows = spark.sql("select * from verd").collect()
     assert rows
@@ -117,7 +117,7 @@ def test_stateful_contiguity(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
         q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
@@ -182,7 +182,7 @@ def test_stateful_ts_regression_across_batches(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
         q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
@@ -210,7 +210,7 @@ def test_stream_session_stats(spark, stream_src):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
     q.stop()  # defensive: never leak a live query into later tests
     rows = spark.sql("select * from sess").collect()
     assert rows
@@ -264,7 +264,7 @@ def test_stream_rate_limit_across_batches(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
         q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
@@ -315,7 +315,7 @@ def test_stateful_contiguity_long_epoch_ts_with_nulls(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
         q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
@@ -367,7 +367,7 @@ def test_stream_sequence_rule_across_batches(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query failed to terminate (noDataMicroBatches regression?)"
         q.stop()  # defensive: never leak a live query into later tests
         return spark.read.parquet(out_dir).collect()
 
