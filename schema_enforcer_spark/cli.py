@@ -429,7 +429,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         grain = "HOST" if args.inventory else "PARTITION"
         for p in passed:
-            print(f"PASS | [{grain}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
+            # the synthetic 'table' verdict row (strict/drift table-grain
+            # universe) is not a host/partition — label it by its own grain
+            g = "TABLE" if p["instance_name"] == "table" else grain
+            print(f"PASS | [{g}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
 
     if args.summary:
         print(f"{'Rule':<60} {'Violations':>10} {'Instances':>10}")
