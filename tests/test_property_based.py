@@ -193,3 +193,52 @@ def test_composition_matches_jsonschema(spark, rows, enum_vals, min_len, max_len
     schema_body = {key: sub_schemas} if kind != "not" else {"not": {"allOf": sub_schemas}}
     schema = {"type": "object", "properties": {"v": schema_body}}
     assert _run_engine(spark, rules, rows) == _oracle(schema, rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.text(alphabet="abswp0", min_size=1, max_size=4),
+                st.one_of(st.none(), st.integers(min_value=-50, max_value=150)),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    hi=st.integers(min_value=0, max_value=100),
+    reject=st.booleans(),
+)
+def test_pattern_properties_matches_jsonschema(spark, docs, hi, reject):
+    """Randomized patternProperties over maps: matching keys' values range-
+    checked, optional additionalProperties: false — row verdicts agree with
+    Draft7Validator (null values dropped for the oracle per the engine-wide
+    NULL-passes convention)."""
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,long>"
+    )
+    params = {"column": "v", "pattern": "^s", "check": "range", "maximum": hi}
+    if reject:
+        params["additional_properties"] = False
+    rules = [Rule(kind="pattern_properties", params=params)]
+    m = Manifest(id="prop", rules=tuple(rules))
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    body = {"type": "object", "patternProperties": {"^s": {"maximum": hi}}}
+    if reject:
+        body["additionalProperties"] = False
+    v = jsonschema.Draft7Validator({"type": "object", "properties": {"v": body}})
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": {k: x for k, x in d.items() if x is not None}}
+        # null-valued keys still exist for additionalProperties purposes
+        if d is not None and reject:
+            inst["v"].update({k: 0 for k, x in d.items() if x is None and not k.startswith("s")})
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
