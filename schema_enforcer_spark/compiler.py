@@ -191,6 +191,29 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
         fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
         pred = col.isNull() | ~fail
         msg = F.coalesce(*[F.when(c, m) for c, m in zip(conds, msgs)], F.lit(""))
+    elif kind == "property_count":
+        # Draft-7 minProperties/maxProperties (jsonschema/_validators.py
+        # minProperties: "%r does not have enough properties", maxProperties:
+        # "%r has too many properties") over a MAP column — the dynamic-key
+        # object shape; completes the object-keyword family alongside
+        # pattern_properties / property_names / strict_columns. JSON repr
+        # (to_json) stands in for Python repr of the instance, the same
+        # container-repr convention as unique_items/contains.
+        if not isinstance(dtype, T.MapType):
+            raise ValueError(
+                f"property_count rule column {label!r} is "
+                f"{dtype.simpleString()}, not a map"
+            )
+        n = F.size(col)
+        obj = F.to_json(col)
+        branches = []
+        if (mn := get("min_properties")) is not None:
+            branches.append((n < mn, F.concat(obj, F.lit(" does not have enough properties"))))
+        if (mx := get("max_properties")) is not None:
+            branches.append((n > mx, F.concat(obj, F.lit(" has too many properties"))))
+        fail = reduce(operator.or_, (c for c, _ in branches))
+        pred = col.isNull() | ~fail
+        msg = F.coalesce(*[F.when(c, m) for c, m in branches], F.lit(""))
     elif kind == "multiple_of":
         n = get("multiple_of")
         pred = col.isNull() | (col.cast("double") % F.lit(float(n)) == 0.0)

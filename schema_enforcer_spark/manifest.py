@@ -58,8 +58,11 @@ ROW_RULE_KINDS = {
                      # must satisfy `check` (length/pattern/enum/...);
                      # completes the object-keyword family with
                      # pattern_properties + strict_columns
-                     # (min/maxProperties = a `length` rule on the map —
-                     # F.size counts entries)
+    "property_count",  # Draft-7 minProperties/maxProperties over a MAP
+                     # column: entry count within [min_properties,
+                     # max_properties], jsonschema message parity
+                     # ("does not have enough properties" /
+                     # "has too many properties")
     "pattern_properties",  # Draft-7 patternProperties over a MAP column:
                      # entries whose key matches `pattern` get `check`
                      # applied to the value (or value `field`); with
@@ -168,6 +171,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "requires": {"type": "array", "minItems": 1, "items": {"type": "string"}},
                     "min_count": {"type": "integer", "minimum": 0},
                     "max_count": {"type": "integer", "minimum": 0},
+                    "min_properties": {"type": "integer", "minimum": 0},
+                    "max_properties": {"type": "integer", "minimum": 0},
                     "window_seconds": {"type": "integer", "minimum": 1},
                     "additional_properties": {"type": "boolean"},
                 },
@@ -192,6 +197,7 @@ _PER_KIND_REQUIRED = {
     "items": ["column", "check"],
     "pattern_properties": ["column", "pattern"],
     "property_names": ["column", "check"],
+    "property_count": ["column"],
     "unique": ["columns"],
     "referential": ["columns", "ref_table", "ref_columns"],
     "ordering": ["column", "partition_by", "order_by"],
@@ -221,6 +227,7 @@ _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
     "items",
     "pattern_properties",
     "property_names",
+    "property_count",
     "contains",
     "any_of",
     "all_of",
@@ -418,6 +425,23 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
             )
         if kind == "cardinality" and not ({"min_count", "max_count"} & rule.keys()):
             errors.append(f"rules/{i}: cardinality rule needs min_count and/or max_count")
+        if kind == "property_count":
+            bounds = {k: rule.get(k) for k in ("min_properties", "max_properties") if k in rule}
+            if not bounds:
+                errors.append(
+                    f"rules/{i}: property_count rule needs min_properties and/or max_properties"
+                )
+            for k, v in bounds.items():
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    errors.append(f"rules/{i}: property_count {k} must be a non-negative integer")
+            if (
+                isinstance(bounds.get("min_properties"), int)
+                and isinstance(bounds.get("max_properties"), int)
+                and bounds["min_properties"] > bounds["max_properties"]
+            ):
+                errors.append(
+                    f"rules/{i}: property_count min_properties > max_properties can never pass"
+                )
         if kind == "strict_columns" and rule.get("column") and not rule.get("columns"):
             errors.append(
                 f"rules/{i}: strict_columns on a struct column needs the declared "

@@ -418,3 +418,89 @@ def test_type_object_matches_jsonschema(spark):
     bad = Manifest(id="comp", rules=(Rule(kind="type", params={"column": "s", "type": "object"}),))
     [r] = ValidationEngine(bad, key_columns=["id"]).violations(df).collect()
     assert r["message"] == "'s' is not of type 'object'"
+
+
+def test_property_count_matches_jsonschema(spark):
+    """Draft-7 minProperties/maxProperties over a map column: entry count
+    bounded, NULL passes, row verdicts agree with Draft7Validator."""
+    docs = [
+        None,
+        {},                                 # too few
+        {"a": 1},
+        {"a": 1, "b": 2},
+        {"a": 1, "b": 2, "c": 3},           # too many
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,long>"
+    )
+    m = Manifest(
+        id="comp",
+        rules=(
+            Rule(
+                kind="property_count",
+                params={"column": "v", "min_properties": 1, "max_properties": 2},
+            ),
+        ),
+    )
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    schema = {
+        "type": "object",
+        "properties": {"v": {"minProperties": 1, "maxProperties": 2}},
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": d}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
+
+    # message parity modulo container repr (JSON stands in for Python repr,
+    # the unique_items/contains convention)
+    by_id = {
+        int(r["absolute_path"][0]): r["message"]
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    assert by_id[1] == "{} does not have enough properties"
+    assert by_id[4].endswith(" has too many properties")
+
+
+def test_property_count_single_bound_and_guards(spark):
+    """min-only bound works; non-map column and missing bounds are
+    manifest/compile errors."""
+    df = spark.createDataFrame(
+        [(0, {"a": 1}), (1, {})], "id long, v map<string,long>"
+    )
+    m = Manifest(
+        id="comp",
+        rules=(Rule(kind="property_count", params={"column": "v", "min_properties": 1}),),
+    )
+    rows = ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    assert [r["absolute_path"][0] for r in rows] == ["1"]
+
+    with pytest.raises(InvalidManifest, match="min_properties and/or max_properties"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "property_count", "column": "v"}]}
+        )
+    with pytest.raises(InvalidManifest, match="non-negative integer"):
+        manifest_from_dict(
+            {"id": "m", "rules": [{"kind": "property_count", "column": "v", "min_properties": -1}]}
+        )
+    with pytest.raises(InvalidManifest, match="can never pass"):
+        manifest_from_dict(
+            {
+                "id": "m",
+                "rules": [
+                    {"kind": "property_count", "column": "v", "min_properties": 3, "max_properties": 1}
+                ],
+            }
+        )
+    bad = Manifest(
+        id="comp",
+        rules=(Rule(kind="property_count", params={"column": "id", "min_properties": 1}),),
+    )
+    with pytest.raises(ValueError, match="not a map"):
+        ValidationEngine(bad, key_columns=["id"]).violations(df).collect()
