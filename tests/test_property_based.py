@@ -242,3 +242,53 @@ def test_pattern_properties_matches_jsonschema(spark, docs, hi, reject):
         if any(True for _ in v.iter_errors(inst)):
             expected.add(i)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.text(alphabet="abk", min_size=1, max_size=3),
+                st.integers(min_value=0, max_value=9),
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    mn=st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+    mx=st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+)
+def test_property_count_matches_jsonschema(spark, docs, mn, mx):
+    """Randomized minProperties/maxProperties bounds over random maps: row
+    verdicts agree with Draft7Validator (NULL passes, per the engine-wide
+    convention — jsonschema never validates a missing property)."""
+    if mn is None and mx is None:
+        mn = 0
+    if mn is not None and mx is not None and mn > mx:
+        mn, mx = mx, mn
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,long>"
+    )
+    params = {"column": "v"}
+    body = {}
+    if mn is not None:
+        params["min_properties"] = mn
+        body["minProperties"] = mn
+    if mx is not None:
+        params["max_properties"] = mx
+        body["maxProperties"] = mx
+    m = Manifest(id="prop", rules=(Rule(kind="property_count", params=params),))
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator({"type": "object", "properties": {"v": body}})
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": d}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
