@@ -843,7 +843,8 @@ def q48_cardinality_orders(spark, sf_dir):
     eng = ValidationEngine(
         m, key_columns=["o_orderkey"], instance_expr="CAST(pmod(o_orderkey, 16) AS STRING)"
     )
-    return _flat(eng.violations(orders, ref_tables={"lineitem": li})).orderBy("path")
+    # no presentation orderBy (multiset gate; see q16/q56)
+    return _flat(eng.violations(orders, ref_tables={"lineitem": li}))
 
 
 def q49_rate_limit_events(spark, sf_dir):
@@ -872,7 +873,8 @@ def q49_rate_limit_events(spark, sf_dir):
         }
     )
     eng = _events_engine(m)
-    return _flat(eng.violations(ev)).orderBy("path", "failing_value")
+    # no presentation orderBy (multiset gate; see q16/q56)
+    return _flat(eng.violations(ev))
 
 
 def q50_dedup_materialize(spark, sf_dir):
@@ -931,7 +933,8 @@ def q52_sequence_rule(spark, sf_dir):
     )
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     eng = _events_engine(m)
-    return _flat(eng.violations(ev)).orderBy("path")
+    # no presentation orderBy (multiset gate; see q16/q56)
+    return _flat(eng.violations(ev))
 
 
 def q53_rollup_stats(spark, sf_dir):
@@ -1034,7 +1037,9 @@ def q56_pattern_properties(spark, sf_dir):
         }
     )
     eng = ValidationEngine(m, key_columns=["event_id"], instance_expr=_INST)
-    return _flat(eng.violations(mapped)).orderBy("path", "message")
+    # no presentation orderBy: the map-entry projection is shuffle-free, so a
+    # trailing sort's range-sampling job would run it TWICE (multiset gate)
+    return _flat(eng.violations(mapped))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1167,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         + """
         , per_inst AS (SELECT instance_name, COUNT(*) AS n FROM viol GROUP BY instance_name)
         SELECT 'schemas/events_base' AS schema_id, u.instance_name,
+               'PARTITION' AS grain,
                CASE WHEN COALESCE(p.n, 0) > 0 THEN 'FAIL' ELSE 'PASS' END AS result,
                COALESCE(p.n, 0) AS n_violations
         FROM (SELECT DISTINCT CAST(user_id % 16 AS VARCHAR) AS instance_name FROM events) u

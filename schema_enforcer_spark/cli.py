@@ -427,12 +427,11 @@ def main(argv: list[str] | None = None) -> int:
             .limit(args.show_failures)
             .collect()
         )
-        grain = "HOST" if args.inventory else "PARTITION"
         for p in passed:
-            # the synthetic 'table' verdict row (strict/drift table-grain
-            # universe) is not a host/partition — label it by its own grain
-            g = "TABLE" if p["instance_name"] == "table" else grain
-            print(f"PASS | [{g}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
+            # verdicts carry their own grain (TABLE for the synthetic
+            # table-grain row, HOST/PARTITION for data rows) — no name
+            # matching, so a host literally named 'table' labels correctly
+            print(f"PASS | [{p['grain']}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
 
     if args.summary:
         print(f"{'Rule':<60} {'Violations':>10} {'Instances':>10}")

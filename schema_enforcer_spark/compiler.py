@@ -230,13 +230,20 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
         # whole-stage codegen. NULL always passes (the engine-wide
         # convention: only `required`/`not_empty` fail on NULL) — matching
         # jsonschema, where a missing property is never validated.
-        subs = [compile_check(col, dtype, spec["kind"], spec.get, label)[0] for spec in get("checks")]
+        pairs = [compile_check(col, dtype, spec["kind"], spec.get, label) for spec in get("checks")]
+        subs = [p[0] for p in pairs]
         if kind == "any_of":
             pred = col.isNull() | reduce(operator.or_, subs)
             msg = F.concat(rep, F.lit(" is not valid under any of the given schemas"))
         elif kind == "all_of":
             pred = col.isNull() | reduce(operator.and_, subs)
-            msg = F.concat(rep, F.lit(" is not valid under all of the given schemas"))
+            # jsonschema's allOf has no aggregate message — it surfaces each
+            # failing sub-schema's own error (descend() in _validators.py
+            # allOf); emit the FIRST failing sub-check's message for parity
+            msg = F.coalesce(
+                *[F.when(~F.coalesce(s, F.lit(True)), m) for s, m in pairs],
+                F.lit("is not valid under all of the given schemas"),
+            )
         elif kind == "one_of":
             n_valid = reduce(operator.add, (s.cast("int") for s in subs))
             pred = col.isNull() | (n_valid == 1)

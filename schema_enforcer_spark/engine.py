@@ -396,7 +396,15 @@ class ValidationEngine:
                         val = e["value"]
                         for part in (_field.split(".") if _field else []):
                             val = val[part]
-                        pred, msg = compile_check(val, _tdt, _check, _rule.get, _label)
+                        # the rule's own `pattern` matches KEYS; a `pattern`
+                        # value sub-check reads the dedicated value_pattern
+                        # param (manifest meta-validation requires it)
+                        if _check == "pattern":
+                            vp = _rule.params["value_pattern"]
+                            getter = lambda k, d=None: vp if k == "pattern" else _rule.get(k, d)  # noqa: E731
+                        else:
+                            getter = _rule.get
+                        pred, msg = compile_check(val, _tdt, _check, getter, _label)
                         if _cm:
                             msg = F.lit(_cm)
                         path_tail = [] if _check in ("required",) else (
@@ -1087,7 +1095,7 @@ class ValidationEngine:
         rid = (rule.get("id") if rule else None) or f"{self.manifest.id}/strict_columns"
         rows = [
             (
-                rid, "FAIL", "table", self.manifest.table, self.instance_type,
+                rid, "FAIL", "table", self.manifest.table, "TABLE",
                 [*path_prefix, c], c, f"Additional properties are not allowed ('{c}' was unexpected)",
             )
             for c in extras
@@ -1163,10 +1171,19 @@ class ValidationEngine:
         # drift) attribute to instance 'table', which no data row carries; a
         # plain left join from the data universe would silently drop those
         # FAILs and report a passing run.
+        # `grain` rides along so a real host/partition literally named
+        # 'table' (grain HOST/PARTITION) never collides with the synthetic
+        # table-grain verdict row (grain TABLE) — table-grain rules
+        # (strict_columns, drift) stamp their violations instance_type TABLE
         universe = (
             df.select(self._instance_col(df).alias("instance_name"))
             .dropDuplicates()
-            .unionByName(violations.select("instance_name").dropDuplicates())
+            .withColumn("grain", F.lit(self.instance_type))
+            .unionByName(
+                violations.select(
+                    "instance_name", F.col("instance_type").alias("grain")
+                ).dropDuplicates()
+            )
             .dropDuplicates()
         )
         # a manifest WITH table-grain rules gets a 'table' verdict row even
@@ -1174,14 +1191,19 @@ class ValidationEngine:
         # superseded by a PASS in checkpoint lineage
         if self.manifest.strict or any(r.kind in ("strict_columns", "drift") for r in self.manifest.table_rules):
             universe = universe.unionByName(
-                df.sparkSession.createDataFrame([("table",)], "instance_name string")
+                df.sparkSession.createDataFrame(
+                    [("table", "TABLE")], "instance_name string, grain string"
+                )
             ).dropDuplicates()
-        fails = violations.groupBy("instance_name").agg(F.count(F.lit(1)).alias("n_violations"))
+        fails = violations.groupBy(
+            "instance_name", F.col("instance_type").alias("grain")
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
         return (
-            universe.join(fails, "instance_name", "left")
+            universe.join(fails, ["instance_name", "grain"], "left")
             .select(
                 F.lit(self.manifest.id).alias("schema_id"),
                 F.col("instance_name"),
+                F.col("grain"),
                 F.when(F.coalesce(F.col("n_violations"), F.lit(0)) > 0, F.lit("FAIL"))
                 .otherwise(F.lit("PASS"))
                 .alias("result"),

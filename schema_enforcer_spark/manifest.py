@@ -175,6 +175,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "max_properties": {"type": "integer", "minimum": 0},
                     "window_seconds": {"type": "integer", "minimum": 1},
                     "additional_properties": {"type": "boolean"},
+                    "value_pattern": {"type": "string"},
                 },
                 "additionalProperties": False,
             },
@@ -401,6 +402,15 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                             errors.append(
                                 f"rules/{i}: pattern_properties check {check!r} requires field {req!r}"
                             )
+                    # `pattern` is this rule's KEY-matching regex; a value
+                    # sub-check would silently reuse it, validating values
+                    # against the key regex — require the dedicated param
+                    if check == "pattern" and "value_pattern" not in rule:
+                        errors.append(
+                            f"rules/{i}: pattern_properties check 'pattern' needs "
+                            "'value_pattern' (the rule's own 'pattern' matches KEYS; "
+                            "reusing it for values is almost never intended)"
+                        )
                     if check == "format" and rule.get("format") == "regex":
                         errors.append(
                             f"rules/{i}: format 'regex' is a Python-UDF check and cannot "

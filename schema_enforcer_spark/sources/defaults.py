@@ -100,6 +100,8 @@ def _rows_to_df(spark, rows: list[dict]):
     from pyspark.sql import functions as F
 
     norm = _normalize_rows(rows)
+    if not norm:
+        raise ValueError("no hosts to build a DataFrame from (empty host_vars)")
     all_none = [k for k in norm[0] if all(r[k] is None for r in norm)]
     if not all_none:
         return spark.createDataFrame(norm)

@@ -407,7 +407,7 @@ def drift_violations(engine, df: DataFrame, rule) -> DataFrame:
         f"distribution drift on {expr}: {metric}={stat:.6f} exceeds threshold {threshold}"
     )
     row = (
-        rid, "FAIL", "table", engine.manifest.table, getattr(engine, "instance_type", "PARTITION"),
+        rid, "FAIL", "table", engine.manifest.table, "TABLE",
         [expr], f"{stat:.6f}", msg,
     )
     return spark.createDataFrame([row], _DRIFT_SCHEMA)

@@ -361,3 +361,14 @@ def test_load_inventory_hash_in_values_and_all_null_var(spark, tmp_path):
     assert row["token"] == "ab;cd"
     assert row["placeholder"] is None
     assert dict(dim.dtypes)["placeholder"] == "string"
+
+
+def test_inventory_defaults_empty_hosts_raises(spark):
+    """Empty host_vars used to die with a bare IndexError inside
+    _rows_to_df (round-4 advisory) — now a clear ValueError."""
+    import pytest
+
+    from schema_enforcer_spark.sources.defaults import inventory_defaults
+
+    with pytest.raises(ValueError, match="no hosts"):
+        inventory_defaults(spark, group_vars={"all": {"x": 1}}, host_vars={})

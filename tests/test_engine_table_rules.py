@@ -396,3 +396,31 @@ def test_sequence_rule(spark):
     ]
     # clean conversation 'a' contributed nothing
     assert not [p for p, _ in out if p[0] == "a"]
+
+
+def test_verdict_grain_disambiguates_host_named_table(spark):
+    """A data partition literally named 'table' must NOT be conflated with
+    the synthetic table-grain verdict row (round-4 advisory): verdicts
+    carry a `grain` column, so both rows coexist and label correctly."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame(
+        [("table", 1, "x"), ("hostA", 2, "y")], "host string, n long, extra string"
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/grain",
+            "table": "t",
+            "columns": ["host", "n"],
+            "strict": True,
+            "rules": [{"kind": "required", "column": "n"}],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["host"], instance_expr="host", instance_type="HOST")
+    rep = eng.validate(df)
+    rows = {(r["instance_name"], r["grain"]): r["result"] for r in rep.verdicts.collect()}
+    # strict violation ('extra' undeclared) attributes to the TABLE grain
+    assert rows[("table", "TABLE")] == "FAIL"
+    # the real host named 'table' is clean and keeps its HOST-grain PASS
+    assert rows[("table", "HOST")] == "PASS"
+    assert rows[("hostA", "HOST")] == "PASS"

@@ -504,3 +504,94 @@ def test_property_count_single_bound_and_guards(spark):
     )
     with pytest.raises(ValueError, match="not a map"):
         ValidationEngine(bad, key_columns=["id"]).violations(df).collect()
+
+
+def test_pattern_properties_value_pattern(spark):
+    """check: "pattern" must read the dedicated value_pattern param — the
+    rule's own `pattern` matches KEYS, and silently reusing it for values
+    validated 'uplink' against '^swp' (round-4 advisory). Agreement with
+    Draft7Validator on distinct key/value regexes."""
+    docs = [
+        {"swp1": "uplink", "swp2": "downlink"},  # values match value_pattern
+        {"swp1": "wat"},                          # matching key, bad value
+        {"eth0": "wat"},                          # key doesn't match: ignored
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, v map<string,string>"
+    )
+    m = manifest_from_dict(
+        {
+            "id": "comp",
+            "rules": [
+                {
+                    "kind": "pattern_properties",
+                    "column": "v",
+                    "pattern": "^swp",
+                    "check": "pattern",
+                    "value_pattern": "link$",
+                }
+            ],
+        }
+    )
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    schema = {
+        "type": "object",
+        "properties": {
+            "v": {"type": "object", "patternProperties": {"^swp": {"pattern": "link$"}}}
+        },
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = {
+        i
+        for i, d in enumerate(docs)
+        if any(True for _ in v.iter_errors({} if d is None else {"v": d}))
+    }
+    assert got == expected
+
+    # omitting value_pattern is the silent-key-regex-reuse trap — rejected
+    with pytest.raises(InvalidManifest, match="value_pattern"):
+        manifest_from_dict(
+            {
+                "id": "comp",
+                "rules": [
+                    {
+                        "kind": "pattern_properties",
+                        "column": "v",
+                        "pattern": "^swp",
+                        "check": "pattern",
+                    }
+                ],
+            }
+        )
+
+
+def test_all_of_emits_failing_sub_message(spark):
+    """jsonschema's allOf surfaces each failing sub-schema's OWN error, not
+    an aggregate sentence — the compiled rule emits the first failing
+    sub-check's message (round-4 advisory on message parity)."""
+    from schema_enforcer_spark.engine import ValidationEngine as VE
+
+    rules = (
+        Rule(
+            kind="all_of",
+            params={
+                "column": "v",
+                "checks": [
+                    {"kind": "length", "min_length": 4},
+                    {"kind": "pattern", "pattern": "^[a-z]+$"},
+                ],
+            },
+        ),
+    )
+    df = spark.createDataFrame([(0, "ab"), (1, "abcDE"), (2, "abcd")], "id long, v string")
+    m = Manifest(id="comp", rules=rules)
+    rows = {int(r["absolute_path"][0]): r["message"] for r in VE(m, key_columns=["id"]).violations(df).collect()}
+    # row 0 fails the length sub-check first; jsonschema: "'ab' is too short"
+    assert rows[0] == "'ab' is too short"
+    # row 1 passes length, fails pattern; jsonschema: "'abcDE' does not match '^[a-z]+$'"
+    assert rows[1] == "'abcDE' does not match '^[a-z]+$'"
+    assert 2 not in rows
