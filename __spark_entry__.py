@@ -291,7 +291,7 @@ def q13_dedup_exact(spark, sf_dir):
 QUERY_VEC = [1.0 if i % 2 == 0 else 0.0 for i in range(64)]
 
 
-def q14_topk_cosine(spark, sf_dir):
+def q51_topk_cosine(spark, sf_dir):
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, QUERY_VEC, k=20).select("vec_id", F.round("cosine", 5).alias("cos5"))
 
@@ -333,7 +333,7 @@ def q16_minhash_near_dups(spark, sf_dir):
     return minhash_near_dups(docs, threshold=0.8, num_hashes=64, bands=32)
 
 
-def q17_simhash(spark, sf_dir):
+def q52_simhash(spark, sf_dir):
     """SimHash fingerprints, hex-rendered so the DuckDB oracle can replicate
     them (a 64-bit value with the sign bit set can't round-trip through
     engines that overflow-check 1<<63)."""
@@ -368,7 +368,7 @@ def q20_stats_hll(spark, sf_dir):
     return hll_accuracy_report(ev, ["event_id", "user_id", "event_type"], rel_tol=0.02).orderBy("col_name")
 
 
-def q21_salted_agg(spark, sf_dir):
+def q53_salted_agg(spark, sf_dir):
     """Same rule as q07 but through the salted two-phase aggregation path
     (hot-key skew defense) — must produce identical results."""
     ev = _t(spark, sf_dir, "events")
@@ -404,7 +404,7 @@ def q22_topk_per_group(spark, sf_dir):
     )
 
 
-def q23_set_ops(spark, sf_dir):
+def q54_set_ops(spark, sf_dir):
     """E1-E3 set operations: users who clicked but never purchased."""
     ev = _t(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
@@ -569,7 +569,7 @@ def q31_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_e", "purchase_id_asof").orderBy("event_id")
 
 
-def q32_ks_drift(spark, sf_dir):
+def q55_ks_drift(spark, sf_dir):
     """Two-sample KS statistic (A8 drift, the ks twin of q15's PSI): max
     |CDF_a - CDF_b| over the binned n_chars distributions of two source
     cohorts. Cumulative sums run on the bins-sized histogram, never the
@@ -613,7 +613,7 @@ def q33_near_dup_groups(spark, sf_dir):
     )
 
 
-def q34_hash_split(spark, sf_dir):
+def q56_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket split — stable
     under repartitioning and row additions, unlike randomSplit) + per-split
     per-lang counts."""
@@ -898,7 +898,7 @@ def q50_dedup_materialize(spark, sf_dir):
     )
 
 
-def q51_top_terms(spark, sf_dir):
+def q14_top_terms(spark, sf_dir):
     """Per-document distinguishing terms (tf-idf ranking in integer-
     deterministic form — see textops.top_terms): top-3 terms per doc by
     (tf desc, doc_freq asc, term)."""
@@ -910,7 +910,7 @@ def q51_top_terms(spark, sf_dir):
     )
 
 
-def q52_sequence_rule(spark, sf_dir):
+def q17_sequence_rule(spark, sf_dir):
     """Allowed-transition sequence rule (role-alternation analogue on the
     events stream): the same event_type may not occur twice in a row per
     user. One exchange + lag — the W1 window shape."""
@@ -937,7 +937,7 @@ def q52_sequence_rule(spark, sf_dir):
     return _flat(eng.violations(ev))
 
 
-def q53_rollup_stats(spark, sf_dir):
+def q21_rollup_stats(spark, sf_dir):
     """Hierarchical corpus stats via ROLLUP(lang, source): per-(lang,source),
     per-lang subtotals, and the grand total in ONE aggregation pass (Spark
     expands the grouping sets; one shuffle with partial aggregation).
@@ -957,7 +957,7 @@ def q53_rollup_stats(spark, sf_dir):
     )
 
 
-def q54_pivot_event_types(spark, sf_dir):
+def q23_pivot_event_types(spark, sf_dir):
     """Event-type pivot per user bucket: one groupBy + pivot with a
     DECLARED value list (no extra distinct-scan job) → a count column per
     type. The oracle twin is conditional aggregation — the relational
@@ -982,7 +982,7 @@ def q54_pivot_event_types(spark, sf_dir):
 ANN_QUERY_CLUSTER = 7
 
 
-def q55_ann_clustered(spark, sf_dir):
+def q32_ann_clustered(spark, sf_dir):
     """ANN top-k on CLUSTERED embeddings — the credible-recall demonstration
     (measured recall@20 = 1.0 at n=2000/32 clusters, tools/ann_recall.py +
     BENCH/BASELINE.md): uniform-random embeddings are the adversarial case
@@ -1003,7 +1003,7 @@ def q55_ann_clustered(spark, sf_dir):
     return lsh_topk(emb, q, k=20, n_planes=8, multiprobe=True)
 
 
-def q56_pattern_properties(spark, sf_dir):
+def q34_pattern_properties(spark, sf_dir):
     """Draft-7 patternProperties over a MAP column (the reference's
     interface-name maps, /root/reference/examples/ansible/schema/schemas/
     interfaces.yml:9-16): events re-shaped as {if_<event_type>: value} maps;
@@ -1063,16 +1063,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_text_quality": q11_text_quality,
         "q12_lang_id": q12_lang_id,
         "q13_dedup_exact": q13_dedup_exact,
-        "q14_topk_cosine": q14_topk_cosine,
+        "q14_top_terms": q14_top_terms,
         "q15_psi_drift": q15_psi_drift,
         "q16_minhash_near_dups": q16_minhash_near_dups,
-        "q17_simhash": q17_simhash,
+        "q17_sequence_rule": q17_sequence_rule,
         "q18_embedding_near_dups": q18_embedding_near_dups,
         "q19_ann_topk": q19_ann_topk,
         "q20_stats_hll": q20_stats_hll,
-        "q21_salted_agg": q21_salted_agg,
+        "q21_rollup_stats": q21_rollup_stats,
         "q22_topk_per_group": q22_topk_per_group,
-        "q23_set_ops": q23_set_ops,
+        "q23_pivot_event_types": q23_pivot_event_types,
         "q24_json_extract": q24_json_extract,
         "q25_fingerprint": q25_fingerprint,
         "q26_sessionize": q26_sessionize,
@@ -1081,9 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_nested_validation": q29_nested_validation,
         "q30_merge_defaults": q30_merge_defaults,
         "q31_asof_join": q31_asof_join,
-        "q32_ks_drift": q32_ks_drift,
+        "q32_ann_clustered": q32_ann_clustered,
         "q33_near_dup_groups": q33_near_dup_groups,
-        "q34_hash_split": q34_hash_split,
+        "q34_pattern_properties": q34_pattern_properties,
         "q35_sequence_packing": q35_sequence_packing,
         "q36_pii_counts": q36_pii_counts,
         "q37_repetition_ratio": q37_repetition_ratio,
@@ -1100,12 +1100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_cardinality_orders": q48_cardinality_orders,
         "q49_rate_limit_events": q49_rate_limit_events,
         "q50_dedup_materialize": q50_dedup_materialize,
-        "q51_top_terms": q51_top_terms,
-        "q52_sequence_rule": q52_sequence_rule,
-        "q53_rollup_stats": q53_rollup_stats,
-        "q54_pivot_event_types": q54_pivot_event_types,
-        "q55_ann_clustered": q55_ann_clustered,
-        "q56_pattern_properties": q56_pattern_properties,
+        "q51_topk_cosine": q51_topk_cosine,
+        "q52_simhash": q52_simhash,
+        "q53_salted_agg": q53_salted_agg,
+        "q54_set_ops": q54_set_ops,
+        "q55_ks_drift": q55_ks_drift,
+        "q56_hash_split": q56_hash_split,
     }
 
 
@@ -1281,7 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     qv = ", ".join(str(float(x)) for x in QUERY_VEC)
-    sqls["q14_topk_cosine"] = f"""
+    sqls["q51_topk_cosine"] = f"""
         WITH s AS (
           SELECT vec_id,
                  LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, [{qv}]),
@@ -1305,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'user_id', COUNT(DISTINCT user_id), TRUE FROM events
         ORDER BY col_name
     """
-    sqls["q21_salted_agg"] = sqls["q07_agg_rule_error_budget"]
+    sqls["q53_salted_agg"] = sqls["q07_agg_rule_error_budget"]
     sqls["q22_topk_per_group"] = """
         SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1313,7 +1313,7 @@ def oracle_sql() -> dict[str, str]:
           FROM orders) t
         WHERE rk <= 3
     """
-    sqls["q23_set_ops"] = """
+    sqls["q54_set_ops"] = """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         EXCEPT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
@@ -1486,7 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         FROM sh d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
         ORDER BY d.doc_id
     """
-    sqls["q34_hash_split"] = """
+    sqls["q56_hash_split"] = """
         WITH s AS (
           SELECT doc_id, lang,
                  CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) AS UBIGINT) % 10000 AS b
@@ -1556,7 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
-    sqls["q32_ks_drift"] = """
+    sqls["q55_ks_drift"] = """
         WITH h AS (
           SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
                  COUNT(CASE WHEN CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) < 10 THEN 1 END) AS na,
@@ -1622,7 +1622,7 @@ def oracle_sql() -> dict[str, str]:
     # q17: SimHash replica — same spec as dedup._simhash_votes: bit k of a
     # token = (hexdigit[k div 4] of md5 >> (k mod 4)) & 1, frequency-weighted
     # votes over whitespace tokens of lower(text), output as 16 hex chars.
-    sqls["q17_simhash"] = r"""
+    sqls["q52_simhash"] = r"""
         WITH t AS (
           SELECT doc_id,
                  LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
@@ -1928,7 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         FROM kept GROUP BY lang ORDER BY lang
     """
 
-    sqls["q51_top_terms"] = r"""
+    sqls["q14_top_terms"] = r"""
         WITH terms AS (
           SELECT doc_id, UNNEST(LIST_FILTER(
                    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0)) AS term
@@ -1948,7 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id, rk
     """
 
-    sqls["q52_sequence_rule"] = """
+    sqls["q17_sequence_rule"] = """
         WITH w AS (
           SELECT user_id, event_id, event_type,
                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
@@ -1964,7 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY path
     """
 
-    sqls["q53_rollup_stats"] = """
+    sqls["q21_rollup_stats"] = """
         SELECT CAST(GROUPING(lang) AS INT) AS g_lang,
                CAST(GROUPING(source) AS INT) AS g_source,
                lang, source,
@@ -1976,7 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY g_lang, g_source, lang, source
     """
 
-    sqls["q54_pivot_event_types"] = """
+    sqls["q23_pivot_event_types"] = """
         SELECT user_id % 16 AS bucket,
                COUNT(*) FILTER (event_type = 'click') AS n_click,
                COUNT(*) FILTER (event_type = 'error') AS n_error,
@@ -2015,7 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         probes55.add(qbits55[:i] + ("0" if qbits55[i] == "1" else "1") + qbits55[i + 1:])
     probe_list55 = ", ".join(f"'{p}'" for p in sorted(probes55))
     qv55 = ", ".join(repr(float(x)) for x in q55_vec)
-    sqls["q55_ann_clustered"] = f"""
+    sqls["q32_ann_clustered"] = f"""
         WITH e AS (
           SELECT vec_id, {_emb55} AS embedding FROM embeddings
         ), b AS (
@@ -2029,7 +2029,7 @@ def oracle_sql() -> dict[str, str]:
     # q56: patternProperties over the {if_<event_type>: value} map — an
     # entry either fails the additionalProperties rejection (key outside the
     # pattern) or, for matching keys, the range check on its value
-    sqls["q56_pattern_properties"] = """
+    sqls["q34_pattern_properties"] = """
         WITH viol AS (
           SELECT 'schemas/events_ifaces/pattern_properties/ifaces' AS schema_id,
                  'FAIL' AS result,

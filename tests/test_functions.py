@@ -490,7 +490,7 @@ def test_contamination_scores(spark):
 def test_ann_recall_on_clustered_embeddings(spark):
     """The shipped ANN configs must reach production-credible recall on
     clustered data (the realistic case — uniform-random embeddings are the
-    adversarial floor, documented in BENCH/BASELINE.md): q19/q55's lsh_topk
+    adversarial floor, documented in BENCH/BASELINE.md): q19/q32's lsh_topk
     defaults and IVF at n_cells=n_clusters both >= 0.8 recall@20."""
     from schema_enforcer_spark.functions.similarity import ivf_build, ivf_topk
     from schema_enforcer_spark.synth import cluster_center, gen_clustered_embeddings

@@ -245,7 +245,7 @@ def main() -> None:
     # 13. round-3 table rules: sequence + rate_limit are ONE-exchange window
     # passes; cardinality is a pre-aggregated equi-join (never a nested loop)
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    p13 = _formatted(entry.q52_sequence_rule(spark, sf))
+    p13 = _formatted(entry.q17_sequence_rule(spark, sf))
     notes13 = []
     n_ex13 = len(re.findall(r"^\(\d+\) Exchange\s*$", p13, re.M))
     if n_ex13 <= 2 and "Window" in p13:  # one for the lag window (+1 for the demo orderBy)
@@ -285,7 +285,7 @@ def main() -> None:
     # 16. map-entry rules (q56 patternProperties): like the items rule, the
     # whole validation must stay one scan → one projection (transform over
     # map_entries) → explode — zero Exchange before the final sort
-    p16 = _formatted(entry.q56_pattern_properties(spark, sf))
+    p16 = _formatted(entry.q34_pattern_properties(spark, sf))
     notes16 = []
     n_ex16 = len(re.findall(r"^\(\d+\) Exchange\s*$", p16, re.M))
     if n_ex16 <= 1:  # only the orderBy's range partitioning
