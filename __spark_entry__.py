@@ -1042,6 +1042,65 @@ def q34_pattern_properties(spark, sf_dir):
     return _flat(eng.violations(mapped))
 
 
+def q57_jmespath_interfaces(spark, sf_dir):
+    """The reference's two JmesPathModelValidation fixture validators
+    expressed VERBATIM as manifest rules (/root/reference/tests/fixtures/
+    test_validators/validators/check_interfaces.py:15-23 and
+    check_interfaces_ipv4.py:8-15): per-user 'interfaces' documents built
+    from events (purchase = core, ipv4 present iff value < 150), then
+    CheckInterface (left gte 2) + CheckInterfaceIPv4 (left eq right_expr)
+    over the map column. The JMESPath strings compile to Catalyst HOFs
+    (jmespath_compat.py) — one groupBy to build the documents, then a
+    zero-shuffle row-rule projection."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    docs = ev.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat(F.lit("if_"), F.col("event_id").cast("string")).alias("k"),
+                    F.struct(
+                        F.when(F.col("event_type") == "purchase", F.lit("core"))
+                        .otherwise(F.lit("access"))
+                        .alias("type"),
+                        F.when(
+                            F.col("value") < 150.0,
+                            F.concat(F.lit("10.0.0."), F.pmod(F.col("event_id"), F.lit(250)).cast("string")),
+                        ).alias("ipv4"),
+                    ).alias("v"),
+                )
+            )
+        ).alias("interfaces")
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/host_interfaces",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "jmespath",
+                    "id": "CheckInterface",
+                    "left": "interfaces.*[@.type=='core'][] | length([?@])",
+                    "operator": "gte",
+                    "right": 2,
+                    "message": "Less than two core interfaces",
+                },
+                {
+                    "kind": "jmespath",
+                    "id": "CheckInterfaceIPv4",
+                    "left": "interfaces.*[@.type=='core'][] | length([?@])",
+                    "operator": "eq",
+                    "right_expr": "interfaces.* | length([?@.type=='core'][].ipv4)",
+                    "message": "All core interfaces do not have IPv4 addresses",
+                },
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["user_id"], instance_expr="CAST(user_id AS STRING)")
+    # no presentation orderBy (multiset gate; the row-rule projection sits
+    # directly on the groupBy shuffle but needs no order)
+    return _flat(eng.violations(docs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1106,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_set_ops": q54_set_ops,
         "q55_ks_drift": q55_ks_drift,
         "q56_hash_split": q56_hash_split,
+        "q57_jmespath_interfaces": q57_jmespath_interfaces,
     }
 
 
@@ -2050,5 +2110,24 @@ def oracle_sql() -> dict[str, str]:
           WHERE event_type IN ('click', 'view', 'signup') AND value > 300.0
         )
         SELECT * FROM viol ORDER BY path, message
+    """
+    sqls["q57_jmespath_interfaces"] = """
+        WITH stats AS (
+          SELECT user_id,
+                 COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_core,
+                 COUNT(*) FILTER (WHERE event_type = 'purchase' AND value < 150.0) AS n_core_ipv4
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        )
+        SELECT 'CheckInterface' AS schema_id, 'FAIL' AS result,
+               CAST(user_id AS VARCHAR) AS instance_name,
+               CAST(user_id AS VARCHAR) AS path,
+               CAST(n_core AS VARCHAR) AS failing_value,
+               'Less than two core interfaces' AS message
+        FROM stats WHERE n_core = 1
+        UNION ALL
+        SELECT 'CheckInterfaceIPv4', 'FAIL', CAST(user_id AS VARCHAR),
+               CAST(user_id AS VARCHAR), CAST(n_core AS VARCHAR),
+               'All core interfaces do not have IPv4 addresses'
+        FROM stats WHERE n_core >= 1 AND n_core <> n_core_ipv4
     """
     return sqls

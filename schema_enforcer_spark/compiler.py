@@ -294,6 +294,12 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
 
 
 def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRule:
+    if rule.kind == "jmespath":
+        # literal JMESPath expression strings (reference validator.py:65-88)
+        # compile to a whole-row Catalyst expression, not a column check
+        from schema_enforcer_spark.jmespath_compat import compile_jmespath_rule
+
+        return compile_jmespath_rule(df, manifest_id, rule)
     col_name = rule.get("column")
     col = F.col(col_name) if col_name else None
     dtype = _dtype_of(df, col_name) if col_name else None

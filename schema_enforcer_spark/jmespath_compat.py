@@ -1,0 +1,300 @@
+"""JMESPath-string compatibility for row-grain validation rules.
+
+The reference's ``JmesPathModelValidation`` plugins declare a literal
+JMESPath expression over each host's data dict and compare its result
+against a literal or a second compiled expression
+(/root/reference/schema_enforcer/schemas/validator.py:65-88; fixture
+validators tests/fixtures/test_validators/validators/
+check_interfaces.py:15-23 and check_interfaces_ipv4.py:15-23). A user
+porting such a validator previously had to hand-translate the expression
+into the declarative aggregate-rule form; the ``jmespath`` rule kind
+accepts the reference's strings verbatim.
+
+Spark-first translation, not evaluation: the JMESPath AST (parsed once on
+the driver by the ``jmespath`` package) is compiled into a single Catalyst
+expression tree over the row — map/array projections become
+``map_values``/``transform``/``filter``/``flatten`` higher-order
+functions, so the whole rule rides the existing zero-shuffle row-rule
+projection and never leaves the JVM. The reference instead re-interprets
+the expression per document in Python.
+
+Supported subset (everything else raises ``UnsupportedJmesPath`` at
+manifest-compile time, before any Spark job): field access / dotted
+subexpressions, ``.*`` value projection over map columns, ``[]`` flatten,
+``[? ...]`` filter projections with ``@``-relative comparisons, projection
+field access (with JMESPath's drop-null semantics), multi-select lists,
+``length()``, literals, and pipes — the grammar the reference's own
+fixture validators exercise.
+
+JMESPath semantics preserved exactly:
+- projections drop null results (``array_compact`` after every per-element
+  projection step);
+- ``flatten`` merges one level of sub-lists and keeps non-list elements;
+- filter predicates use JMESPath truthiness (false/null/empty are falsy);
+- a falsy LHS skips the comparison and PASSES (validator.py:79 ``if lhs:``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class UnsupportedJmesPath(ValueError):
+    """Expression is syntactically valid JMESPath but outside the compiled
+    subset — raised loudly at compile time, never silently mis-evaluated."""
+
+
+def _require_jmespath():
+    try:
+        import jmespath  # noqa: F401
+
+        return jmespath
+    except ImportError as exc:  # pragma: no cover - env without jmespath
+        raise UnsupportedJmesPath(
+            "the 'jmespath' package is required to compile jmespath rules "
+            "(pip install jmespath); alternatively express the check as a "
+            "declarative aggregate rule"
+        ) from exc
+
+
+_SUPPORTED_NODES = {
+    "field",
+    "subexpression",
+    "current",
+    "identity",
+    "literal",
+    "value_projection",
+    "projection",
+    "flatten",
+    "filter_projection",
+    "multi_select_list",
+    "function_expression",
+    "comparator",
+    "pipe",
+    "index_expression",
+}
+
+
+def parse_checked(expr: str):
+    """Parse and verify every AST node is in the compiled subset. Schema-
+    independent, so manifest meta-validation can reject bad expressions
+    before a DataFrame exists."""
+    jmespath = _require_jmespath()
+    try:
+        ast = jmespath.compile(expr).parsed
+    except Exception as exc:
+        raise UnsupportedJmesPath(f"invalid JMESPath {expr!r}: {exc}") from exc
+
+    def walk(node):
+        t = node["type"]
+        if t not in _SUPPORTED_NODES:
+            raise UnsupportedJmesPath(
+                f"JMESPath construct {t!r} in {expr!r} is outside the compiled "
+                "subset (field/.*/[]/filter/length/pipe); express the check as "
+                "a declarative aggregate rule instead"
+            )
+        if t == "function_expression" and node["value"] != "length":
+            raise UnsupportedJmesPath(
+                f"JMESPath function {node['value']!r} in {expr!r} is not "
+                "supported (only length())"
+            )
+        if t == "comparator" and node["value"] not in ("eq", "ne", "lt", "lte", "gt", "gte"):
+            raise UnsupportedJmesPath(
+                f"JMESPath comparator {node['value']!r} in {expr!r} is not supported"
+            )
+        for c in node.get("children", []):
+            walk(c)
+
+    walk(ast)
+    return ast
+
+
+def _lit_dtype(v) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    return T.NullType()
+
+
+def truthy(col: Column, dtype: T.DataType) -> Column:
+    """JMESPath truthiness: false, null, empty string, empty list/object
+    are falsy; everything else (including 0? no — the reference gates on
+    PYTHON truthiness, where 0 is falsy: validator.py:79) is truthy."""
+    if isinstance(dtype, T.NullType):
+        return F.lit(False)
+    if isinstance(dtype, T.BooleanType):
+        return F.coalesce(col, F.lit(False))
+    if isinstance(dtype, T.StringType):
+        return col.isNotNull() & (F.length(col) > 0)
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return col.isNotNull() & (F.size(col) > 0)
+    if isinstance(dtype, T.NumericType):
+        return col.isNotNull() & (col != F.lit(0))
+    return col.isNotNull()
+
+
+def _apply_rhs(arr: Column, elem_dtype: T.DataType, rhs) -> tuple[Column, T.DataType]:
+    """Per-element projection step with JMESPath drop-null semantics.
+    PySpark invokes HOF lambdas eagerly while building the expression, so
+    the result dtype is captured from the single call. Single-arg closure,
+    no default args (PySpark 4 rejects defaulted HOF lambdas)."""
+    if rhs["type"] in ("identity", "current"):
+        return arr, T.ArrayType(elem_dtype)
+    cell = {}
+
+    def lam(e):
+        c, d = _ev(rhs, e, elem_dtype)
+        cell["dt"] = d
+        return c
+
+    out = F.array_compact(F.transform(arr, lam))
+    return out, T.ArrayType(cell["dt"])
+
+
+def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
+    """Translate one AST node given the current value (Column + DataType).
+    At the row root, ``cur`` is None and ``dtype`` is the row StructType."""
+    t = node["type"]
+    if t in ("current", "identity"):
+        return cur, dtype
+    if t == "literal":
+        v = node["value"]
+        return F.lit(v), _lit_dtype(v)
+    if t == "field":
+        name = node["value"]
+        if isinstance(dtype, T.StructType):
+            if name not in dtype.fieldNames():
+                # JMESPath: missing key → null
+                return F.lit(None), T.NullType()
+            fdt = dtype[name].dataType
+            col = F.col(name) if cur is None else cur[name]
+            return col, fdt
+        if isinstance(dtype, T.MapType) and cur is not None:
+            return cur[F.lit(name)], dtype.valueType
+        # field access on a non-object → null (JMESPath semantics)
+        return F.lit(None), T.NullType()
+    if t in ("subexpression", "pipe", "index_expression"):
+        c, d = cur, dtype
+        for child in node["children"]:
+            c, d = _ev(child, c, d)
+        return c, d
+    if t == "value_projection":
+        left, ldt = _ev(node["children"][0], cur, dtype)
+        if not isinstance(ldt, T.MapType):
+            raise UnsupportedJmesPath(
+                f".* value projection needs a map column, got {ldt.simpleString()}"
+            )
+        vals = F.map_values(left)
+        return _apply_rhs(vals, ldt.valueType, node["children"][1])
+    if t == "projection":
+        left, ldt = _ev(node["children"][0], cur, dtype)
+        if not isinstance(ldt, T.ArrayType):
+            raise UnsupportedJmesPath(
+                f"projection needs an array, got {ldt.simpleString()}"
+            )
+        return _apply_rhs(left, ldt.elementType, node["children"][1])
+    if t == "flatten":
+        left, ldt = _ev(node["children"][0], cur, dtype)
+        if not isinstance(ldt, T.ArrayType):
+            raise UnsupportedJmesPath(f"[] flatten needs an array, got {ldt.simpleString()}")
+        if isinstance(ldt.elementType, T.ArrayType):
+            return F.flatten(left), ldt.elementType
+        # JMESPath flatten keeps non-list elements as-is
+        return left, ldt
+    if t == "filter_projection":
+        left, ldt = _ev(node["children"][0], cur, dtype)
+        if not isinstance(ldt, T.ArrayType):
+            raise UnsupportedJmesPath(
+                f"[?...] filter needs an array, got {ldt.simpleString()}"
+            )
+        comparator = node["children"][2]
+        et = ldt.elementType
+
+        def keep(e):
+            c, d = _ev(comparator, e, et)
+            return truthy(c, d)
+
+        filtered = F.filter(left, keep)
+        return _apply_rhs(filtered, et, node["children"][1])
+    if t == "multi_select_list":
+        pairs = [_ev(c, cur, dtype) for c in node["children"]]
+        dts = {p[1].simpleString() for p in pairs}
+        if len(dts) > 1:
+            raise UnsupportedJmesPath(
+                f"multi-select list with heterogeneous element types {sorted(dts)}"
+            )
+        return F.array(*[p[0] for p in pairs]), T.ArrayType(pairs[0][1])
+    if t == "function_expression":  # length() only (parse_checked enforced)
+        arg, adt = _ev(node["children"][0], cur, dtype)
+        if isinstance(adt, (T.ArrayType, T.MapType)):
+            return F.size(arg).cast("long"), T.LongType()
+        if isinstance(adt, T.StringType):
+            return F.length(arg).cast("long"), T.LongType()
+        raise UnsupportedJmesPath(f"length() over {adt.simpleString()}")
+    if t == "comparator":
+        lc, ldt = _ev(node["children"][0], cur, dtype)
+        rc, rdt = _ev(node["children"][1], cur, dtype)
+        op = node["value"]
+        if op == "eq":
+            return lc.eqNullSafe(rc), T.BooleanType()
+        if op == "ne":
+            return ~lc.eqNullSafe(rc), T.BooleanType()
+        cmps = {"lt": lc < rc, "lte": lc <= rc, "gt": lc > rc, "gte": lc >= rc}
+        return cmps[op], T.BooleanType()
+    raise UnsupportedJmesPath(f"unsupported JMESPath node {t!r}")  # pragma: no cover
+
+
+def jmespath_to_column(expr: str, df: DataFrame) -> tuple[Column, T.DataType]:
+    """Compile a JMESPath expression string to a per-row Catalyst Column
+    over ``df``'s schema. Raises UnsupportedJmesPath outside the subset."""
+    ast = parse_checked(expr)
+    return _ev(ast, None, T.StructType(df.schema.fields))
+
+
+def compile_jmespath_rule(df: DataFrame, manifest_id: str, rule):
+    """Build the CompiledRule for a ``jmespath`` row rule.
+
+    Reference semantics (validator.py:67-88): evaluate ``left`` per
+    document; if the result is falsy the check PASSES; otherwise compare
+    against ``right`` (literal) or ``right_expr`` (second expression) with
+    gt/gte/eq/lt/lte/contains — ordering ops compare as integers
+    (``int(r) > int(v)``)."""
+    from schema_enforcer_spark.compiler import CompiledRule
+
+    lhs, ldt = jmespath_to_column(rule.params["left"], df)
+    right_expr = rule.get("right_expr")
+    if right_expr is not None:
+        rhs, rdt = jmespath_to_column(right_expr, df)
+    else:
+        rv = rule.params["right"]
+        rhs, rdt = F.lit(rv), _lit_dtype(rv)
+    op = rule.params["operator"]
+    if op in ("gt", "gte", "lt", "lte"):
+        li, ri = lhs.cast("long"), rhs.cast("long")
+        cmp = {"gt": li > ri, "gte": li >= ri, "lt": li < ri, "lte": li <= ri}[op]
+    elif op == "eq":
+        cmp = lhs.eqNullSafe(rhs)
+    elif op == "contains":
+        if isinstance(ldt, T.ArrayType):
+            cmp = F.array_contains(lhs, rhs)
+        elif isinstance(ldt, T.StringType):
+            cmp = lhs.contains(rhs)
+        else:
+            raise UnsupportedJmesPath(
+                f"'contains' needs an array or string LHS, got {ldt.simpleString()}"
+            )
+    else:  # unreachable: manifest meta-validation restricts the enum
+        raise ValueError(f"unknown jmespath operator {op!r}")
+    # falsy LHS ⇒ PASS (reference `if lhs:` gate)
+    pred = F.when(~truthy(lhs, ldt), F.lit(True)).otherwise(F.coalesce(cmp, F.lit(False)))
+    msg = F.lit(rule.get("message") or f"jmespath check failed: {rule.params['left']} {op}")
+    fv = lhs.cast("string") if isinstance(ldt, (T.NumericType, T.StringType, T.BooleanType)) else F.to_json(lhs)
+    rid = rule.get("id") or f"{manifest_id}/jmespath"
+    return CompiledRule(rule_id=rid, column=None, predicate=pred, message=msg, failing_value=fv)

@@ -69,6 +69,16 @@ ROW_RULE_KINDS = {
                      # additional_properties: false, non-matching keys are
                      # violations (the reference's interface-name maps,
                      # examples/ansible/schema/schemas/interfaces.yml:9-16)
+    "jmespath",      # X2 literal-string parity: the reference's
+                     # JmesPathModelValidation expressions verbatim
+                     # (validator.py:65-88; fixture check_interfaces.py:15-23)
+                     # — `left` (JMESPath string) compared per ROW against
+                     # `right` literal or `right_expr` (second expression);
+                     # falsy LHS passes, ordering ops compare as ints.
+                     # Compiled to one Catalyst HOF expression (map_values/
+                     # transform/filter/flatten), rides the zero-shuffle
+                     # row-rule projection; unsupported constructs are
+                     # rejected at manifest compile time.
     "items",         # P12/P5 nested: per-element check on an array column
                      # (optionally on a struct field of each element) — the
                      # reference's items/properties walk re-expressed as one
@@ -176,6 +186,7 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "window_seconds": {"type": "integer", "minimum": 1},
                     "additional_properties": {"type": "boolean"},
                     "value_pattern": {"type": "string"},
+                    "right_expr": {"type": "string"},
                 },
                 "additionalProperties": False,
             },
@@ -196,6 +207,7 @@ _PER_KIND_REQUIRED = {
     "unique_items": ["column"],
     "not_empty": ["column"],
     "items": ["column", "check"],
+    "jmespath": ["left", "operator"],
     "pattern_properties": ["column", "pattern"],
     "property_names": ["column", "check"],
     "property_count": ["column"],
@@ -225,6 +237,7 @@ _PER_KIND_REQUIRED = {
 # scalar row checks only (no nesting, no items/contains — the composition
 # predicate must stay a plain boolean expression over one column).
 _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
+    "jmespath",
     "items",
     "pattern_properties",
     "property_names",
@@ -382,6 +395,26 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "run inside a map-key lambda; explode the map and use a "
                         "plain format rule instead"
                     )
+        if kind == "jmespath":
+            if not isinstance(rule.get("left"), str):
+                errors.append(f"rules/{i}: jmespath 'left' must be a JMESPath string")
+            if ("right" in rule) == ("right_expr" in rule):
+                errors.append(
+                    f"rules/{i}: jmespath rule needs exactly one of 'right' "
+                    "(literal) or 'right_expr' (second JMESPath expression)"
+                )
+            # parse + subset-check the expression strings now — an
+            # unsupported construct must fail at manifest compile, not
+            # mid-job (reference parity: validators are imported/compiled
+            # before any data is read, validator.py:170-190)
+            from schema_enforcer_spark.jmespath_compat import UnsupportedJmesPath, parse_checked
+
+            for fld in ("left", "right_expr"):
+                if isinstance(rule.get(fld), str):
+                    try:
+                        parse_checked(rule[fld])
+                    except UnsupportedJmesPath as exc:
+                        errors.append(f"rules/{i}: {fld}: {exc}")
         if kind == "pattern_properties":
             check = rule.get("check")
             if check is None and not (rule.get("additional_properties") is False):
