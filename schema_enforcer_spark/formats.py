@@ -26,20 +26,25 @@ if TYPE_CHECKING:  # pandas is imported lazily in _regex_valid_udf — the
 # columns); they are documented public regex idioms, not copies of any code.
 _IPV4 = r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
 
-# RFC-4291-ish: full/compressed hextet forms, optional trailing IPv4.
+# RFC-3986 §3.2.2 ABNF transcribed 1:1 (the grammar Python's `ipaddress`
+# — and therefore jsonschema's ipv6 checker — implements): every elision
+# position with its exact residual-group budget, trailing embedded IPv4
+# (ls32) in both full and compressed forms. The previous hand-rolled
+# variant rejected the valid full form '1:2:3:4:5:6:1.2.3.4' (caught by
+# the round-5 format property fuzz).
+_H16 = r"[0-9A-Fa-f]{1,4}"
+_V4 = r"((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_LS32 = rf"({_H16}:{_H16}|{_V4})"
 _IPV6 = (
-    r"^("
-    r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
-    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
-    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
-    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
-    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
-    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
-    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
-    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
-    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
-    r"|([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-    r"|::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    rf"^(({_H16}:){{6}}{_LS32}"
+    rf"|::({_H16}:){{5}}{_LS32}"
+    rf"|({_H16})?::({_H16}:){{4}}{_LS32}"
+    rf"|(({_H16}:){{0,1}}{_H16})?::({_H16}:){{3}}{_LS32}"
+    rf"|(({_H16}:){{0,2}}{_H16})?::({_H16}:){{2}}{_LS32}"
+    rf"|(({_H16}:){{0,3}}{_H16})?::{_H16}:{_LS32}"
+    rf"|(({_H16}:){{0,4}}{_H16})?::{_LS32}"
+    rf"|(({_H16}:){{0,5}}{_H16})?::{_H16}"
+    rf"|(({_H16}:){{0,6}}{_H16})?::"
     r")$"
 )
 
@@ -50,7 +55,7 @@ _DATE = r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$"
 # no leap-second :60 — jsonschema's time checker rejects it
 _TIME = r"^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 _DATETIME = (
-    r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])[Tt ]"
+    r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])[Tt]"
     r"([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.\d+)?(Z|z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 )
 
@@ -131,4 +136,18 @@ def format_predicate(col: Column, fmt: str) -> Column:
         pattern = FORMAT_REGEX[fmt]
     except KeyError:
         raise ValueError(f"unsupported format {fmt!r}; supported: {SUPPORTED_FORMATS}") from None
-    return col.isNull() | col.rlike(pattern)
+    shape = col.rlike(pattern)
+    if fmt in ("date", "date-time"):
+        # jsonschema's checkers are calendar-aware (date.fromisoformat /
+        # rfc3339: 2021-02-30 is invalid); a shape regex alone passes it
+        # (caught by the round-5 property fuzz). Day-in-month check stays
+        # pure codegen: regex guarantees the YYYY-MM-DD prefix positions
+        # and month 01-12, so make_date(y, m, 1) is safe inside the
+        # when(shape, ...) branch (CaseWhen evaluates lazily per row —
+        # ANSI make_date never sees an invalid month).
+        y = F.substring(col, 1, 4).cast("int")
+        m = F.substring(col, 6, 2).cast("int")
+        d = F.substring(col, 9, 2).cast("int")
+        cal = d <= F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1))))
+        shape = F.when(shape, cal).otherwise(F.lit(False))
+    return col.isNull() | shape

@@ -292,3 +292,80 @@ def test_property_count_matches_jsonschema(spark, docs, mn, mx):
         if any(True for _ in v.iter_errors(inst)):
             expected.add(i)
     assert got == expected
+
+
+# --- format rules vs Draft7Validator FORMAT_CHECKER ------------------------
+
+_FMT_STRATEGIES = {
+    # near-miss generators: mostly-plausible shapes with occasional
+    # violations (out-of-range octets, bad calendar days, leap-second,
+    # wrong separator) so the regex/checker boundary gets exercised
+    "ipv4": st.lists(st.integers(min_value=0, max_value=300), min_size=3, max_size=5).map(
+        lambda xs: ".".join(str(x) for x in xs)
+    ),
+    "ipv6": st.builds(
+        lambda groups, cut: (
+            ":".join(groups[:cut]) + "::" + ":".join(groups[cut:])
+            if cut is not None
+            else ":".join(groups)
+        ),
+        st.lists(
+            st.text(alphabet="0123456789abcdefg", min_size=1, max_size=5),
+            min_size=1,
+            max_size=9,
+        ),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+    ),
+    "date": st.builds(
+        lambda y, m, d: f"{y:04d}-{m:02d}-{d:02d}",
+        st.integers(min_value=1, max_value=9999),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=32),
+    ),
+    "time": st.builds(
+        lambda h, mi, s, suf: f"{h:02d}:{mi:02d}:{s:02d}{suf}",
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=61),
+        st.sampled_from(["Z", "z", "+05:00", "-23:59", "+24:00", ".123Z", ""]),
+    ),
+    "date-time": st.builds(
+        lambda y, m, d, sep, h, suf: f"{y:04d}-{m:02d}-{d:02d}{sep}{h:02d}:20:30{suf}",
+        st.integers(min_value=1900, max_value=2100),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=27, max_value=32),
+        st.sampled_from(["T", "t", " ", "x"]),
+        st.integers(min_value=0, max_value=24),
+        st.sampled_from(["Z", "+05:00", "-23:30", ".5Z", ""]),
+    ),
+    "email": st.text(alphabet="ab@.-", min_size=0, max_size=8),
+    "json-pointer": st.text(alphabet="/ab~01", min_size=0, max_size=8),
+}
+
+
+@settings(**_SETTINGS)
+@given(data=st.data(), fmt=st.sampled_from(sorted(_FMT_STRATEGIES)))
+def test_format_rules_match_format_checker(spark, data, fmt):
+    """P7 formats vs jsonschema's FORMAT_CHECKER on hypothesis near-miss
+    strings (the round-4 brief: the cheapest guard against regex drift).
+    Only formats whose LOCAL checker is strict participate — a permissive
+    checker (extras not installed) proves nothing. Divergences this test
+    already caught and fixed: calendar-invalid dates (2021-02-30) and the
+    full-form embedded-IPv4 address (1:2:3:4:5:6:1.2.3.4)."""
+    checker = jsonschema.Draft7Validator.FORMAT_CHECKER
+    _canary = {
+        "ipv4": "999.1.1.1", "ipv6": "g::1", "date": "2021-13-40",
+        "time": "25:00:00Z", "date-time": "2021-13-40T10:20:30Z",
+        "email": "no-at-sign", "json-pointer": "not/a/pointer",
+    }
+    if checker.conforms(_canary[fmt], fmt):
+        pytest.skip(f"local {fmt} checker is permissive (extras not installed)")
+    rows = [data.draw(_FMT_STRATEGIES[fmt]) for _ in range(8)]
+    rules = [Rule(kind="format", params={"column": "v", "format": fmt})]
+    got = _run_engine(spark, rules, rows)
+    schema = {"type": "object", "properties": {"v": {"format": fmt}}}
+    v = jsonschema.Draft7Validator(schema, format_checker=checker)
+    expected = {
+        i for i, val in enumerate(rows) if any(True for _ in v.iter_errors({"v": val}))
+    }
+    assert got == expected, (fmt, [(rows[i], i in got, i in expected) for i in range(len(rows)) if (i in got) != (i in expected)])
