@@ -2,6 +2,7 @@ from schema_enforcer_spark.streaming.validate import (
     stream_row_violations,
     stream_verdicts,
     stream_dedup,
+    stream_drift,
     stream_session_stats,
 )
 from schema_enforcer_spark.streaming.stateful import (
@@ -13,6 +14,7 @@ __all__ = [
     "stream_row_violations",
     "stream_verdicts",
     "stream_dedup",
+    "stream_drift",
     "stream_session_stats",
     "stream_rate_limit",
     "stream_stateful_contiguity",

@@ -106,3 +106,57 @@ def stream_dedup(
     """Streaming U1: drop duplicate (conv_id, turn_idx) arrivals within the
     watermark — bounded state, exactly the hypertable-ingest dedup path."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_columns)
+
+
+def stream_drift(
+    stream_df: DataFrame,
+    manifest: Manifest,
+    on_violations,
+    baselines: dict | None = None,
+    baselines_path: str | None = None,
+    **engine_kw,
+):
+    """Streaming twin of the A8 drift rule — completes batch/stream parity
+    for the last batch-only rule family.
+
+    Each micro-batch's distribution of every ``drift`` rule's column is
+    compared against the SAME stored baselines the batch path uses
+    (``--write-baseline`` → ``_drift_baselines.json``,
+    stats.baseline_store_path), with the same KS/PSI math
+    (stats.drift_violations — the histogram is a distributed pass, the
+    statistic is computed on ≤ bins+2 numbers, so per-batch driver state is
+    tiny and bounded). Violations for a drifting batch go to
+    ``on_violations(batch_id, violations_df)``; a batch matching the
+    baseline emits nothing.
+
+    Returns a started-ready ``DataStreamWriter`` (caller sets
+    checkpointLocation/trigger and calls ``start()``), foreachBatch over
+    the raw stream — no stateful operator is needed because the baseline
+    is immutable within a run.
+    """
+    from functools import reduce
+
+    from schema_enforcer_spark.engine import ValidationEngine as _VE
+    from schema_enforcer_spark.stats import drift_violations, load_drift_baselines
+
+    rules = [r for r in manifest.table_rules if r.kind == "drift"]
+    if not rules:
+        raise ValueError(f"manifest {manifest.id!r} has no drift rules to stream")
+
+    resolved: dict | None = dict(baselines) if baselines else None
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal resolved
+        if resolved is None:
+            # late-bound so the baseline written batch-side just before
+            # start() is picked up; loaded once, then reused every batch
+            resolved = load_drift_baselines(batch_df.sparkSession, baselines_path)
+        eng = _VE(manifest, drift_baselines=resolved, **engine_kw)
+        parts = [drift_violations(eng, batch_df, r) for r in rules]
+        viols = reduce(lambda a, b: a.unionByName(b), parts)
+        if viols.limit(1).count() > 0:
+            on_violations(batch_id, viols)
+
+    if resolved is None and baselines_path is None:
+        raise ValueError("stream_drift needs `baselines` or `baselines_path`")
+    return stream_df.writeStream.foreachBatch(_process)

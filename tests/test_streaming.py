@@ -388,3 +388,86 @@ def test_stream_sequence_rule_across_batches(spark, tmp_path):
         ("1", 102, "start", "mid", "'start' cannot follow 'mid' in 'status'"),
         ("2", 200, "mid", None, "'mid' is not an allowed start value for 'status'"),
     ]
+
+
+def test_stream_drift_against_stored_baseline(spark, tmp_path):
+    """A8 batch/stream parity: baseline written batch-side
+    (write_drift_baselines → _drift_baselines.json), then a micro-batch
+    matching the baseline emits NO drift violation while a shifted batch
+    fires one — same store, same PSI math as the batch path."""
+    import shutil
+
+    from schema_enforcer_spark.manifest import manifest_from_dict
+    from schema_enforcer_spark.stats import baseline_store_path, write_drift_baselines
+    from schema_enforcer_spark.streaming import stream_drift
+
+    m = manifest_from_dict(
+        {
+            "id": "schemas/stream_drift",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "drift",
+                    "column": "v",
+                    "metric": "psi",
+                    "threshold": 0.2,
+                    "lo": 0.0,
+                    "hi": 100.0,
+                    "bins": 10,
+                }
+            ],
+        }
+    )
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id"), 100)).cast("double").alias("v")
+    )
+    ckpt_root = str(tmp_path / "store")
+    os.makedirs(ckpt_root)
+    bp = baseline_store_path(ckpt_root)
+    write_drift_baselines(spark, base, m, bp)
+
+    # identical-distribution batch, then a hard-shifted batch
+    same = base
+    shifted = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id"), 10) + 90.0).cast("double").alias("v")
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    p1 = str(tmp_path / "b1")
+    same.write.parquet(p1)
+    for f in os.listdir(p1):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p1, f), os.path.join(src_dir, "a_" + f))
+
+    src = spark.readStream.schema(same.schema).option("maxFilesPerTrigger", "100").parquet(src_dir)
+    fired: list[tuple[int, list]] = []
+
+    def on_violations(batch_id, viols):
+        fired.append((batch_id, viols.collect()))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream_drift(src, m, on_violations, baselines_path=bp, key_columns=["k"])
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream_drift failed to terminate"
+        q.stop()
+
+    run_once()
+    assert fired == []  # identical distribution: silent
+
+    p2 = str(tmp_path / "b2")
+    shifted.write.parquet(p2)
+    for f in os.listdir(p2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(p2, f), os.path.join(src_dir, "b_" + f))
+    run_once()
+    assert len(fired) == 1
+    rows = fired[0][1]
+    assert rows and rows[0]["schema_id"] == "schemas/stream_drift/drift/v"
+    assert "drift" in rows[0]["message"]
+    assert rows[0]["instance_type"] == "TABLE"
