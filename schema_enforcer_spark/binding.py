@@ -21,6 +21,29 @@ class ManifestNotDefined(Exception):
     /root/reference/schema_enforcer/exceptions.py + manager.py:289-299)."""
 
 
+def declared_columns(m: Manifest) -> set[str]:
+    """A manifest's top-level property set: explicit `columns`, else every
+    column any rule references (the top_level_properties analogue,
+    reference schemas/jsonschema.py:44-55)."""
+    declared = set(m.columns)
+    if declared:
+        return declared
+    for r in m.rules:
+        if r.get("column"):
+            declared.add(r.get("column"))
+        for key in ("columns", "group_by", "partition_by", "order_by"):
+            declared.update(r.get(key) or [])
+        # conditional rules reference columns inside when/then; aggregate
+        # sides inside left/right specs
+        for key in ("when", "then", "left", "right"):
+            spec = r.get(key)
+            if isinstance(spec, dict) and spec.get("column"):
+                declared.add(spec["column"])
+        if r.kind == "aggregate" and not r.get("group_by"):
+            declared.add("conv_id")  # the engine's default group key
+    return declared
+
+
 class ManifestRegistry:
     """The SchemaManager analogue: id → Manifest
     (/root/reference/schema_enforcer/schemas/manager.py:23-53)."""
@@ -52,27 +75,37 @@ class ManifestRegistry:
         """J1: a manifest binds iff its declared/ruled columns intersect the
         table's columns (the top-level-properties intersection automap,
         instances/file.py:173)."""
-        out = []
         cols = set(columns)
-        for m in self._by_id.values():
-            declared = set(m.columns)
-            if not declared:
-                for r in m.rules:
-                    if r.get("column"):
-                        declared.add(r.get("column"))
-                    for key in ("columns", "group_by", "partition_by", "order_by"):
-                        declared.update(r.get(key) or [])
-                    # conditional rules reference columns inside when/then;
-                    # aggregate sides inside left/right specs
-                    for key in ("when", "then", "left", "right"):
-                        spec = r.get(key)
-                        if isinstance(spec, dict) and spec.get("column"):
-                            declared.add(spec["column"])
-                    if r.kind == "aggregate" and not r.get("group_by"):
-                        declared.add("conv_id")  # the engine's default group key
-            if declared & cols:
-                out.append(m)
+        out = [m for m in self._by_id.values() if declared_columns(m) & cols]
         return sorted(out, key=lambda m: m.id)
+
+    def automap_hosts(self, df, key: str = "host"):
+        """Per-HOST automap — the reference's ansible path intersects each
+        host's var keys with every schema's top_level_properties
+        (/root/reference/schema_enforcer/ansible_inventory.py:107-141), so
+        two hosts can bind to different schemas. The wide inventory frame
+        unions all hosts' vars (absent var = NULL), so "host has the key"
+        becomes "column is non-null for that host's row": one filter per
+        manifest, riding the scan — no shuffle, no per-host driver loop.
+
+        Returns [(manifest, host_subset_df)] sorted by manifest id; a
+        manifest sharing no column with the frame is omitted, and hosts
+        with none of a manifest's properties are excluded from its subset
+        (they get neither PASS nor FAIL for it, like the reference)."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import functions as F
+
+        out = []
+        for mid in sorted(self._by_id):
+            m = self._by_id[mid]
+            cols = (declared_columns(m) & set(df.columns)) - {key}
+            if not cols:
+                continue
+            pred = reduce(or_, [F.col(c).isNotNull() for c in sorted(cols)])
+            out.append((m, df.filter(pred)))
+        return out
 
     def bind(
         self,

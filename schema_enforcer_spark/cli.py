@@ -56,6 +56,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="with --inventory: restrict validation to one host "
         "(reference ansible --limit)",
     )
+    p.add_argument(
+        "--automap",
+        action="store_true",
+        help="with --inventory: bind manifests to hosts PER HOST by "
+        "intersecting each host's (non-null) vars with every manifest's "
+        "columns — --manifest may be a directory; hosts with none of a "
+        "manifest's properties are skipped for it (the reference ansible "
+        "automap, ansible_inventory.py:107-141)",
+    )
     p.add_argument("--output", default=None, help="results root; writes <output>/violations and <output>/verdicts")
     p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
     p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
@@ -222,10 +231,71 @@ def _schema_tools(args) -> int:
     return 0
 
 
+def _automap_main(args) -> int:
+    """--inventory --automap: per-host manifest binding, the reference
+    `ansible` command's automap mode (ansible_inventory.py:107-141 +
+    cli.py:227-265). Each manifest validates only the hosts that carry at
+    least one of its properties; FAIL/[HOST] PASS lines per manifest;
+    exit 1 on any failure."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import col as F_col
+
+    from schema_enforcer_spark.binding import ManifestRegistry
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.manifest import InvalidManifest, load_manifest
+    from schema_enforcer_spark.sources.defaults import load_inventory
+
+    if not args.inventory:
+        print("ERROR | --automap requires --inventory", file=sys.stderr)
+        return 2
+    reg = ManifestRegistry()
+    try:
+        for p in _manifest_paths(args.manifest):
+            reg.add(load_manifest(p))
+    except InvalidManifest as e:
+        for err in e.errors:
+            print(f"ERROR | invalid manifest | {err}", file=sys.stderr)
+        return 1
+    builder = SparkSession.builder.appName("schema-enforcer-spark:automap")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    df = load_inventory(spark, args.inventory, key="host")
+    if args.limit:
+        df = df.filter(df["host"] == args.limit)
+    bound = reg.automap_hosts(df, key="host")
+    if not bound:
+        print("ERROR | no manifest binds to any host's vars", file=sys.stderr)
+        return 1
+    any_fail = False
+    for m, sub in bound:
+        eng = ValidationEngine(m, key_columns=["host"], instance_expr="host", instance_type="HOST")
+        report = eng.validate(sub)
+        for v in report.violations.orderBy("message").limit(args.show_failures).collect():
+            prop = ":".join(v["absolute_path"] or [])
+            print(f"FAIL | [ERROR] {v['message']} [HOST] {v['instance_name']} [PROPERTY] {prop}")
+        if args.show_pass:
+            for p in (
+                report.verdicts.filter(F_col("result") == "PASS")
+                .orderBy("instance_name")
+                .limit(args.show_failures)
+                .collect()
+            ):
+                print(f"PASS | [{p['grain']}] {p['instance_name']} [SCHEMA ID] {p['schema_id']}")
+        if not report.passes():
+            any_fail = True
+    if any_fail:
+        return 1
+    print("ALL SCHEMA VALIDATION CHECKS PASSED")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     if args.list_manifests or args.dump_manifest:
         return _schema_tools(args)
+    if args.automap:
+        return _automap_main(args)
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import col as F_col
 

@@ -421,3 +421,56 @@ def test_cli_strict_with_inventory_ignores_host_key(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Schema ID" in out
+
+
+def test_cli_automap_per_host_binding(spark, tmp_path, capsys):
+    """--inventory --automap: two hosts with disjoint var sets bind to
+    DIFFERENT manifests (reference ansible_inventory.py:107-141 — per-host
+    top_level_properties intersection). A host without a manifest's
+    properties is neither validated nor PASSed for it."""
+    inv = tmp_path / "inv"
+    (inv / "group_vars").mkdir(parents=True)
+    (inv / "host_vars").mkdir()
+    (inv / "hosts.yml").write_text(
+        "all:\n  children:\n    dc1:\n      hosts:\n        switch1:\n        server1:\n"
+    )
+    # disjoint property sets: switch1 has interface vars, server1 has os vars
+    (inv / "host_vars" / "switch1.yml").write_text("role: spinny\n")  # invalid enum
+    (inv / "host_vars" / "server1.yml").write_text("os_version: '14.1'\n")
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    (mdir / "switches.yml").write_text(
+        "id: schemas/switches\n"
+        "table: hosts\n"
+        "columns: [role]\n"
+        "rules:\n"
+        "  - kind: enum\n"
+        "    column: role\n"
+        "    values: [switch, spine, leaf]\n"
+    )
+    (mdir / "servers.yml").write_text(
+        "id: schemas/servers\n"
+        "table: hosts\n"
+        "columns: [os_version]\n"
+        "rules:\n"
+        "  - kind: pattern\n"
+        "    column: os_version\n"
+        "    pattern: '^[0-9]+\\.[0-9]+$'\n"
+    )
+    rc = main(["--manifest", str(mdir), "--inventory", str(inv), "--automap", "--show-pass"])
+    out = capsys.readouterr().out
+    assert rc == 1  # switch1's enum violation
+    assert "FAIL | [ERROR] 'spinny' is not one of ['switch', 'spine', 'leaf'] [HOST] switch1" in out
+    # server1 binds to schemas/servers and passes it
+    assert "PASS | [HOST] server1 [SCHEMA ID] schemas/servers" in out
+    # per-host binding: server1 must NOT get a verdict under schemas/switches
+    # and switch1 must NOT get one under schemas/servers
+    assert "PASS | [HOST] server1 [SCHEMA ID] schemas/switches" not in out
+    assert "PASS | [HOST] switch1 [SCHEMA ID] schemas/servers" not in out
+
+    # fix the violation → clean exit
+    (inv / "host_vars" / "switch1.yml").write_text("role: spine\n")
+    rc = main(["--manifest", str(mdir), "--inventory", str(inv), "--automap"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" in out
