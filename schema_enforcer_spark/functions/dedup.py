@@ -554,10 +554,37 @@ def connected_components_with_rounds(
     shuffle, one row to the driver) where the earlier labels⨝labels probe
     paid a full shuffled join per round — measured as the scaling
     bottleneck on multi-executor runs of 10^7-edge graphs."""
+    spark = pairs.sparkSession
+    # The edge list is the BIG side (2|E| rows) and every round joins it on
+    # src — pre-partition it by src ONCE so the per-round SortMergeJoin
+    # reuses the stored partitioning (localCheckpoint's LogicalRDD keeps
+    # outputPartitioning) and only the labels side (|V| rows) shuffles.
+    # AQE must be off for the duration: its non-final-plan checkpoint
+    # capture downgrades the stored partitioning to Unknown and the 2|E|
+    # exchange comes back every round (verified via explain) — that
+    # re-shuffle was the dominant N→4N scaling cost on 10^7-edge graphs.
+    # AQE gives this fixed-partition, map-side-combined loop nothing in
+    # exchange (skewed hot keys are degree-bounded per-partition rows).
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_rounds_impl(pairs, a_col, b_col, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _cc_rounds_impl(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+) -> tuple[DataFrame, int]:
+    n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .dropDuplicates()
+        .repartition(n_shuffle, "src")
         # materialize ONCE: without this every iteration (and every
         # convergence probe) re-executes the full upstream pair-generation
         # pipeline — minhash signatures, the LSH self-join, Jaccard verify

@@ -299,6 +299,26 @@ def main() -> None:
         problems.append("q56 pattern_properties scans the input more than once")
     sections.append(("patternProperties map-entry rule (q56: one scan, zero pre-sort exchanges)", p16, notes16))
 
+    # 17. jmespath rule (q57): the compiled JMESPath HOF expression must
+    # ride the row-rule projection — one scan, one Exchange (the groupBy
+    # that builds the per-host documents), no Python UDF anywhere
+    p17 = _formatted(entry.q57_jmespath_interfaces(spark, sf))
+    notes17 = []
+    n_ex17 = len(re.findall(r"^\(\d+\) Exchange\s*$", p17, re.M))
+    if n_ex17 <= 1:
+        notes17.append(f"OK: {n_ex17} Exchange(s) — only the document-building groupBy shuffles; the compiled JMESPath validation rides its output projection")
+    else:
+        problems.append(f"q57 jmespath has {n_ex17} Exchanges (want <=1: the document groupBy)")
+    if "pythonUDF" in p17 or "BatchEvalPython" in p17 or "ArrowEvalPython" in p17:
+        problems.append("q57 jmespath dropped to a Python UDF — the translation must stay JVM-side")
+    else:
+        notes17.append("OK: no Python UDF — JMESPath compiled to Catalyst HOFs")
+    if len(re.findall(r"^\(\d+\) Scan parquet", p17, re.M)) == 1:
+        notes17.append("OK: exactly one parquet scan")
+    else:
+        problems.append("q57 jmespath scans the input more than once")
+    sections.append(("jmespath literal-expression rule (q57: Catalyst HOFs, one exchange)", p17, notes17))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
