@@ -545,15 +545,13 @@ def connected_components_with_rounds(
     label(v)) — the pointer-jump halves the remaining chain length, so
     convergence is O(log diameter) rounds instead of O(diameter): a
     40-long chain converges in ~6 rounds, shallow near-dup clusters in 2-3.
-    Per round: one shuffle join edge-sized + one labels-sized self-join.
-    Lineage is cut with localCheckpoint each round so the plan doesn't
-    grow. Convergence is detected via the label SUM: min-propagation only
-    ever decreases labels, so the (exact, decimal — overflow-free at any
-    vertex count) sum of components strictly decreases until the fixpoint;
-    comparing consecutive sums is one map-side aggregation per round (no
-    shuffle, one row to the driver) where the earlier labels⨝labels probe
-    paid a full shuffled join per round — measured as the scaling
-    bottleneck on multi-executor runs of 10^7-edge graphs."""
+    Per round: one frontier⨝edges join (edge side pre-partitioned, no
+    exchange) + one labels-sized left join + one labels-sized pointer
+    join. DELTA propagation: only last round's decreased labels send
+    messages, so the per-round message volume collapses with the frontier
+    instead of staying 2|E|. Lineage is cut with localCheckpoint each
+    round so the plan doesn't grow. Convergence = empty frontier (no
+    label decreased), a limit(1) probe over the round's cached output."""
     spark = pairs.sparkSession
     # The edge list is the BIG side (2|E| rows) and every round joins it on
     # src — pre-partition it by src ONCE so the per-round SortMergeJoin
@@ -596,42 +594,50 @@ def _cc_rounds_impl(
         .withColumn("component", F.col("v"))
         .localCheckpoint()
     )
-    def _label_sum(ldf: DataFrame):
-        return ldf.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
-
-    prev_sum = _label_sum(labels)
+    # DELTA propagation: only vertices whose label DECREASED last round send
+    # messages (round 1: everyone). A min label travels by strictly
+    # decreasing the labels along its path, so every hop re-enters the
+    # frontier — identical fixpoint to full re-send, but rounds after the
+    # first touch only the shrinking frontier instead of all 2|E| messages
+    # (on converging near-dup graphs the frontier collapses fast).
+    # Convergence = empty frontier (no label decreased), checked with a
+    # limit(1) probe on the cached round output — no extra aggregation.
+    changed = labels
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # (1) neighbor labels + own label → per-vertex min
-        msgs = (
-            edges.join(labels.withColumnRenamed("v", "src"), "src")
-            .select(F.col("dst").alias("v"), "component")
-            .unionByName(labels)
+        # (1) labels incoming from frontier neighbors → per-vertex min;
+        # edges side reuses its stored partitioning (no exchange)
+        inc = (
+            edges.join(changed.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("component").alias("_inc"))
         )
-        prop = msgs.groupBy("v").agg(F.min("component").alias("component"))
+        cand = labels.join(inc, "v", "left").select(
+            "v",
+            F.col("component").alias("_old"),
+            F.least(F.col("component"), F.coalesce(F.col("_inc"), F.col("component"))).alias("_m"),
+        )
         # (2) pointer jump: component ids are themselves vertex ids — chase
         # one hop through the PREVIOUS round's (checkpointed) label table.
-        # Jumping through `labels` rather than `prop` itself avoids a
+        # Jumping through `labels` rather than the fresh mins avoids a
         # self-join of the union+agg plan (which trips Catalyst's Union
         # constraint rewriting) and costs nothing: reach still doubles per
         # round (label_old(label_prop(v)) covers ~2r+1 hops). Left join: a
         # fully-compressed label may point at a root absent from the keys.
         ptr = labels.select(F.col("v").alias("_pv"), F.col("component").alias("_pc"))
-        jumped = prop.join(ptr, prop["component"] == ptr["_pv"], "left").select(
-            prop["v"],
-            F.least(
-                prop["component"], F.coalesce(ptr["_pc"], prop["component"])
-            ).alias("component"),
+        jumped = cand.join(ptr, cand["_m"] == ptr["_pv"], "left").select(
+            cand["v"],
+            cand["_old"],
+            F.least(cand["_m"], F.coalesce(ptr["_pc"], cand["_m"])).alias("component"),
         )
-        new_labels = jumped.localCheckpoint()
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        round_out = jumped.localCheckpoint()
+        labels = round_out.select("v", "component")
+        changed = round_out.filter(F.col("component") < F.col("_old")).select("v", "component")
+        if changed.limit(1).count() == 0:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

