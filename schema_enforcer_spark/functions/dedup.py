@@ -545,6 +545,12 @@ def connected_components_with_rounds(
     label(v)) — the pointer-jump halves the remaining chain length, so
     convergence is O(log diameter) rounds instead of O(diameter): a
     40-long chain converges in ~6 rounds, shallow near-dup clusters in 2-3.
+    Caveat: the log bound is for the initial sweep; a smaller min entering
+    an ALREADY-compressed region (e.g. two long chains bridged at their far
+    ends) crawls that region edge-by-edge, because compression leaves no
+    intermediate pointers to jump through. LSH near-dup graphs (small
+    bucket-local cliques) never hit this; max_iter raises loudly if a
+    pathological topology does.
     Per round: one frontier⨝edges join (edge side pre-partitioned, no
     exchange) + one labels-sized left join + one labels-sized pointer
     join. DELTA propagation: only last round's decreased labels send

@@ -508,3 +508,28 @@ def test_ann_recall_on_clustered_embeddings(spark):
     ivf_recall = len(exact & ivf) / 20
     assert ivf_recall >= 0.8, f"ivf_topk recall {ivf_recall} on clustered corpus"
     emb.unpersist()
+
+
+def test_connected_components_delta_frontier_reexpansion(spark):
+    """Adversarial for DELTA propagation (r5): two chains bridged at their
+    FAR ends — the global min must re-enter and sweep a region whose labels
+    had already compressed (everything pointing at the region's local min),
+    which only works if every label decrease re-joins the frontier.
+
+    Known algorithm property (pre-dates delta; both variants behave the
+    same): once a region is label-compressed into a star, a smaller min
+    arriving over a bridge crawls the region edge-by-edge — pointer
+    jumping can't shortcut because no intermediate pointers remain. The
+    O(log d) round bound holds for the initial propagation (the LSH
+    near-dup graphs the engine builds); max_iter raises loudly otherwise,
+    never returning wrong labels. Sized here so the crawl finishes fast."""
+    from schema_enforcer_spark.functions.dedup import connected_components_with_rounds
+
+    edges = [(i, i + 1) for i in range(12)]            # chain 0..12  (min 0)
+    edges += [(100 + i, 101 + i) for i in range(12)]   # chain 100..112 (min 100)
+    edges += [(112, 12)]                               # bridge at the far ends
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    labels, rounds = connected_components_with_rounds(df, max_iter=25)
+    got = {r["v"]: r["component"] for r in labels.collect()}
+    assert set(got.values()) == {0}, "bridge did not propagate the global min"
+    assert len(got) == 26
