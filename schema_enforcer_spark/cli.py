@@ -66,6 +66,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "automap, ansible_inventory.py:107-141)",
     )
     p.add_argument("--output", default=None, help="results root; writes <output>/violations and <output>/verdicts")
+    p.add_argument(
+        "--quarantine",
+        default=None,
+        metavar="DIR",
+        help="one-pass row-grain split of the input: rows failing any ROW "
+        "rule land under DIR/row_valid=false, clean rows under "
+        "DIR/row_valid=true (single scan, zero shuffle — partitionBy on "
+        "the validity flag). Table-grain rules (unique/referential/window/"
+        "aggregate) don't mark individual rows here; their violations go "
+        "to --output as usual",
+    )
     p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
     p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
     p.add_argument("--key-columns", default="conv_id,turn_idx")
@@ -298,6 +309,8 @@ def main(argv: list[str] | None = None) -> int:
         return _automap_main(args)
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import col as F_col
+    from pyspark.sql.functions import count as F_count
+    from pyspark.sql.functions import lit as F_lit
 
     from schema_enforcer_spark.checkpoint import CheckpointManager
     from schema_enforcer_spark.engine import ValidationEngine
@@ -415,6 +428,31 @@ def main(argv: list[str] | None = None) -> int:
         eng_kw["drift_baselines"] = load_drift_baselines(spark, store)
 
     eng = ValidationEngine(manifest, **eng_kw)
+
+    if args.quarantine:
+        # Row-grain quarantine: ONE scan of the full input, the validity
+        # flag is a codegen expression (row_fail_count == 0), and
+        # partitionBy splits the write — no shuffle, no second pass, no
+        # driver data. At 100 TB this is the same cost as a copy of the
+        # table. The flag column is 'row_valid' (NOT '_row_valid': Spark's
+        # file index skips underscore-prefixed paths, so partition dirs
+        # named _row_valid=... would be invisible to spark.read).
+        if "row_valid" in df.columns:
+            print("ERROR | --quarantine needs the column name 'row_valid' "
+                  "but the input already has one", file=sys.stderr)
+            return 2
+        qroot = args.quarantine.rstrip("/")
+        df.withColumn("row_valid", eng.row_fail_count(df) == F_lit(0)).write.mode(
+            "overwrite"
+        ).partitionBy("row_valid").parquet(qroot)
+        # count via the written files' footers (partition column + count =
+        # metadata-only aggregate, no data columns re-read)
+        q_counts = {
+            r["row_valid"]: r["n"]
+            for r in spark.read.parquet(qroot).groupBy("row_valid").agg(F_count("*").alias("n")).collect()
+        }
+        print(f"quarantine: {q_counts.get(True, 0)} valid row(s) -> {qroot}/row_valid=true")
+        print(f"quarantine: {q_counts.get(False, 0)} violating row(s) -> {qroot}/row_valid=false")
 
     cm = None
     if args.checkpoint:

@@ -474,3 +474,32 @@ def test_cli_automap_per_host_binding(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "ALL SCHEMA VALIDATION CHECKS PASSED" in out
+
+
+def test_cli_quarantine_split(spark, data, capsys):
+    """--quarantine: one-pass row-grain split. Every row of the input lands
+    exactly once under row_valid=true/false, the false side is exactly the
+    rows failing a row rule (the injected enum violations), and the flag
+    partition dirs are readable (no underscore-prefix file-index trap)."""
+    qdir = data["root"] + "/quarantine"
+    rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--quarantine", qdir])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "violating row(s) -> " in out
+    total = spark.read.parquet(data["bad"]).count()
+    q = spark.read.parquet(qdir)
+    assert q.count() == total
+    bad_rows = q.filter("row_valid = false")
+    n_bad = bad_rows.count()
+    assert n_bad >= 1
+    # the quarantined side is exactly the injected enum-violating rows
+    assert bad_rows.filter("role = 'operator'").count() == n_bad
+    assert q.filter("row_valid = true and role = 'operator'").count() == 0
+
+
+def test_cli_quarantine_rejects_column_clash(spark, data, tmp_path, capsys):
+    clash = str(tmp_path / "clash")
+    spark.read.parquet(data["clean"]).withColumn("row_valid", __import__("pyspark").sql.functions.lit(True)).write.parquet(clash)
+    rc = main(["--manifest", MANIFEST, "--input", clash, "--quarantine", str(tmp_path / "q")])
+    assert rc == 2
+    assert "row_valid" in capsys.readouterr().err
