@@ -990,14 +990,20 @@ def q32_ann_clustered(spark, sf_dir):
     table's ids as a 32-cluster corpus (md5-derived, engine-portable —
     synth.clustered_embedding) and probes with q19's exact lsh_topk config
     (8 planes, multiprobe hamming-1). The embedding materializes behind a
-    projection barrier so the 128-md5 generation runs once per row, not
-    once per plane dot."""
+    SHUFFLE barrier (repartition AFTER the withColumn): a bare projection
+    is NOT a barrier — Catalyst collapses projections, inlining the
+    128-md5 transform into each of the 8 plane dots + the final cosine
+    (~9 evaluations/row, measured 5.4 s vs 1.1 s with the barrier). The
+    _spread before the synth keeps the generation itself parallel; the
+    repartition after it ships computed 512-byte arrays instead of
+    recomputing them downstream."""
     from schema_enforcer_spark.synth import clustered_embedding, cluster_center
 
     emb = (
         _spread(_t(spark, sf_dir, "embeddings"))
         .select("vec_id")
         .withColumn("embedding", clustered_embedding("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     q = cluster_center(ANN_QUERY_CLUSTER)
     return lsh_topk(emb, q, k=20, n_planes=8, multiprobe=True)

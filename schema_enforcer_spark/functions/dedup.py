@@ -330,13 +330,15 @@ def _votes_to_long(votes: Column) -> Column:
 
 
 def _votes_to_hex(votes: Column) -> Column:
-    def nibble_char(n: int) -> Column:
-        val = sum(
-            (F.element_at(votes, 4 * n + j + 1) > 0).cast("int") * (1 << j) for j in range(4)
-        )
-        return F.substring(F.lit(_HEX), F.lit(1) + val, F.lit(1))
-
-    return F.concat(*[nibble_char(n) for n in range(16)])
+    # Rendering convention: char n = bits 4n..4n+3 (nibble-LITTLE-endian —
+    # what every simhash oracle SQL replicates). That is exactly the
+    # reversed big-endian hex of the long signature, so build it from
+    # _votes_to_long: ONE reference to the votes fold. The previous direct
+    # rendering referenced votes 64 times (16 nibbles x 4 bits) and —
+    # HOF-bearing expressions get no common-subexpression elimination —
+    # re-ran the whole per-token vote aggregation 64x per row (measured
+    # 2.4 s vs 0.6 s on 5k docs). lpad matters: F.hex drops leading zeros.
+    return F.reverse(F.lower(F.lpad(F.hex(_votes_to_long(votes)), 16, "0")))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
