@@ -1107,6 +1107,24 @@ def q57_jmespath_interfaces(spark, sf_dir):
     return _flat(eng.violations(docs))
 
 
+def q58_quarantine_split(spark, sf_dir):
+    """The quarantine-sink primitive (cli.py --quarantine) as a query: per-
+    row validity under the events base manifest via row_fail_count == 0 —
+    the SAME codegen expression the CLI's one-pass partitionBy(row_valid)
+    write evaluates — aggregated to (row_valid, n_rows). Zero joins, one
+    map-side-combined groupBy on a 2-value key; at 100 TB this is the scan
+    plus a 2-row shuffle. NULL semantics are jsonschema's: null values
+    pass every check except required (the engine coalesces null predicates
+    to pass), which the oracle replicates with COALESCE(..., TRUE)."""
+    ev = _t(spark, sf_dir, "events")
+    eng = _events_engine(EVENTS_MANIFEST)
+    return (
+        ev.withColumn("row_valid", eng.row_fail_count(ev) == F.lit(0))
+        .groupBy("row_valid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1172,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_ks_drift": q55_ks_drift,
         "q56_hash_split": q56_hash_split,
         "q57_jmespath_interfaces": q57_jmespath_interfaces,
+        "q58_quarantine_split": q58_quarantine_split,
     }
 
 
@@ -2135,5 +2154,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(user_id AS VARCHAR), CAST(n_core AS VARCHAR),
                'All core interfaces do not have IPv4 addresses'
         FROM stats WHERE n_core >= 1 AND n_core <> n_core_ipv4
+    """
+    # q58: the quarantine validity flag — a row is valid iff it passes every
+    # row rule of the events base manifest, with jsonschema null semantics
+    # (null passes everything except required, hence COALESCE(..., TRUE))
+    sqls["q58_quarantine_split"] = """
+        SELECT (COALESCE(event_type IN ('click','purchase','signup','view'), TRUE)
+                AND COALESCE(value <= 350.0, TRUE)
+                AND user_id IS NOT NULL
+                AND (props IS NULL OR regexp_matches(props, '^\\{"k": [0-9]+\\}$')))
+                 AS row_valid,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY row_valid
     """
     return sqls
