@@ -369,3 +369,94 @@ def test_format_rules_match_format_checker(spark, data, fmt):
         i for i, val in enumerate(rows) if any(True for _ in v.iter_errors({"v": val}))
     }
     assert got == expected, (fmt, [(rows[i], i in got, i in expected) for i in range(len(rows)) if (i in got) != (i in expected)])
+
+
+# ---------------------------------------------------------------------------
+# Composed random manifests: several rule kinds drawn JOINTLY
+# ---------------------------------------------------------------------------
+#
+# The per-family tests above pin each rule kind against Draft7Validator in
+# isolation; this one draws a random SUBSET of rules over two columns at
+# once (interactions: several rules on one column, mixed grains of
+# strictness, composition next to scalar rules) and goes through
+# manifest_from_dict — the whitelist path a real manifest takes — so a
+# param-name typo that Rule(...) would silently accept fails here.
+
+_RM_PATTERNS = ["^a", "x$", "^[ab]+$", "c.-", "^ *$"]
+
+
+def _draw_rule_pool(draw):
+    """Returns (manifest rule dicts, equivalent jsonschema allOf branches)
+    over columns s: string, n: long. Each drawn rule maps to one allOf
+    branch, so the conjunction exactly mirrors the engine's rule list."""
+    enum_vals = draw(st.lists(_text, min_size=1, max_size=3, unique=True))
+    pat = draw(st.sampled_from(_RM_PATTERNS))
+    mn, mx = draw(st.integers(0, 5)), draw(st.integers(5, 12))
+    lo, hi = draw(st.integers(-20, 0)), draw(st.integers(0, 20))
+    mult = draw(st.sampled_from([1, 2, 3, 5]))
+    cv = draw(_text)
+    comp_kind = draw(st.sampled_from(["any_of", "all_of", "one_of", "not"]))
+    checks = [{"kind": "enum", "values": list(enum_vals)}, {"kind": "pattern", "pattern": pat}]
+    subs = [{"enum": list(enum_vals)}, {"pattern": pat}]
+    comp_key = {"any_of": "anyOf", "all_of": "allOf", "one_of": "oneOf"}.get(comp_kind)
+    comp_body = {comp_key: subs} if comp_key else {"not": {"allOf": subs}}
+    pool = [
+        ({"kind": "enum", "column": "s", "values": list(enum_vals)},
+         {"properties": {"s": {"enum": list(enum_vals)}}}),
+        ({"kind": "pattern", "column": "s", "pattern": pat},
+         {"properties": {"s": {"pattern": pat}}}),
+        ({"kind": "length", "column": "s", "min_length": mn, "max_length": mx},
+         {"properties": {"s": {"minLength": mn, "maxLength": mx}}}),
+        ({"kind": "required", "column": "s"}, {"required": ["s"]}),
+        ({"kind": "range", "column": "n", "minimum": lo, "maximum": hi},
+         {"properties": {"n": {"minimum": lo, "maximum": hi}}}),
+        ({"kind": "range", "column": "n", "exclusive_minimum": lo, "exclusive_maximum": hi},
+         {"properties": {"n": {"exclusiveMinimum": lo, "exclusiveMaximum": hi}}}),
+        ({"kind": "multiple_of", "column": "n", "multiple_of": mult},
+         {"properties": {"n": {"multipleOf": mult}}}),
+        ({"kind": "required", "column": "n"}, {"required": ["n"]}),
+        ({"kind": "const", "column": "s", "value": cv},
+         {"properties": {"s": {"const": cv}}}),
+        ({"kind": comp_kind, "column": "s", "checks": checks},
+         {"properties": {"s": comp_body}}),
+    ]
+    idx = draw(st.lists(st.integers(0, len(pool) - 1), min_size=1, max_size=5, unique=True))
+    chosen = [pool[i] for i in idx]
+    return [c[0] for c in chosen], {"type": "object", "allOf": [c[1] for c in chosen]}
+
+
+@settings(**_SETTINGS)
+@given(data=st.data())
+def test_random_composed_manifest_matches_jsonschema(spark, data):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), _text),
+                st.one_of(st.none(), st.integers(min_value=-25, max_value=25)),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    rule_dicts, schema = _draw_rule_pool(data.draw)
+    m = manifest_from_dict({"id": "prop", "table": "t", "rules": rule_dicts})
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(rows)], "id long, s string, n long"
+    )
+    flagged = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = set()
+    for i, (s, n) in enumerate(rows):
+        inst = {}
+        if s is not None:
+            inst["s"] = s
+        if n is not None:
+            inst["n"] = n
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert flagged == expected
