@@ -122,6 +122,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "_drift_baselines.json for drift rules without inline baselines",
     )
     p.add_argument(
+        "--stats-columns",
+        default=None,
+        metavar="COL[,COL...]",
+        help="with --checkpoint: persist per-partition column stats (HLL "
+        "distinct sketches + null/row counts + min/max) for the partitions "
+        "this run validates under <checkpoint>/_column_stats, then print "
+        "TABLE-level stats merged across ALL runs — resumed runs never "
+        "rescan validated partitions (sketches merge via hll_union_agg)",
+    )
+    p.add_argument(
         "--list-manifests",
         action="store_true",
         help="list the manifest(s) at --manifest (file or directory) and exit "
@@ -427,6 +437,25 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         eng_kw["drift_baselines"] = load_drift_baselines(spark, store)
 
+    if args.stats_columns and not args.checkpoint:
+        print("ERROR | --stats-columns requires --checkpoint (the stats "
+              "store lives under the checkpoint dir)", file=sys.stderr)
+        return 2
+
+    def _print_merged_stats() -> None:
+        from schema_enforcer_spark.stats import merged_column_stats, stats_store_path
+
+        merged = merged_column_stats(spark, stats_store_path(args.checkpoint)).orderBy("col_name")
+        print(f"{'Column':<24} {'~distinct':>10} {'nulls':>10} {'rows':>12} {'parts':>6}  min..max")
+        print("-" * 92)
+        for r in merged.collect():  # one row per stats column — bounded
+            lo = r["min_numeric"] if r["min_numeric"] is not None else r["min_display"]
+            hi = r["max_numeric"] if r["max_numeric"] is not None else r["max_display"]
+            print(
+                f"{r['col_name']:<24} {r['approx_distinct']:>10} {r['n_nulls']:>10} "
+                f"{r['n_rows']:>12} {r['n_partitions']:>6}  {lo}..{hi}"
+            )
+
     eng = ValidationEngine(manifest, **eng_kw)
 
     if args.quarantine:
@@ -446,10 +475,16 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).partitionBy("row_valid").parquet(qroot)
         # count via the written files' footers (partition column + count =
-        # metadata-only aggregate, no data columns re-read)
+        # metadata-only aggregate, no data columns re-read). Partition-dir
+        # values read back as STRINGS (partition type inference covers
+        # numerics/dates, not booleans) — cast, or the True/False lookups
+        # below silently print 0
         q_counts = {
-            r["row_valid"]: r["n"]
-            for r in spark.read.parquet(qroot).groupBy("row_valid").agg(F_count("*").alias("n")).collect()
+            r["rv"]: r["n"]
+            for r in spark.read.parquet(qroot)
+            .groupBy(F_col("row_valid").cast("boolean").alias("rv"))
+            .agg(F_count("*").alias("n"))
+            .collect()
         }
         print(f"quarantine: {q_counts.get(True, 0)} valid row(s) -> {qroot}/row_valid=true")
         print(f"quarantine: {q_counts.get(False, 0)} violating row(s) -> {qroot}/row_valid=false")
@@ -465,6 +500,10 @@ def main(argv: list[str] | None = None) -> int:
             # sound because only PASS verdicts complete a partition: FAILed
             # partitions always re-validate, so nothing-pending ⇒ all PASS
             print(f"ALL PARTITIONS ALREADY VALIDATED (PASS) [{manifest.id}] — nothing pending")
+            if args.stats_columns:
+                # stats for every partition are already in the store — the
+                # merged view costs one read of the sketch rows, zero data
+                _print_merged_stats()
             return 0
         print(f"validated {n_pending} pending rows")
     else:
@@ -512,6 +551,22 @@ def main(argv: list[str] | None = None) -> int:
         # lineage row counts come from the PENDING subset this run actually
         # validated — aggregating the full input would re-scan everything
         cm.record(cm.last_pending if cm.last_pending is not None else df, eng, report)
+
+    if args.stats_columns:
+        from schema_enforcer_spark.stats import stats_store_path, write_partition_stats
+
+        cols = [c for c in args.stats_columns.split(",") if c]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            print(f"ERROR | --stats-columns not in the input: {missing}", file=sys.stderr)
+            return 2
+        # sketch only what this run validated; earlier partitions' rows are
+        # already in the store — that's the incremental contract
+        stats_df = cm.last_pending if (cm is not None and cm.last_pending is not None) else df
+        write_partition_stats(
+            stats_df, cols, stats_store_path(args.checkpoint), eng._instance_col(stats_df)
+        )
+        _print_merged_stats()
 
     # FAIL-line format mirrors ValidationResult.print
     # (/root/reference/schema_enforcer/validation.py:53-91)

@@ -99,6 +99,115 @@ def merge_hll_estimate(sketches: DataFrame, columns: list[str]) -> DataFrame:
     return merged.select(*[F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}__distinct") for c in columns])
 
 
+# ---------------------------------------------------------------------------
+# Incremental per-partition column stats (checkpoint-resident)
+# ---------------------------------------------------------------------------
+#
+# The north-star resumability contract is "per-partition lineage + stats":
+# a resumed run must produce TABLE-level stats without rescanning the
+# partitions it skipped. Persistence format: one long-format row per
+# (partition_id, col_name) holding a mergeable HLL sketch (binary) plus
+# null/row counts and min/max (string form for display + double form for
+# numerically-correct merging — lexicographic string min would rank "10"
+# below "9"). The store lives under the checkpoint dir with an underscore
+# prefix, so lineage reads rooted at the checkpoint path skip it (same
+# hidden-path convention as _drift_baselines.json), while explicit reads
+# of the store path itself work normally.
+
+
+def stats_store_path(checkpoint_dir: str) -> str:
+    return checkpoint_dir.rstrip("/") + "/_column_stats"
+
+
+def write_partition_stats(
+    df: DataFrame,
+    columns: list[str],
+    store_path: str,
+    instance_col,
+    run_ns: int | None = None,
+) -> None:
+    """Append this run's per-partition stats rows. ``df`` should be the
+    PENDING subset of a checkpointed run — the already-validated
+    partitions' rows are in the store from earlier runs; not rescanning
+    them is the point. One groupBy(partition) pass computes every column's
+    sketch + counts (map-side combine; sketches are ~KB each so the
+    shuffle is #partitions × #columns × KB regardless of table size)."""
+    import time
+
+    run_ns = run_ns if run_ns is not None else time.time_ns()
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min_s"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max_s"),
+            F.min(F.col(c).try_cast("double")).alias(f"{c}__min_n"),
+            F.max(F.col(c).try_cast("double")).alias(f"{c}__max_n"),
+        ]
+    wide = df.groupBy(instance_col.alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("__n"), *aggs
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__hll").alias("hll"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__min_s").alias("min_s"),
+                F.col(f"{c}__max_s").alias("max_s"),
+                F.col(f"{c}__min_n").alias("min_n"),
+                F.col(f"{c}__max_n").alias("max_n"),
+            )
+            for c in columns
+        ]
+    )
+    long_rows = (
+        wide.select("partition_id", F.col("__n").alias("n_rows"), F.explode(structs).alias("s"))
+        .select(
+            "partition_id",
+            F.col("s.col_name").alias("col_name"),
+            F.col("s.hll").alias("hll"),
+            F.col("s.n_nulls").alias("n_nulls"),
+            F.col("n_rows"),
+            F.col("s.min_s").alias("min_s"),
+            F.col("s.max_s").alias("max_s"),
+            F.col("s.min_n").alias("min_n"),
+            F.col("s.max_n").alias("max_n"),
+            F.lit(run_ns).cast("bigint").alias("run_ns"),
+        )
+    )
+    long_rows.write.mode("append").parquet(store_path)
+
+
+def merged_column_stats(spark, store_path: str) -> DataFrame:
+    """Table-level stats from the store alone — no data rescans. A FAILed
+    partition re-validates on resume and re-appends its rows, so take the
+    LATEST row per (partition_id, col_name) before merging: hll_union_agg
+    for distincts, sums for null/row counts, min/max over the per-partition
+    extremes (double form preferred, string form as display fallback)."""
+    from pyspark.sql.window import Window
+
+    st_df = spark.read.parquet(store_path)
+    w = Window.partitionBy("partition_id", "col_name").orderBy(F.col("run_ns").desc())
+    latest = st_df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    return (
+        latest.groupBy("col_name")
+        .agg(
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))), F.lit(0)
+            ).alias("approx_distinct"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.min("min_n").alias("min_numeric"),
+            F.max("max_n").alias("max_numeric"),
+            F.min("min_s").alias("min_display"),
+            F.max("max_s").alias("max_display"),
+        )
+    )
+
+
 def hll_accuracy_report(df: DataFrame, columns: list[str], rel_tol: float = 0.02) -> DataFrame:
     """Per column: exact distinct count + a boolean asserting the HLL sketch
     estimate lands within ``rel_tol`` of it — ONE aggregation pass computing

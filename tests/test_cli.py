@@ -485,13 +485,16 @@ def test_cli_quarantine_split(spark, data, capsys):
     rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--quarantine", qdir])
     assert rc == 1
     out = capsys.readouterr().out
-    assert "violating row(s) -> " in out
     total = spark.read.parquet(data["bad"]).count()
     q = spark.read.parquet(qdir)
     assert q.count() == total
     bad_rows = q.filter("row_valid = false")
     n_bad = bad_rows.count()
     assert n_bad >= 1
+    # the printed counts must be the REAL counts (partition values read
+    # back as strings — a boolean lookup bug printed 0 here once)
+    assert f"quarantine: {total - n_bad} valid row(s)" in out
+    assert f"quarantine: {n_bad} violating row(s)" in out
     # the quarantined side is exactly the injected enum-violating rows
     assert bad_rows.filter("role = 'operator'").count() == n_bad
     assert q.filter("row_valid = true and role = 'operator'").count() == 0
@@ -503,3 +506,35 @@ def test_cli_quarantine_rejects_column_clash(spark, data, tmp_path, capsys):
     rc = main(["--manifest", MANIFEST, "--input", clash, "--quarantine", str(tmp_path / "q")])
     assert rc == 2
     assert "row_valid" in capsys.readouterr().err
+
+
+def test_cli_stats_columns_lifecycle(spark, data, capsys):
+    """--stats-columns: run 1 sketches every partition it validates and
+    prints merged table stats; run 2 (nothing pending) prints the SAME
+    merged stats purely from the store — no data rescans (the pending set
+    is empty, so any recompute would crash on the empty frame anyway)."""
+    ckpt = data["root"] + "/ckpt_stats"
+    rc1 = main(["--manifest", MANIFEST, "--input", data["clean"], "--checkpoint", ckpt,
+                "--stats-columns", "conv_id,role"])
+    out1 = capsys.readouterr().out
+    assert rc1 == 0
+    assert "conv_id" in out1 and "role" in out1
+    # store landed under the checkpoint with the hidden-path prefix
+    stats_rows = spark.read.parquet(ckpt + "/_column_stats")
+    assert stats_rows.filter("col_name = 'role'").count() >= 1
+    # lineage read rooted at the checkpoint dir must NOT trip on the store
+    rc2 = main(["--manifest", MANIFEST, "--input", data["clean"], "--checkpoint", ckpt,
+                "--stats-columns", "conv_id,role"])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0
+    assert "ALL PARTITIONS ALREADY VALIDATED" in out2
+    # merged numbers identical across the two runs (store-only recompute)
+    line1 = [l for l in out1.splitlines() if l.startswith("conv_id")]
+    line2 = [l for l in out2.splitlines() if l.startswith("conv_id")]
+    assert line1 == line2 and line1
+
+
+def test_cli_stats_columns_requires_checkpoint(spark, data, capsys):
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--stats-columns", "role"])
+    assert rc == 2
+    assert "--stats-columns requires --checkpoint" in capsys.readouterr().err

@@ -144,3 +144,38 @@ def test_drift_on_ts_gaps(spark, transcripts):
     viols = ValidationEngine(m).violations(stats.with_ts_gaps(stretched)).collect()
     assert len(viols) == 1
     assert "distribution drift on ts_gap" in viols[0]["message"]
+
+
+def test_incremental_partition_stats_merge(spark, tmp_path):
+    """write_partition_stats in two waves + a re-append of wave 1 (a resumed
+    FAILed partition) must merge to the full table's stats without double
+    counting: latest-run_ns row wins per (partition, column)."""
+    df = gen_transcripts(spark, n_convs=20, seed=7).withColumn(
+        "part", F.pmod(F.hash("conv_id"), F.lit(8))
+    )
+    store = str(tmp_path / "ckpt" / "_column_stats")
+    wave1 = df.filter("part < 4")
+    wave2 = df.filter("part >= 4")
+    stats.write_partition_stats(wave1, ["conv_id", "role", "tool"], store, F.col("part"), run_ns=1)
+    stats.write_partition_stats(wave2, ["conv_id", "role", "tool"], store, F.col("part"), run_ns=2)
+    # wave 1 re-validates (e.g. FAIL -> resume): identical stats, later stamp
+    stats.write_partition_stats(wave1, ["conv_id", "role", "tool"], store, F.col("part"), run_ns=3)
+
+    merged = {r["col_name"]: r for r in stats.merged_column_stats(spark, store).collect()}
+    n_total = df.count()
+    exact = df.agg(
+        F.count_distinct("conv_id").alias("cid"),
+        F.count_distinct("role").alias("role"),
+        F.sum(F.col("tool").isNull().cast("long")).alias("tool_nulls"),
+    ).collect()[0]
+    n_parts = df.select("part").distinct().count()
+    for c in ("conv_id", "role", "tool"):
+        assert merged[c]["n_rows"] == n_total, c  # no double counting
+        assert merged[c]["n_partitions"] == n_parts, c
+    assert merged["tool"]["n_nulls"] == exact["tool_nulls"]
+    # HLL within Spark's lgConfigK=12 tolerance of exact
+    assert abs(merged["conv_id"]["approx_distinct"] - exact["cid"]) <= max(2, 0.05 * exact["cid"])
+    assert merged["role"]["approx_distinct"] == exact["role"]  # tiny cardinality is exact
+    # string min/max survive the merge (conv ids are zero-padded, so
+    # lexicographic == logical here)
+    assert merged["conv_id"]["min_display"].startswith("conv-")
