@@ -122,6 +122,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "_drift_baselines.json for drift rules without inline baselines",
     )
     p.add_argument(
+        "--sample-fraction",
+        type=float,
+        default=None,
+        metavar="F",
+        help="audit mode: validate a deterministic sample of GROUPS — keep "
+        "a row iff the md5 bucket of its first key column (e.g. whole "
+        "conversations for conv_id,turn_idx) falls below F. Group grain "
+        "keeps ordering/contiguity/uniqueness rules meaningful inside "
+        "every sampled unit; same rows every run/engine for a given seed. "
+        "Incompatible with --checkpoint: a sampled run must never mark a "
+        "partition as validated",
+    )
+    p.add_argument(
+        "--sample-seed",
+        type=int,
+        default=42,
+        help="seed folded into the --sample-fraction md5 bucket",
+    )
+    p.add_argument(
         "--stats-columns",
         default=None,
         metavar="COL[,COL...]",
@@ -441,6 +460,32 @@ def main(argv: list[str] | None = None) -> int:
         print("ERROR | --stats-columns requires --checkpoint (the stats "
               "store lives under the checkpoint dir)", file=sys.stderr)
         return 2
+
+    if args.sample_fraction is not None:
+        if not (0.0 < args.sample_fraction <= 1.0):
+            print(f"ERROR | --sample-fraction must be in (0, 1], got {args.sample_fraction}",
+                  file=sys.stderr)
+            return 2
+        if args.checkpoint:
+            # lineage from a sample would mark partitions PASS that were
+            # only fractionally checked — permanently skipping real rows
+            print("ERROR | --sample-fraction is an audit mode and cannot be "
+                  "combined with --checkpoint", file=sys.stderr)
+            return 2
+        from schema_enforcer_spark.functions.sampling import split_bucket
+
+        # sample at the GROUP grain (first key column): row-grain sampling
+        # would puncture turn_idx sequences and misfire every ordering/
+        # contiguity/uniqueness rule on perfectly clean data
+        unit = eng_kw["key_columns"][0]
+        df = df.filter(
+            split_bucket(F_col(unit).cast("string"), args.sample_seed)
+            < int(round(args.sample_fraction * 10000))
+        )
+        print(
+            f"sampled validation: fraction={args.sample_fraction} seed={args.sample_seed} "
+            f"(deterministic md5 buckets over {unit} groups)"
+        )
 
     def _print_merged_stats() -> None:
         from schema_enforcer_spark.stats import merged_column_stats, stats_store_path

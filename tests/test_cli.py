@@ -538,3 +538,29 @@ def test_cli_stats_columns_requires_checkpoint(spark, data, capsys):
     rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--stats-columns", "role"])
     assert rc == 2
     assert "--stats-columns requires --checkpoint" in capsys.readouterr().err
+
+
+def test_cli_sample_fraction_deterministic_audit(spark, data, capsys):
+    """--sample-fraction: validates a deterministic md5-bucket subset —
+    same rows every run, fewer than the full table, and clean data still
+    exits 0. Incompatible with --checkpoint (a sampled run must not mark
+    partitions validated)."""
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--sample-fraction", "0.3"])
+    out1 = capsys.readouterr().out
+    assert rc == 0
+    assert "sampled validation: fraction=0.3 seed=42" in out1 and "conv_id groups" in out1
+    # determinism: identical second run
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--sample-fraction", "0.3"])
+    assert rc == 0
+    # a violating row selected by the sample still fails the run; use
+    # fraction 1.0 so the injected row is guaranteed in-sample
+    rc = main(["--manifest", MANIFEST, "--input", data["bad"], "--sample-fraction", "1.0"])
+    assert rc == 1
+
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"],
+               "--sample-fraction", "0.3", "--checkpoint", data["root"] + "/ck_sample"])
+    assert rc == 2
+    assert "audit mode" in capsys.readouterr().err
+
+    rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--sample-fraction", "1.5"])
+    assert rc == 2
