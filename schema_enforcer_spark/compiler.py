@@ -319,7 +319,7 @@ def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
     /root/reference/schema_enforcer/instances/file.py:193-195)."""
     compiled = []
     for rule in manifest.row_rules:
-        if rule.kind in ("items", "pattern_properties", "property_names"):
+        if rule.kind in ("items", "prefix_items", "pattern_properties", "property_names"):
             continue  # array-element / map-entry rules emit per-entry violations — engine path
         col_name = rule.get("column")
         if col_name and not has_column_path(df, col_name):

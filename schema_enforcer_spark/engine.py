@@ -333,6 +333,120 @@ class ValidationEngine:
             out.append(F.when(F.col(col_name).isNull(), empty).otherwise(arr))
         return out
 
+    def _prefix_items_violation_arrays(self, df: DataFrame) -> list[Column]:
+        """Draft-7 TUPLE items (`items: [s0, s1, ...]` + additionalItems):
+        element p checked against checks[p] (absent positions skip — Draft-7
+        validates only what exists), and the tail past the prefix either
+        rejected wholesale (additional_items: false — jsonschema emits ONE
+        aggregate error naming every extra, was/were pluralized) or checked
+        per element (additional_items: {check}). All positional checks ride
+        one projection over the array column — element_at per position, no
+        explode, no shuffle, same single-pass shape as the items rule."""
+        from schema_enforcer_spark.compiler import compile_check, has_column_path, py_repr
+
+        _VIOL_T = (
+            "array<struct<schema_id:string,absolute_path:array<string>,"
+            "failing_value:string,message:string>>"
+        )
+        out: list[Column] = []
+        for rule in self.manifest.row_rules:
+            if rule.kind != "prefix_items":
+                continue
+            col_name = rule.params["column"]
+            if not has_column_path(df, col_name):
+                continue
+            arr_dt = _dtype_of(df, col_name)
+            if not isinstance(arr_dt, T.ArrayType):
+                raise ValueError(
+                    f"prefix_items rule column {col_name!r} is {arr_dt.simpleString()}, not an array"
+                )
+            elem_dt = arr_dt.elementType
+            checks = rule.params["checks"]
+            add = rule.get("additional_items")
+            rid = rule.get("id") or f"{self.manifest.id}/prefix_items/{col_name}"
+            custom_msg = rule.get("message")
+            key_elems = [F.col(k).cast("string") for k in self.key_columns if k in df.columns]
+            col = F.col(col_name)
+            n = len(checks)
+            label = col_name.split(".")[-1]
+
+            structs: list[Column] = []
+            for p, spec in enumerate(checks):
+                elem = F.element_at(col, p + 1)
+                pred, msg = compile_check(elem, elem_dt, spec["kind"], spec.get, label)
+                if custom_msg:
+                    msg = F.lit(custom_msg)
+                structs.append(
+                    F.when(
+                        (F.size(col) > p) & ~F.coalesce(pred, F.lit(True)),
+                        F.struct(
+                            F.lit(rid).alias("schema_id"),
+                            F.array(*key_elems, F.lit(col_name), F.lit(str(p))).alias("absolute_path"),
+                            elem.cast("string").alias("failing_value"),
+                            msg.alias("message"),
+                        ),
+                    )
+                )
+
+            arrays = [F.array_compact(F.array(*structs))] if structs else []
+            if add is False:
+                extras = F.slice(col, n + 1, F.greatest(F.size(col) - n, F.lit(0)))
+                reprs = F.array_join(
+                    F.transform(extras, lambda x: py_repr(x, elem_dt)), ", "
+                )
+                add_msg = F.concat(
+                    F.lit("Additional items are not allowed ("),
+                    reprs,
+                    F.when(F.size(col) - n == 1, F.lit(" was unexpected)")).otherwise(
+                        F.lit(" were unexpected)")
+                    ),
+                )
+                if custom_msg:
+                    add_msg = F.lit(custom_msg)
+                arrays.append(
+                    F.array_compact(
+                        F.array(
+                            F.when(
+                                F.size(col) > n,
+                                F.struct(
+                                    F.lit(rid).alias("schema_id"),
+                                    # jsonschema anchors this error at the
+                                    # array itself, not an index
+                                    F.array(*key_elems, F.lit(col_name)).alias("absolute_path"),
+                                    reprs.alias("failing_value"),
+                                    add_msg.alias("message"),
+                                ),
+                            )
+                        )
+                    )
+                )
+            elif isinstance(add, dict):
+
+                def make_tail_viol(_spec, _rid, _cm, _edt, _col, _keys, _n, _label):
+                    def viol(x, i):
+                        pred, msg = compile_check(x, _edt, _spec["kind"], _spec.get, _label)
+                        if _cm:
+                            msg = F.lit(_cm)
+                        return F.when(
+                            (i >= _n) & ~F.coalesce(pred, F.lit(True)),
+                            F.struct(
+                                F.lit(_rid).alias("schema_id"),
+                                F.array(*_keys, F.lit(_col), i.cast("string")).alias("absolute_path"),
+                                x.cast("string").alias("failing_value"),
+                                msg.alias("message"),
+                            ),
+                        )
+
+                    return viol
+
+                tail = make_tail_viol(add, rid, custom_msg, elem_dt, col_name, key_elems, n, label)
+                arrays.append(F.array_compact(F.transform(col, tail)))
+
+            combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+            empty = F.array().cast(_VIOL_T)
+            out.append(F.when(col.isNull(), empty).otherwise(combined))
+        return out
+
     def _pattern_properties_violation_arrays(self, df: DataFrame) -> list[Column]:
         """Draft-7 patternProperties over a MAP column (the reference's
         interface-name maps, examples/ansible/schema/schemas/
@@ -499,6 +613,7 @@ class ValidationEngine:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         flags = [(~F.coalesce(cr.predicate, F.lit(True))).cast("int") for cr in compiled]
         flags.extend(F.size(arr) for arr in self._items_violation_arrays(df))
+        flags.extend(F.size(arr) for arr in self._prefix_items_violation_arrays(df))
         flags.extend(F.size(arr) for arr in self._pattern_properties_violation_arrays(df))
         flags.extend(F.size(arr) for arr in self._property_names_violation_arrays(df))
         if not flags:
@@ -512,6 +627,7 @@ class ValidationEngine:
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         item_arrays = (
             self._items_violation_arrays(df)
+            + self._prefix_items_violation_arrays(df)
             + self._pattern_properties_violation_arrays(df)
             + self._property_names_violation_arrays(df)
         )

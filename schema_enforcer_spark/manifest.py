@@ -79,6 +79,12 @@ ROW_RULE_KINDS = {
                      # transform/filter/flatten), rides the zero-shuffle
                      # row-rule projection; unsupported constructs are
                      # rejected at manifest compile time.
+    "prefix_items",  # Draft-7 TUPLE form of items (`items: [s0, s1, ...]`
+                     # + additionalItems): positional checks on an array
+                     # column — element p validated against checks[p];
+                     # additional_items: false rejects extra elements with
+                     # jsonschema's exact aggregate message, a check dict
+                     # validates every element past the prefix
     "items",         # P12/P5 nested: per-element check on an array column
                      # (optionally on a struct field of each element) — the
                      # reference's items/properties walk re-expressed as one
@@ -185,6 +191,10 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "max_properties": {"type": "integer", "minimum": 0},
                     "window_seconds": {"type": "integer", "minimum": 1},
                     "additional_properties": {"type": "boolean"},
+                    # prefix_items tail policy: false (reject extras) or a
+                    # sub-check object applied to every element past the
+                    # prefix; true = Draft-7 default (anything allowed)
+                    "additional_items": {"type": ["boolean", "object"]},
                     "value_pattern": {"type": "string"},
                     "right_expr": {"type": "string"},
                 },
@@ -207,6 +217,7 @@ _PER_KIND_REQUIRED = {
     "unique_items": ["column"],
     "not_empty": ["column"],
     "items": ["column", "check"],
+    "prefix_items": ["column", "checks"],
     "jmespath": ["left", "operator"],
     "pattern_properties": ["column", "pattern"],
     "property_names": ["column", "check"],
@@ -343,6 +354,42 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         "inside an array-element lambda; explode the array and use a "
                         "plain format rule instead"
                     )
+        if kind == "prefix_items":
+            if isinstance(rule.get("checks"), list):
+                for j, spec in enumerate(rule["checks"]):
+                    if not isinstance(spec, dict):
+                        continue
+                    sub = spec.get("kind")
+                    if sub not in _COMPOSABLE_CHECK_KINDS:
+                        errors.append(
+                            f"rules/{i}: prefix_items checks/{j} must be a scalar row-rule kind, got {sub!r}"
+                        )
+                        continue
+                    for req in _PER_KIND_REQUIRED.get(sub, []):
+                        if req != "column" and req not in spec:
+                            errors.append(
+                                f"rules/{i}: prefix_items checks/{j} kind {sub!r} requires field {req!r}"
+                            )
+                    if sub == "format" and spec.get("format") == "regex":
+                        errors.append(
+                            f"rules/{i}: format 'regex' is a Python-UDF check and cannot run "
+                            "inside an array-element lambda; explode the array and use a "
+                            "plain format rule instead"
+                        )
+            add = rule.get("additional_items")
+            if isinstance(add, dict):
+                sub = add.get("kind")
+                if sub not in _COMPOSABLE_CHECK_KINDS:
+                    errors.append(
+                        f"rules/{i}: prefix_items additional_items must be false, true, or a "
+                        f"scalar row-rule check object, got kind {sub!r}"
+                    )
+                else:
+                    for req in _PER_KIND_REQUIRED.get(sub, []):
+                        if req != "column" and req not in add:
+                            errors.append(
+                                f"rules/{i}: prefix_items additional_items kind {sub!r} requires field {req!r}"
+                            )
         if kind in ("any_of", "all_of", "one_of", "not") and isinstance(rule.get("checks"), list):
             for j, spec in enumerate(rule["checks"]):
                 if not isinstance(spec, dict):

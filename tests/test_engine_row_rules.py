@@ -185,3 +185,124 @@ def test_oracle_no_false_positives(spark, transcripts, base_manifest):
     for row in sample:
         errs = list(validator.iter_errors(_to_instance(row)))
         assert errs == [], f"oracle flagged clean row {row}: {[e.message for e in errs]}"
+
+
+def test_prefix_items_tuple_validation(spark):
+    """Draft-7 tuple items + additionalItems: positional sub-checks at the
+    element index, absent positions skipped, additional_items: false emits
+    jsonschema's exact aggregate message (values repr'd, was/were), and a
+    check-dict tail validates every element past the prefix."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame(
+        [(0, [5, 1, 7, 3]), (1, [0]), (2, []), (3, None), (4, [0, 1])],
+        "id long, arr array<long>",
+    )
+    m = manifest_from_dict(
+        {
+            "id": "prop",
+            "table": "t",
+            "rules": [
+                {
+                    "kind": "prefix_items",
+                    "column": "arr",
+                    "checks": [{"kind": "range", "maximum": 0}, {"kind": "enum", "values": [1]}],
+                    "additional_items": False,
+                }
+            ],
+        }
+    )
+    got = {
+        (tuple(r["absolute_path"]), r["message"])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    assert got == {
+        (("0", "arr", "0"), "5 is greater than the maximum of 0"),
+        (("0", "arr"), "Additional items are not allowed (7, 3 were unexpected)"),
+    }
+
+    # singular pluralization + string element repr
+    df2 = spark.createDataFrame([(0, ["ok", "zz"])], "id long, arr array<string>")
+    m2 = manifest_from_dict(
+        {
+            "id": "prop",
+            "table": "t",
+            "rules": [
+                {
+                    "kind": "prefix_items",
+                    "column": "arr",
+                    "checks": [{"kind": "enum", "values": ["ok"]}],
+                    "additional_items": False,
+                }
+            ],
+        }
+    )
+    msgs = {r["message"] for r in ValidationEngine(m2, key_columns=["id"]).violations(df2).collect()}
+    assert msgs == {"Additional items are not allowed ('zz' was unexpected)"}
+
+    # additional_items as a CHECK DICT: tail elements validated per index
+    m3 = manifest_from_dict(
+        {
+            "id": "prop",
+            "table": "t",
+            "rules": [
+                {
+                    "kind": "prefix_items",
+                    "column": "arr",
+                    "checks": [{"kind": "range", "maximum": 0}],
+                    "additional_items": {"kind": "range", "minimum": 100},
+                }
+            ],
+        }
+    )
+    got3 = {
+        (tuple(r["absolute_path"]), r["message"])
+        for r in ValidationEngine(m3, key_columns=["id"]).violations(df).collect()
+    }
+    assert got3 == {
+        (("0", "arr", "0"), "5 is greater than the maximum of 0"),
+        (("0", "arr", "1"), "1 is less than the minimum of 100"),
+        (("0", "arr", "2"), "7 is less than the minimum of 100"),
+        (("0", "arr", "3"), "3 is less than the minimum of 100"),
+        (("4", "arr", "1"), "1 is less than the minimum of 100"),
+    }
+
+
+def test_prefix_items_manifest_validation(spark):
+    """Meta-validation: non-composable sub-kind and missing sub-params are
+    rejected at manifest load, not at plan build."""
+    from schema_enforcer_spark.manifest import InvalidManifest, manifest_from_dict
+
+    with pytest.raises(InvalidManifest, match="scalar row-rule kind"):
+        manifest_from_dict(
+            {
+                "id": "x",
+                "table": "t",
+                "rules": [
+                    {"kind": "prefix_items", "column": "a", "checks": [{"kind": "items", "check": "range"}]}
+                ],
+            }
+        )
+    with pytest.raises(InvalidManifest, match="requires field"):
+        manifest_from_dict(
+            {
+                "id": "x",
+                "table": "t",
+                "rules": [{"kind": "prefix_items", "column": "a", "checks": [{"kind": "enum"}]}],
+            }
+        )
+    with pytest.raises(InvalidManifest, match="additional_items"):
+        manifest_from_dict(
+            {
+                "id": "x",
+                "table": "t",
+                "rules": [
+                    {
+                        "kind": "prefix_items",
+                        "column": "a",
+                        "checks": [{"kind": "range", "maximum": 1}],
+                        "additional_items": {"kind": "nope"},
+                    }
+                ],
+            }
+        )

@@ -460,3 +460,49 @@ def test_random_composed_manifest_matches_jsonschema(spark, data):
         if any(True for _ in v.iter_errors(inst)):
             expected.add(i)
     assert flagged == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.one_of(st.none(), st.lists(st.integers(min_value=-30, max_value=30), max_size=6)),
+        min_size=1,
+        max_size=10,
+    ),
+    hi=st.integers(min_value=-5, max_value=5),
+    enum_vals=st.lists(st.integers(min_value=-3, max_value=3), min_size=1, max_size=3, unique=True),
+    tail=st.sampled_from(["open", "closed", "check"]),
+)
+def test_prefix_items_matches_jsonschema(spark, docs, hi, enum_vals, tail):
+    """Randomized Draft-7 tuple items: positional range+enum prefix with an
+    open/false/schema tail must agree with Draft7Validator row-for-row."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "id long, v array<long>")
+    rule = {
+        "kind": "prefix_items",
+        "column": "v",
+        "checks": [
+            {"kind": "range", "maximum": hi},
+            {"kind": "enum", "values": list(enum_vals)},
+        ],
+    }
+    body = {"items": [{"maximum": hi}, {"enum": list(enum_vals)}]}
+    if tail == "closed":
+        rule["additional_items"] = False
+        body["additionalItems"] = False
+    elif tail == "check":
+        rule["additional_items"] = {"kind": "range", "minimum": 0}
+        body["additionalItems"] = {"minimum": 0}
+    m = manifest_from_dict({"id": "prop", "table": "t", "rules": [rule]})
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator({"type": "object", "properties": {"v": body}})
+    expected = {
+        i
+        for i, d in enumerate(docs)
+        if d is not None and any(True for _ in v.iter_errors({"v": d}))
+    }
+    assert got == expected
