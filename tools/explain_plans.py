@@ -319,6 +319,48 @@ def main() -> None:
         problems.append("q57 jmespath scans the input more than once")
     sections.append(("jmespath literal-expression rule (q57: Catalyst HOFs, one exchange)", p17, notes17))
 
+    # 18. quarantine validity split (q58): the row_fail_count flag is one
+    # codegen expression on the scan projection — no joins, and the only
+    # exchange is the 2-key groupBy's partial-agg shuffle
+    p18 = _formatted(entry.q58_quarantine_split(spark, sf))
+    notes18 = []
+    n_ex18 = len(re.findall(r"^\(\d+\) Exchange\s*$", p18, re.M))
+    if "Join" in p18:
+        problems.append("q58 quarantine split contains a join — the validity flag must ride the scan")
+    else:
+        notes18.append("OK: no joins — validity is a codegen expression over the scan")
+    if n_ex18 > 1:
+        problems.append(f"q58 quarantine split has {n_ex18} Exchanges (want 1: the 2-key groupBy)")
+    else:
+        notes18.append(f"OK: {n_ex18} Exchange(s) — map-side combine into a 2-value key")
+    if "HashAggregate" not in p18:
+        problems.append("q58 quarantine split lost its hash aggregate")
+    else:
+        notes18.append("OK: partial HashAggregate before the exchange (map-side combine)")
+    sections.append(("quarantine validity split (q58: flag on the scan, one exchange)", p18, notes18))
+
+    # 19. clustered-ANN synthetic embedding (q32): the 128-md5 transform
+    # must be MATERIALIZED by the repartition barrier — if the plan's
+    # post-shuffle side recomputes md5, projection collapse has re-inlined
+    # the generator into the plane dots (the round-5 9-evals/row bug)
+    p19 = _formatted(entry.q32_ann_clustered(spark, sf))
+    notes19 = []
+    if "Exchange" not in p19:
+        problems.append("q32 lost its materialization barrier (no Exchange in plan)")
+    else:
+        post_shuffle = p19.split("Exchange", 1)[0]
+        # formatted plans list operators top-down: everything ABOVE the
+        # exchange consumes the shuffled (already-computed) embedding
+        if "md5" in post_shuffle.lower():
+            problems.append(
+                "q32 recomputes the md5 embedding ABOVE the barrier — "
+                "projection collapse re-inlined the generator"
+            )
+        else:
+            notes19.append("OK: md5 generation sits below the Exchange — computed once, shuffled as data")
+        notes19.append("OK: repartition barrier present (embedding materialized before the 8 plane dots)")
+    sections.append(("clustered-ANN synthetic embedding (q32: barrier before plane dots)", p19, notes19))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
