@@ -3,6 +3,7 @@ from schema_enforcer_spark.streaming.validate import (
     stream_verdicts,
     stream_dedup,
     stream_drift,
+    stream_quarantine,
     stream_session_stats,
 )
 from schema_enforcer_spark.streaming.stateful import (
@@ -15,6 +16,7 @@ __all__ = [
     "stream_verdicts",
     "stream_dedup",
     "stream_drift",
+    "stream_quarantine",
     "stream_session_stats",
     "stream_rate_limit",
     "stream_stateful_contiguity",

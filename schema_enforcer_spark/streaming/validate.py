@@ -108,6 +108,21 @@ def stream_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_columns)
 
 
+def stream_quarantine(stream_df: DataFrame, manifest: Manifest, **engine_kw) -> DataFrame:
+    """Streaming twin of the CLI ``--quarantine`` sink: the SAME
+    row_fail_count validity flag, as a stateless projection on the stream.
+    Write it with ``.writeStream.partitionBy("row_valid").format("parquet")``
+    for the identical row_valid=true/false layout the batch sink produces —
+    no state, no watermark, no shuffle (validity is per-row), so it
+    composes with any downstream stateful operator."""
+    if "row_valid" in stream_df.columns:
+        raise ValueError("input already has a 'row_valid' column")
+    eng = ValidationEngine(manifest, **engine_kw)
+    return stream_df.withColumn(
+        "row_valid", eng.row_fail_count(stream_df) == F.lit(0)
+    )
+
+
 def stream_drift(
     stream_df: DataFrame,
     manifest: Manifest,

@@ -471,3 +471,33 @@ def test_stream_drift_against_stored_baseline(spark, tmp_path):
     assert rows and rows[0]["schema_id"] == "schemas/stream_drift/drift/v"
     assert "drift" in rows[0]["message"]
     assert rows[0]["instance_type"] == "TABLE"
+
+
+def test_stream_quarantine_split(spark, stream_src, tmp_path):
+    """Streaming --quarantine twin: the validity flag is a stateless
+    projection; a file sink partitioned by row_valid produces the same
+    true/false layout as the batch CLI sink, and the false side is exactly
+    the injected enum-violating rows."""
+    from schema_enforcer_spark.streaming import stream_quarantine
+
+    path, schema = stream_src
+    src = spark.readStream.schema(schema).parquet(path)
+    out = str(tmp_path / "q")
+    q = (
+        stream_quarantine(src, MANIFEST)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .partitionBy("row_valid")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream_quarantine failed to terminate"
+    q.stop()
+    got = spark.read.parquet(out)
+    total = spark.read.parquet(path).count()
+    assert got.count() == total
+    bad = got.filter("row_valid = false")
+    assert bad.count() >= 1
+    assert bad.filter("role = 'operator'").count() == bad.count()
+    assert got.filter("row_valid = true and role = 'operator'").count() == 0
