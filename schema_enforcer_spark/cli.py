@@ -39,7 +39,14 @@ def escape_partition_value(value: str | None) -> str:
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="schema-enforcer-spark")
-    p.add_argument("--manifest", required=True, help="YAML/JSON constraint manifest")
+    p.add_argument(
+        "--manifest",
+        required=True,
+        help="YAML/JSON constraint manifest, or a DIRECTORY of manifests — "
+        "a directory automaps every manifest against the input's columns "
+        "and validates each one that binds (the reference `validate` "
+        "command's all-schemas semantics, cli.py:75-96)",
+    )
     p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
     p.add_argument(
         "--inventory",
@@ -345,8 +352,31 @@ def main(argv: list[str] | None = None) -> int:
     from schema_enforcer_spark.engine import ValidationEngine
     from schema_enforcer_spark.manifest import InvalidManifest, load_manifest
 
+    import os as _os
+
+    # --manifest DIR = the reference's `validate` semantics: EVERY schema
+    # runs against every data unit it automaps to (cli.py:75-96 iterates
+    # all instances × their matching schemas). Incremental checkpointing,
+    # baselines, and the golden-corpus tools are single-manifest concerns.
+    multi = _os.path.isdir(args.manifest)
+    if multi and (
+        args.checkpoint or args.write_baseline or args.baseline or args.selftest or args.generate_invalid
+    ):
+        print(
+            "ERROR | --manifest DIR (multi-manifest automap) cannot be combined "
+            "with --checkpoint/--write-baseline/--baseline/--selftest/"
+            "--generate-invalid — run those per manifest",
+            file=sys.stderr,
+        )
+        return 2
     try:
-        manifest = load_manifest(args.manifest)
+        if multi:
+            manifests = [load_manifest(p) for p in _manifest_paths(args.manifest)]
+            if not manifests:
+                print(f"ERROR | no manifests under {args.manifest}", file=sys.stderr)
+                return 1
+        else:
+            manifests = [load_manifest(args.manifest)]
     except InvalidManifest as e:
         # fail before any Spark job, like the reference's InvalidJSONSchema
         # exit (/root/reference/schema_enforcer/cli.py:66-68)
@@ -354,24 +384,42 @@ def main(argv: list[str] | None = None) -> int:
             print(f"ERROR | invalid manifest | {err}", file=sys.stderr)
         return 1
 
-    if args.strict and not manifest.strict:
+    if args.strict:
         # the reference's --strict rewrites every schema with
         # additionalProperties: false (validation.py via cli.py:34-41); here
         # the declared column set plays that role, so strict without one
-        # would silently check nothing — fail loudly instead
-        if not manifest.columns:
+        # would silently check nothing — fail loudly (single manifest) or
+        # warn-and-skip (dir mode, where sibling manifests may still apply)
+        import dataclasses
+
+        no_columns = [m.id for m in manifests if not m.strict and not m.columns]
+        if no_columns and not multi:
             print(
                 "ERROR | --strict needs the manifest to declare 'columns' "
                 "(the additionalProperties universe)",
                 file=sys.stderr,
             )
             return 1
-        import dataclasses
-
-        # with --inventory the loader injects the 'host' key column — it's
-        # part of the engine's plumbing, not an undeclared user var
-        cols = (*manifest.columns, "host") if args.inventory and "host" not in manifest.columns else manifest.columns
-        manifest = dataclasses.replace(manifest, strict=True, columns=cols)
+        if len(no_columns) == len(manifests) and all(not m.strict for m in manifests):
+            print(
+                "ERROR | --strict: no manifest declares 'columns' "
+                "(the additionalProperties universe)",
+                file=sys.stderr,
+            )
+            return 1
+        for mid in no_columns:
+            print(f"WARN | --strict skipped for {mid} (no 'columns' declared)", file=sys.stderr)
+        strictened = []
+        for m in manifests:
+            if m.strict or not m.columns:
+                strictened.append(m)
+                continue
+            # with --inventory the loader injects the 'host' key column —
+            # it's part of the engine's plumbing, not an undeclared user var
+            cols = (*m.columns, "host") if args.inventory and "host" not in m.columns else m.columns
+            strictened.append(dataclasses.replace(m, strict=True, columns=cols))
+        manifests = strictened
+    manifest = manifests[0]
 
     builder = SparkSession.builder.appName(f"schema-enforcer-spark:{manifest.id}")
     if args.master:
@@ -427,7 +475,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.show_checks:
         from schema_enforcer_spark.binding import ManifestRegistry
 
-        reg = ManifestRegistry([manifest])
+        reg = ManifestRegistry(manifests)
         bound = reg.automap(df.columns)
         print(f"{'Instance':<40} Schema ID")
         print("-" * 80)
@@ -501,7 +549,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['n_rows']:>12} {r['n_partitions']:>6}  {lo}..{hi}"
             )
 
-    eng = ValidationEngine(manifest, **eng_kw)
+    if multi:
+        from schema_enforcer_spark.binding import ManifestRegistry
+
+        bound = ManifestRegistry(manifests).automap(df.columns)
+        bound_ids = {b.id for b in bound}
+        for m in manifests:
+            if m.id not in bound_ids:
+                print(f"WARN | manifest {m.id} shares no columns with the input — skipped")
+        if not bound:
+            print("ERROR | no manifest binds to the input's columns", file=sys.stderr)
+            return 2
+        engines = [ValidationEngine(m, **eng_kw) for m in bound]
+        print(f"validating against {len(bound)} manifest(s): {sorted(bound_ids)}")
+    else:
+        engines = [ValidationEngine(manifest, **eng_kw)]
+    eng = engines[0]
 
     if args.quarantine:
         # Row-grain quarantine: ONE scan of the full input, the validity
@@ -516,7 +579,12 @@ def main(argv: list[str] | None = None) -> int:
                   "but the input already has one", file=sys.stderr)
             return 2
         qroot = args.quarantine.rstrip("/")
-        df.withColumn("row_valid", eng.row_fail_count(df) == F_lit(0)).write.mode(
+        # multi-manifest: a row is quarantined iff it fails ANY bound
+        # manifest's row rules — still one codegen expression, one pass
+        total_fails = engines[0].row_fail_count(df)
+        for e2 in engines[1:]:
+            total_fails = total_fails + e2.row_fail_count(df)
+        df.withColumn("row_valid", total_fails == F_lit(0)).write.mode(
             "overwrite"
         ).partitionBy("row_valid").parquet(qroot)
         # count via the written files' footers (partition column + count =
@@ -553,6 +621,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"validated {n_pending} pending rows")
     else:
         report = eng.validate(df, ref_tables)
+        if len(engines) > 1:
+            # one pass per bound manifest over the same scan; the sinks and
+            # verdict/FAIL-line logic below operate on the union (verdict
+            # rows carry schema_id, so per-manifest results stay separable)
+            from functools import reduce
+
+            from schema_enforcer_spark.engine import ValidationReport
+
+            reports = [report] + [e2.validate(df, ref_tables) for e2 in engines[1:]]
+            report = ValidationReport(
+                violations=reduce(lambda a, b: a.unionByName(b), [r.violations for r in reports]),
+                verdicts=reduce(lambda a, b: a.unionByName(b), [r.verdicts for r in reports]),
+            )
 
     # the report fans out into several actions below (writes, lineage scan,
     # FAIL-line collect, passes(), counts) — each would otherwise re-run the
@@ -653,10 +734,11 @@ def main(argv: list[str] | None = None) -> int:
     # calling main() repeatedly must not accumulate persisted DataFrames
     report.violations.unpersist()
     report.verdicts.unpersist()
+    ids = ", ".join(e.manifest.id for e in engines)
     if any_fail:
-        print(f"{n} violation(s) [{manifest.id}]")
+        print(f"{n} violation(s) [{ids}]")
         return 1
-    print(f"ALL SCHEMA VALIDATION CHECKS PASSED [{manifest.id}]")
+    print(f"ALL SCHEMA VALIDATION CHECKS PASSED [{ids}]")
     return 0
 
 

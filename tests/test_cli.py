@@ -564,3 +564,53 @@ def test_cli_sample_fraction_deterministic_audit(spark, data, capsys):
 
     rc = main(["--manifest", MANIFEST, "--input", data["clean"], "--sample-fraction", "1.5"])
     assert rc == 2
+
+
+def test_cli_manifest_directory_automap(spark, data, tmp_path, capsys):
+    """--manifest DIR: every manifest that automaps to the input's columns
+    runs (reference `validate` all-schemas semantics); non-binding
+    manifests are skipped with a warning; the exit code reflects the union
+    of violations."""
+    import shutil
+
+    mdir = tmp_path / "mdir"
+    mdir.mkdir()
+    shutil.copy(MANIFEST, mdir / "base.yml")
+    (mdir / "roles_only.yml").write_text(
+        "id: schemas/roles_only\n"
+        "table: transcripts\n"
+        "rules:\n"
+        "  - kind: required\n"
+        "    column: role\n"
+    )
+    (mdir / "unrelated.yml").write_text(
+        "id: schemas/unrelated\n"
+        "table: other\n"
+        "rules:\n"
+        "  - kind: required\n"
+        "    column: no_such_column_anywhere\n"
+    )
+    rc = main(["--manifest", str(mdir), "--input", data["bad"]])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "validating against 2 manifest(s)" in out
+    assert "WARN | manifest schemas/unrelated shares no columns with the input — skipped" in out
+    assert "'operator' is not one of" in out  # base manifest's enum rule fired
+
+    rc = main(["--manifest", str(mdir), "--input", data["clean"]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ALL SCHEMA VALIDATION CHECKS PASSED" in out
+    assert "schemas/roles_only" in out and "schemas/transcripts_base" in out
+
+    # quarantine across ALL bound manifests: one pass, union of row rules
+    qdir = str(tmp_path / "q")
+    rc = main(["--manifest", str(mdir), "--input", data["bad"], "--quarantine", qdir])
+    assert rc == 1
+    q = spark.read.parquet(qdir)
+    assert q.filter("row_valid = false and role = 'operator'").count() >= 1
+
+    # incremental features stay single-manifest
+    rc = main(["--manifest", str(mdir), "--input", data["bad"], "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 2
+    assert "multi-manifest" in capsys.readouterr().err
