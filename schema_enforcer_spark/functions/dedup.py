@@ -321,7 +321,7 @@ def _votes_to_long(votes: Column) -> Column:
     # distinct powers of two sum exactly into a signed long (bit 63 is the
     # sign bit: its power is Long.MIN_VALUE, and adding it to the ≥0 partial
     # sum of bits 0..62 cannot overflow)
-    powers = F.array(*[F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long") for k in range(64)])
+    powers = F.lit([(1 << k) if k < 63 else -(1 << 63) for k in range(64)])
     return F.aggregate(
         F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -488,7 +488,10 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     ROBUST one. Fold is left-assoc from 0.0 — the order every SQL oracle
     replica assumes."""
     return F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a.cast("double") * b),
+        # F.lit(list) = one py4j call + one Literal node; the element-wise
+        # F.array(*[F.lit(x)...]) form cost 64 round trips per plane and
+        # dominated driver-side plan construction for LSH queries
+        F.zip_with(vec, F.lit([float(x) for x in plane]), lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -20,7 +20,12 @@ from schema_enforcer_spark.functions.dedup import _hyperplanes, _dot_lit, cosine
 
 
 def _query_lit(query_vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # ONE py4j call: F.lit(list) builds the whole array literal server-side.
+    # The element-wise form (F.array(*[F.lit(x) ...])) costs a py4j round
+    # trip per element — 64-dim vectors × several planes per query added
+    # SECONDS of driver-side plan-construction time (measured in bench,
+    # where every timing iteration rebuilds the DataFrame).
+    return F.lit([float(x) for x in query_vec])
 
 
 def brute_force_topk(
@@ -123,7 +128,7 @@ def ivf_build(
             d = F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    F.lit([float(x) for x in c]),
                     lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                 ),
                 F.lit(0.0),

@@ -71,7 +71,7 @@ def gen_transcripts(
         .otherwise(F.lit("assistant"))
     )
     n_words = 3 + F.pmod(h, F.lit(30))
-    words_arr = F.array(*[F.lit(w) for w in WORDS])
+    words_arr = F.lit(list(WORDS))  # one py4j call, not one per word
     text = F.concat_ws(
         " ",
         F.transform(
