@@ -84,6 +84,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "aggregate) don't mark individual rows here; their violations go "
         "to --output as usual",
     )
+    p.add_argument(
+        "--max-violations-per-rule",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cap the violations SINK at N rows per (rule, instance) — a "
+        "systematically-broken rule over 10^12 rows would otherwise write "
+        "a violations table LARGER than the input. Verdicts, rule "
+        "summaries, and the exit code keep exact counts; only the "
+        "persisted violation rows are sampled (deterministically: first N "
+        "by path+message within each rule x instance)",
+    )
     p.add_argument("--checkpoint", default=None, help="lineage dir for resumable runs")
     p.add_argument("--ref-table", action="append", default=[], metavar="NAME=PATH", help="referential-rule reference tables")
     p.add_argument("--key-columns", default="conv_id,turn_idx")
@@ -641,6 +653,21 @@ def main(argv: list[str] | None = None) -> int:
     report.violations.persist()
     report.verdicts.persist()
 
+    # the SINK view of violations: optionally capped per (rule, instance).
+    # Verdicts/rule_summary/exit code keep reading the full persisted set —
+    # counts stay exact; only what lands on disk is sampled.
+    sink_violations = report.violations
+    if args.max_violations_per_rule:
+        from pyspark.sql.functions import row_number as F_row_number
+        from pyspark.sql.window import Window as _Window
+
+        _w = _Window.partitionBy("schema_id", "instance_name").orderBy("absolute_path", "message")
+        sink_violations = (
+            report.violations.withColumn("_rn", F_row_number().over(_w))
+            .filter(F_col("_rn") <= args.max_violations_per_rule)
+            .drop("_rn")
+        )
+
     if args.output:
         root = args.output.rstrip("/")
         if args.checkpoint:
@@ -662,10 +689,10 @@ def main(argv: list[str] | None = None) -> int:
             for sub in ("violations", "verdicts"):
                 for inst in insts:
                     fs.delete(hpath(f"{root}/{sub}/instance_name={escape_partition_value(inst)}"), True)
-            report.violations.write.mode("append").partitionBy("instance_name").parquet(f"{root}/violations")
+            sink_violations.write.mode("append").partitionBy("instance_name").parquet(f"{root}/violations")
             report.verdicts.write.mode("append").partitionBy("instance_name").parquet(f"{root}/verdicts")
         else:
-            report.violations.write.mode("overwrite").parquet(f"{root}/violations")
+            sink_violations.write.mode("overwrite").parquet(f"{root}/violations")
             report.verdicts.write.mode("overwrite").parquet(f"{root}/verdicts")
 
     if cm is not None:

@@ -614,3 +614,27 @@ def test_cli_manifest_directory_automap(spark, data, tmp_path, capsys):
     rc = main(["--manifest", str(mdir), "--input", data["bad"], "--checkpoint", str(tmp_path / "ck")])
     assert rc == 2
     assert "multi-manifest" in capsys.readouterr().err
+
+
+def test_cli_max_violations_per_rule_caps_sink(spark, data, tmp_path, capsys):
+    """--max-violations-per-rule: the persisted violations are capped per
+    (rule, instance) while verdicts keep EXACT counts and the exit code
+    still fails — the sink-vs-truth split that keeps a systematically
+    broken rule from writing a violations table larger than the input."""
+    from pyspark.sql import functions as F
+
+    allbad = str(tmp_path / "allbad")
+    spark.read.parquet(data["clean"]).withColumn("text", F.lit(None).cast("string")).write.parquet(allbad)
+    out = str(tmp_path / "out")
+    rc = main(["--manifest", MANIFEST, "--input", allbad, "--output", out,
+               "--max-violations-per-rule", "3"])
+    assert rc == 1
+    written = spark.read.parquet(out + "/violations")
+    per_group = written.groupBy("schema_id", "instance_name").count().collect()
+    assert per_group and all(r["count"] <= 3 for r in per_group)
+    # verdict counts stay EXACT (more than the cap)
+    verd = spark.read.parquet(out + "/verdicts")
+    total_true = spark.read.parquet(allbad).count()
+    assert verd.agg(F.sum("n_violations")).collect()[0][0] == total_true
+    n_printed = capsys.readouterr().out
+    assert f"{total_true} violation(s)" in n_printed
