@@ -1125,6 +1125,51 @@ def q58_quarantine_split(spark, sf_dir):
     )
 
 
+def q59_prefix_items(spark, sf_dir):
+    """Draft-7 TUPLE items (prefix_items rule) as an oracle-checked query:
+    events re-shaped into variable-length integer arrays (slice length =
+    event_id % 3 + 1, so all three tail cases occur), position 0 range-
+    checked, position 1 enum-checked, extras rejected with jsonschema's
+    exact aggregate message. Integer arrays keep the failing-value reprs
+    engine-portable (double formatting differs across engines). Zero-
+    shuffle row-rule projection — same plan shape as q02."""
+    ev = _t(spark, sf_dir, "events")
+    shaped = ev.select(
+        "event_id",
+        "user_id",
+        F.slice(
+            F.array(
+                F.pmod(F.col("event_id"), F.lit(7)),
+                F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(5)),
+                # floor, not cast: Spark's double->long cast truncates while
+                # DuckDB's rounds — floor agrees everywhere
+                F.pmod(F.floor(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(11)),
+            ),
+            1,
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("arr"),
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_tuple",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "prefix_items",
+                    "column": "arr",
+                    "checks": [
+                        {"kind": "range", "maximum": 4},
+                        {"kind": "enum", "values": [0, 1, 2]},
+                    ],
+                    "additional_items": False,
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["event_id"], instance_expr=_INST)
+    return _flat(eng.violations(shaped))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1191,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_hash_split": q56_hash_split,
         "q57_jmespath_interfaces": q57_jmespath_interfaces,
         "q58_quarantine_split": q58_quarantine_split,
+        "q59_prefix_items": q59_prefix_items,
     }
 
 
@@ -2166,5 +2212,38 @@ def oracle_sql() -> dict[str, str]:
                  AS row_valid,
                COUNT(*) AS n_rows
         FROM events GROUP BY row_valid
+    """
+    # q59: Draft-7 tuple items — positional range/enum on the sliced int
+    # array, plus jsonschema's aggregate additionalItems message for the
+    # length-3 tail. FLOOR (not CAST) keeps double->int engine-portable.
+    sqls["q59_prefix_items"] = """
+        WITH shaped AS (
+          SELECT event_id, user_id,
+                 (event_id % 7) AS a0,
+                 (COALESCE(user_id, 0) % 5) AS a1,
+                 (CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) % 11) AS a2,
+                 ((event_id % 3) + 1) AS n
+          FROM events
+        )
+        SELECT 'schemas/events_tuple/prefix_items/arr' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':arr:0' AS path,
+               CAST(a0 AS VARCHAR) AS failing_value,
+               CAST(a0 AS VARCHAR) || ' is greater than the maximum of 4' AS message
+        FROM shaped WHERE a0 > 4
+        UNION ALL
+        SELECT 'schemas/events_tuple/prefix_items/arr', 'FAIL',
+               CAST(user_id % 16 AS VARCHAR),
+               CAST(event_id AS VARCHAR) || ':arr:1',
+               CAST(a1 AS VARCHAR),
+               CAST(a1 AS VARCHAR) || ' is not one of [0, 1, 2]'
+        FROM shaped WHERE n >= 2 AND a1 NOT IN (0, 1, 2)
+        UNION ALL
+        SELECT 'schemas/events_tuple/prefix_items/arr', 'FAIL',
+               CAST(user_id % 16 AS VARCHAR),
+               CAST(event_id AS VARCHAR) || ':arr',
+               CAST(a2 AS VARCHAR),
+               'Additional items are not allowed (' || CAST(a2 AS VARCHAR) || ' was unexpected)'
+        FROM shaped WHERE n = 3
     """
     return sqls
