@@ -506,3 +506,63 @@ def test_prefix_items_matches_jsonschema(spark, docs, hi, enum_vals, tail):
         if d is not None and any(True for _ in v.iter_errors({"v": d}))
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.one_of(st.none(), _text),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    trigger=st.sampled_from(["x", "y"]),
+    then_kind=st.sampled_from(["required", "pattern", "equals"]),
+    with_else=st.booleans(),
+)
+def test_conditional_rule_matches_jsonschema_if_then_else(spark, rows, trigger, then_kind, with_else):
+    """The cross-column conditional rule vs Draft-7 if/then/else. Semantics
+    mapping: the engine's `when: equals` triggers only when the column IS
+    the value (null does not trigger), so the jsonschema `if` gets
+    required+const; `then: equals` uses eqNullSafe (null fails), so the
+    jsonschema `then` gets required+const too; `then: pattern` passes
+    nulls on both sides."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    when = {"column": "a", "equals": trigger}
+    if_schema = {"properties": {"a": {"const": trigger}}, "required": ["a"]}
+    if then_kind == "required":
+        then = {"column": "b", "required": True}
+        then_schema = {"required": ["b"]}
+    elif then_kind == "pattern":
+        then = {"column": "b", "pattern": "^a"}
+        then_schema = {"properties": {"b": {"pattern": "^a"}}}
+    else:
+        then = {"column": "b", "equals": "abc"}
+        then_schema = {"properties": {"b": {"const": "abc"}}, "required": ["b"]}
+    rule = {"kind": "conditional", "when": when, "then": then}
+    schema = {"type": "object", "if": if_schema, "then": then_schema}
+    if with_else:
+        rule["otherwise"] = {"column": "b", "pattern": "z$"}
+        schema["else"] = {"properties": {"b": {"pattern": "z$"}}}
+    m = manifest_from_dict({"id": "prop", "table": "t", "rules": [rule]})
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, a string, b string"
+    )
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator(schema)
+    expected = set()
+    for i, (a, b) in enumerate(rows):
+        inst = {}
+        if a is not None:
+            inst["a"] = a
+        if b is not None:
+            inst["b"] = b
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
