@@ -566,3 +566,114 @@ def test_conditional_rule_matches_jsonschema_if_then_else(spark, rows, trigger, 
         if any(True for _ in v.iter_errors(inst)):
             expected.add(i)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-30, 30)), max_size=5)),
+        min_size=1,
+        max_size=12,
+    ),
+    lo=st.integers(min_value=-10, max_value=10),
+    kind=st.sampled_from(["range", "enum"]),
+)
+def test_contains_matches_jsonschema(spark, docs, lo, kind):
+    """Draft-6 contains (existential element check) vs Draft7Validator —
+    including the null-element subtlety: enum constrains a null instance
+    (null is not a witness), range does not apply to nulls."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    if kind == "range":
+        rule = {"kind": "contains", "column": "v", "check": "range", "minimum": lo}
+        body = {"contains": {"minimum": lo}}
+    else:
+        rule = {"kind": "contains", "column": "v", "check": "enum", "values": [lo, lo + 1]}
+        body = {"contains": {"enum": [lo, lo + 1]}}
+    m = manifest_from_dict({"id": "prop", "table": "t", "rules": [rule]})
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "id long, v array<long>")
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator({"type": "object", "properties": {"v": body}})
+    expected = set()
+    for i, d in enumerate(docs):
+        inst = {} if d is None else {"v": d}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), _text),
+            st.one_of(st.none(), _text),
+            st.one_of(st.none(), _text),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_dependent_required_matches_jsonschema(spark, rows):
+    """dependent_required vs Draft-7 `dependencies` (property-list form):
+    presence of column a requires b and c."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    m = manifest_from_dict(
+        {
+            "id": "prop",
+            "table": "t",
+            "rules": [{"kind": "dependent_required", "column": "a", "requires": ["b", "c"]}],
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(rows)], "id long, a string, b string, c string"
+    )
+    got = {
+        int(r["absolute_path"][0])
+        for r in ValidationEngine(m, key_columns=["id"]).violations(df).collect()
+    }
+    v = jsonschema.Draft7Validator({"type": "object", "dependencies": {"a": ["b", "c"]}})
+    expected = set()
+    for i, (a, b, c) in enumerate(rows):
+        inst = {k: x for k, x in zip("abc", (a, b, c)) if x is not None}
+        if any(True for _ in v.iter_errors(inst)):
+            expected.add(i)
+    assert got == expected
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.recursive(
+        st.one_of(st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False), _text),
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(
+                st.sampled_from(
+                    ["id", "table", "rules", "kind", "column", "columns", "values",
+                     "pattern", "minimum", "checks", "include", "strict", "when", "then"]
+                ),
+                children,
+                max_size=5,
+            ),
+        ),
+        max_leaves=12,
+    )
+)
+def test_manifest_loader_fuzz_never_crashes(raw):
+    """manifest_from_dict on arbitrary junk either returns a Manifest or
+    raises InvalidManifest — never an unhandled TypeError/KeyError (a
+    malformed manifest must fail with line-addressable errors, reference
+    InvalidJSONSchema parity). No Spark needed: this is the driver-side
+    meta-validation path."""
+    from schema_enforcer_spark.manifest import InvalidManifest, Manifest, manifest_from_dict
+
+    try:
+        m = manifest_from_dict(raw if isinstance(raw, dict) else {"id": "x", "table": "t", "rules": raw})
+        assert isinstance(m, Manifest)
+    except InvalidManifest:
+        pass
