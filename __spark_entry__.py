@@ -1170,6 +1170,47 @@ def q59_prefix_items(spark, sf_dir):
     return _flat(eng.violations(shaped))
 
 
+def q60_equals_table(spark, sf_dir):
+    """The north-star per-row invariant (equals_table rule): events diffed
+    against a deterministically-tampered reference copy — every 101st id
+    dropped from the reference, every 97th value bumped, every 499th id
+    re-keyed as a reference-only row. One full-outer equi-join on the key;
+    three violation shapes (value mismatch / missing-from-reference /
+    missing-from-input). The DuckDB twin rebuilds the same tampered copy
+    and the same join."""
+    ev = _t(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(101)) != 0)
+        .withColumn(
+            "value",
+            F.when(F.pmod(F.col("event_id"), F.lit(97)) == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        .unionByName(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(499)) == 0).withColumn(
+                "event_id", F.col("event_id") + 10_000_000
+            )
+        )
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_equals",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "equals_table",
+                    "columns": ["event_id"],
+                    "ref_table": "reference",
+                    "compare": ["value"],
+                }
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["event_id"], instance_expr=_INST)
+    return _flat(eng.violations(ev, ref_tables={"reference": ref}))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: manifest validation over events at sf0.001 — violation rows
     with jsonschema-parity messages (>0 rows: 'error' enum violations)."""
@@ -1237,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_jmespath_interfaces": q57_jmespath_interfaces,
         "q58_quarantine_split": q58_quarantine_split,
         "q59_prefix_items": q59_prefix_items,
+        "q60_equals_table": q60_equals_table,
     }
 
 
@@ -2245,5 +2287,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(a2 AS VARCHAR),
                'Additional items are not allowed (' || CAST(a2 AS VARCHAR) || ' was unexpected)'
         FROM shaped WHERE n = 3
+    """
+    # q60: equals_table full-diff vs the tampered reference copy. Engine
+    # details replicated: instance falls back to the key string when the
+    # instance expr is NULL (null user_id) or the row is reference-only;
+    # value reprs use 'None' for SQL NULL (py_repr parity).
+    sqls["q60_equals_table"] = """
+        WITH ref AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END AS value
+          FROM events WHERE event_id % 101 <> 0
+          UNION ALL
+          SELECT event_id + 10000000, value FROM events WHERE event_id % 499 = 0
+        ), j AS (
+          SELECT COALESCE(l.event_id, r.event_id) AS k,
+                 l.event_id AS lid, r.event_id AS rid,
+                 l.value AS lv, r.value AS rv, l.user_id AS luser
+          FROM events l FULL OUTER JOIN ref r ON l.event_id = r.event_id
+        )
+        SELECT 'schemas/events_equals/equals_table/reference' AS schema_id,
+               'FAIL' AS result,
+               COALESCE(CAST(luser % 16 AS VARCHAR), CAST(k AS VARCHAR)) AS instance_name,
+               CAST(k AS VARCHAR) AS path,
+               CAST(k AS VARCHAR) AS failing_value,
+               '''' || CAST(k AS VARCHAR) || ''' is missing from reference' AS message
+        FROM j WHERE rid IS NULL
+        UNION ALL
+        SELECT 'schemas/events_equals/equals_table/reference', 'FAIL',
+               CAST(k AS VARCHAR),
+               CAST(k AS VARCHAR),
+               CAST(k AS VARCHAR),
+               '''' || CAST(k AS VARCHAR) || ''' is missing from the input (present in reference)'
+        FROM j WHERE lid IS NULL
+        UNION ALL
+        SELECT 'schemas/events_equals/equals_table/reference', 'FAIL',
+               COALESCE(CAST(luser % 16 AS VARCHAR), CAST(k AS VARCHAR)),
+               CAST(k AS VARCHAR) || ':value',
+               CAST(lv AS VARCHAR),
+               COALESCE(CAST(lv AS VARCHAR), 'None') || ' does not equal reference.value '
+                 || COALESCE(CAST(rv AS VARCHAR), 'None')
+        FROM j WHERE lid IS NOT NULL AND rid IS NOT NULL AND lv IS DISTINCT FROM rv
     """
     return sqls

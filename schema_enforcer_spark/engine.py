@@ -764,6 +764,102 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _equals_table_violations(self, df: DataFrame, rule: Rule, ref_tables: dict[str, DataFrame]) -> DataFrame:
+        """The north-star per-row invariant (BASELINE.json input_hint:
+        'per-turn text equality under stable turn ordering'): diff the
+        input against a reference table on the key columns. Emits three
+        violation shapes — a compared column's value differs, an input row
+        has no reference counterpart, a reference row has no input
+        counterpart. ONE full-outer equi-join shuffle on the keys (both
+        sides bucketed by conv_id ⇒ exchange-free); 'stable turn ordering'
+        is by construction — the comparison keys on (conv_id, turn_idx),
+        never on file or partition order. No collect, no window."""
+        from schema_enforcer_spark.compiler import py_repr
+
+        keys = list(rule.params["columns"])
+        comp = list(rule.params["compare"])
+        ref_name = rule.params["ref_table"]
+        if ref_name not in ref_tables:
+            raise KeyError(f"equals_table rule needs ref table {ref_name!r} in ref_tables")
+        ref = ref_tables[ref_name]
+        for c in keys + comp:
+            if c not in df.columns:
+                raise ValueError(f"equals_table: input lacks column {c!r}")
+            if c not in ref.columns:
+                raise ValueError(f"equals_table: ref table {ref_name!r} lacks column {c!r}")
+        rid = rule.get("id") or f"{self.manifest.id}/equals_table/{ref_name}"
+        custom_msg = rule.get("message")
+
+        left = df.select(
+            *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
+        )
+        right = ref.select(
+            *keys, *[F.col(c).alias(f"_r_{c}") for c in comp], F.lit(1).alias("_r")
+        )
+        j = left.join(right, on=keys, how="full_outer")
+
+        key_cols = [F.col(c).cast("string") for c in keys]
+        key_str = F.concat_ws("|", *key_cols)
+        _VIOL_T = (
+            "array<struct<absolute_path:array<string>,failing_value:string,message:string>>"
+        )
+        structs: list[Column] = [
+            F.when(
+                F.col("_r").isNull(),
+                F.struct(
+                    F.array(*key_cols).alias("absolute_path"),
+                    key_str.alias("failing_value"),
+                    (F.lit(custom_msg) if custom_msg else F.concat(
+                        F.lit("'"), key_str, F.lit(f"' is missing from {ref_name}")
+                    )).alias("message"),
+                ),
+            ),
+            F.when(
+                F.col("_l").isNull(),
+                F.struct(
+                    F.array(*key_cols).alias("absolute_path"),
+                    key_str.alias("failing_value"),
+                    (F.lit(custom_msg) if custom_msg else F.concat(
+                        F.lit("'"), key_str, F.lit(f"' is missing from the input (present in {ref_name})")
+                    )).alias("message"),
+                ),
+            ),
+        ]
+        for c in comp:
+            dtype = _dtype_of(df, c)
+            lrep = py_repr(F.col(c), dtype)
+            rrep = py_repr(F.col(f"_r_{c}"), dtype)
+            structs.append(
+                F.when(
+                    F.col("_l").isNotNull()
+                    & F.col("_r").isNotNull()
+                    & ~F.col(c).eqNullSafe(F.col(f"_r_{c}")),
+                    F.struct(
+                        F.array(*key_cols, F.lit(c)).alias("absolute_path"),
+                        F.col(c).cast("string").alias("failing_value"),
+                        (F.lit(custom_msg) if custom_msg else F.concat(
+                            lrep, F.lit(f" does not equal {ref_name}.{c} "), rrep
+                        )).alias("message"),
+                    ),
+                )
+            )
+        exploded = j.select(
+            # a reference-only row has no input instance: attribute it to
+            # its key so the verdict grain still isolates the failure
+            F.coalesce(F.col("_inst"), key_str).alias("instance_name"),
+            F.explode(F.array_compact(F.array(*structs).cast(_VIOL_T))).alias("v"),
+        )
+        return exploded.select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit(self.instance_type).alias("instance_type"),
+            F.col("v.absolute_path").alias("absolute_path"),
+            F.col("v.failing_value").alias("failing_value"),
+            F.col("v.message").alias("message"),
+        )
+
     def _cardinality_violations(self, df: DataFrame, rule: Rule, ref_tables: dict[str, DataFrame]) -> DataFrame:
         """Cross-table cardinality constraint (FK multiplicity): every
         non-null key of this table must match between min_count and
@@ -1260,6 +1356,8 @@ class ValidationEngine:
                 parts.append(self._referential_violations(df, rule, ref_tables))
             elif rule.kind == "cardinality":
                 parts.append(self._cardinality_violations(df, rule, ref_tables))
+            elif rule.kind == "equals_table":
+                parts.append(self._equals_table_violations(df, rule, ref_tables))
             elif rule.kind == "rate_limit":
                 parts.append(self._rate_limit_violations(df, rule))
             elif rule.kind in ("ordering", "contiguous", "sequence"):

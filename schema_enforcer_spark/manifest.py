@@ -108,6 +108,12 @@ TABLE_RULE_KINDS = {
                      # [min_count, max_count] rows of ref_table
     "rate_limit",    # W1 extension: trailing event-time window count cap
                      # (burst detection per partition key)
+    "equals_table",  # north-star per-row invariant (BASELINE.json
+                     # input_hint: per-turn text equality under stable turn
+                     # ordering): full-diff vs a reference table on the key
+                     # columns — value mismatches per compared column, rows
+                     # missing from the reference, reference rows missing
+                     # from the input; ONE full-outer equi-join shuffle
 }
 
 RULE_KINDS = ROW_RULE_KINDS | TABLE_RULE_KINDS
@@ -149,6 +155,9 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "multiple_of": {"type": "number"},
                     "ref_table": {"type": "string"},
                     "ref_columns": {"type": "array", "items": {"type": "string"}},
+                    # equals_table: the value columns that must match the
+                    # reference row under the join keys
+                    "compare": {"type": "array", "minItems": 1, "items": {"type": "string"}},
                     "broadcast": {"type": "boolean"},
                     "normalize_keys": {"type": "boolean"},
                     "partition_by": {"type": "array", "items": {"type": "string"}},
@@ -242,6 +251,7 @@ _PER_KIND_REQUIRED = {
     "dependent_required": ["column", "requires"],
     "cardinality": ["columns", "ref_table", "ref_columns"],
     "rate_limit": ["partition_by", "order_by", "window_seconds", "max_count"],
+    "equals_table": ["columns", "ref_table", "compare"],
 }
 
 # Sub-schema kinds allowed inside any_of/all_of/one_of/not `checks` entries:

@@ -424,3 +424,47 @@ def test_verdict_grain_disambiguates_host_named_table(spark):
     # the real host named 'table' is clean and keeps its HOST-grain PASS
     assert rows[("table", "HOST")] == "PASS"
     assert rows[("hostA", "HOST")] == "PASS"
+
+
+def test_equals_table_diff(spark, transcripts):
+    """equals_table: per-turn text equality vs a reference copy under
+    (conv_id, turn_idx) keys — one mismatch, one input-only row, one
+    reference-only row, each with its own violation shape; identical
+    tables produce zero violations."""
+    from pyspark.sql import functions as F
+
+    ref = transcripts
+    # input: change one text, drop one row, add one row
+    df = (
+        transcripts.withColumn(
+            "text",
+            F.when(
+                (F.col("conv_id") == "conv-00000002") & (F.col("turn_idx") == 1),
+                F.lit("TAMPERED"),
+            ).otherwise(F.col("text")),
+        )
+        .filter(~((F.col("conv_id") == "conv-00000003") & (F.col("turn_idx") == 0)))
+        .unionByName(
+            transcripts.filter((F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 0))
+            .withColumn("conv_id", F.lit("conv-99999999"))
+        )
+    )
+    m = _m([
+        ("equals_table", {
+            "columns": ["conv_id", "turn_idx"],
+            "ref_table": "reference",
+            "compare": ["text"],
+        })
+    ])
+    viols = ValidationEngine(m).violations(df, ref_tables={"reference": ref}).collect()
+    by_msg = sorted((tuple(v["absolute_path"]), v["message"]) for v in viols)
+    assert len(viols) == 3
+    assert (("conv-00000002", "1", "text"),) == tuple(
+        p for p, msg in by_msg if "does not equal reference.text" in msg
+    )
+    assert any(p == ("conv-00000003", "0") and "is missing from the input" in msg for p, msg in by_msg)
+    assert any(p == ("conv-99999999", "0") and "is missing from reference" in msg for p, msg in by_msg)
+
+    # identical tables -> clean
+    clean = ValidationEngine(m).violations(transcripts, ref_tables={"reference": ref})
+    assert clean.count() == 0
