@@ -361,6 +361,25 @@ def main() -> None:
         notes19.append("OK: repartition barrier present (embedding materialized before the 8 plane dots)")
     sections.append(("clustered-ANN synthetic embedding (q32: barrier before plane dots)", p19, notes19))
 
+    # 20. equals_table reference diff (q60): ONE full-outer equi-join on
+    # the key — a hash/sort-merge join, never a nested-loop/cartesian; the
+    # per-column comparison rides the join's output projection
+    p20 = _formatted(entry.q60_equals_table(spark, sf))
+    notes20 = []
+    if "BroadcastNestedLoopJoin" in p20 or "CartesianProduct" in p20:
+        problems.append("equals_table planned as a nested-loop/cartesian join")
+    else:
+        notes20.append("OK: no nested-loop/cartesian join")
+    if re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*FullOuter", p20):
+        notes20.append("OK: full-outer equi-join on the key (shuffled hash/sort-merge)")
+    else:
+        problems.append("equals_table is not a full-outer equi-join")
+    if "Window" in p20:
+        problems.append("equals_table plan contains a Window (comparison should ride the join projection)")
+    else:
+        notes20.append("OK: comparison + violation structs ride the join's output projection")
+    sections.append(("equals_table reference diff (q60: one full-outer equi-join)", p20, notes20))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
