@@ -638,3 +638,33 @@ def test_cli_max_violations_per_rule_caps_sink(spark, data, tmp_path, capsys):
     assert verd.agg(F.sum("n_violations")).collect()[0][0] == total_true
     n_printed = capsys.readouterr().out
     assert f"{total_true} violation(s)" in n_printed
+
+
+def test_cli_equals_table_via_ref_table(spark, data, tmp_path, capsys):
+    """equals_table through the CLI's --ref-table plumbing: a tampered turn
+    fails with both values in the FAIL line; identical tables exit 0."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(data["clean"])
+    ref = str(tmp_path / "golden")
+    inp = str(tmp_path / "in")
+    base.write.parquet(ref)
+    base.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 2), F.lit("X")
+        ).otherwise(F.col("text")),
+    ).write.parquet(inp)
+    mpath = tmp_path / "m.yml"
+    mpath.write_text(
+        "id: schemas/text_parity\ntable: transcripts\nrules:\n"
+        "  - kind: equals_table\n    columns: [conv_id, turn_idx]\n"
+        "    ref_table: golden\n    compare: [text]\n"
+    )
+    rc = main(["--manifest", str(mpath), "--input", inp, "--ref-table", f"golden={ref}"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "'X' does not equal golden.text" in out
+    assert "[PROPERTY] conv-00000001:2:text" in out
+    rc = main(["--manifest", str(mpath), "--input", ref, "--ref-table", f"golden={ref}"])
+    assert rc == 0
