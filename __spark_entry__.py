@@ -254,7 +254,7 @@ def q09_window_gaps(spark, sf_dir):
     )
 
 
-def q10_hist_doc_len(spark, sf_dir):
+def q57_hist_doc_len(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(F.floor(F.col("n_chars") / 50).alias("bucket"))
@@ -352,7 +352,7 @@ def q18_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.3, n_planes=6)
 
 
-def q19_ann_topk(spark, sf_dir):
+def q59_ann_topk(spark, sf_dir):
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     return lsh_topk(emb, QUERY_VEC, k=20)
 
@@ -797,7 +797,7 @@ def q45_stratified_sample(spark, sf_dir):
     )
 
 
-def q46_quantile_check(spark, sf_dir):
+def q60_quantile_check(spark, sf_dir):
     """approx_percentile rank-accuracy assertion (oracle-replicable, like
     q20's HLL form): the estimate's rank interval must sit within
     1/accuracy (+slack) of each requested p."""
@@ -898,7 +898,7 @@ def q50_dedup_materialize(spark, sf_dir):
     )
 
 
-def q14_top_terms(spark, sf_dir):
+def q58_top_terms(spark, sf_dir):
     """Per-document distinguishing terms (tf-idf ranking in integer-
     deterministic form — see textops.top_terms): top-3 terms per doc by
     (tf desc, doc_freq asc, term)."""
@@ -988,7 +988,7 @@ def q32_ann_clustered(spark, sf_dir):
     BENCH/BASELINE.md): uniform-random embeddings are the adversarial case
     for space-partitioning ANN, so this query replants the embeddings
     table's ids as a 32-cluster corpus (md5-derived, engine-portable —
-    synth.clustered_embedding) and probes with q19's exact lsh_topk config
+    synth.clustered_embedding) and probes with q59's exact lsh_topk config
     (8 planes, multiprobe hamming-1). The embedding materializes behind a
     SHUFFLE barrier (repartition AFTER the withColumn): a bare projection
     is NOT a barrier — Catalyst collapses projections, inlining the
@@ -1048,7 +1048,7 @@ def q34_pattern_properties(spark, sf_dir):
     return _flat(eng.violations(mapped))
 
 
-def q57_jmespath_interfaces(spark, sf_dir):
+def q10_jmespath_interfaces(spark, sf_dir):
     """The reference's two JmesPathModelValidation fixture validators
     expressed VERBATIM as manifest rules (/root/reference/tests/fixtures/
     test_validators/validators/check_interfaces.py:15-23 and
@@ -1107,7 +1107,7 @@ def q57_jmespath_interfaces(spark, sf_dir):
     return _flat(eng.violations(docs))
 
 
-def q58_quarantine_split(spark, sf_dir):
+def q14_quarantine_split(spark, sf_dir):
     """The quarantine-sink primitive (cli.py --quarantine) as a query: per-
     row validity under the events base manifest via row_fail_count == 0 —
     the SAME codegen expression the CLI's one-pass partitionBy(row_valid)
@@ -1125,7 +1125,7 @@ def q58_quarantine_split(spark, sf_dir):
     )
 
 
-def q59_prefix_items(spark, sf_dir):
+def q19_prefix_items(spark, sf_dir):
     """Draft-7 TUPLE items (prefix_items rule) as an oracle-checked query:
     events re-shaped into variable-length integer arrays (slice length =
     event_id % 3 + 1, so all three tail cases occur), position 0 range-
@@ -1170,7 +1170,7 @@ def q59_prefix_items(spark, sf_dir):
     return _flat(eng.violations(shaped))
 
 
-def q60_equals_table(spark, sf_dir):
+def q46_equals_table(spark, sf_dir):
     """The north-star per-row invariant (equals_table rule): events diffed
     against a deterministically-tampered reference copy — every 101st id
     dropped from the reference, every 97th value bumped, every 499th id
@@ -1228,16 +1228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_agg_rule_error_budget": q07_agg_rule_error_budget,
         "q08_column_stats_events": q08_column_stats_events,
         "q09_window_gaps": q09_window_gaps,
-        "q10_hist_doc_len": q10_hist_doc_len,
+        "q57_hist_doc_len": q57_hist_doc_len,
         "q11_text_quality": q11_text_quality,
         "q12_lang_id": q12_lang_id,
         "q13_dedup_exact": q13_dedup_exact,
-        "q14_top_terms": q14_top_terms,
+        "q58_top_terms": q58_top_terms,
         "q15_psi_drift": q15_psi_drift,
         "q16_minhash_near_dups": q16_minhash_near_dups,
         "q17_sequence_rule": q17_sequence_rule,
         "q18_embedding_near_dups": q18_embedding_near_dups,
-        "q19_ann_topk": q19_ann_topk,
+        "q59_ann_topk": q59_ann_topk,
         "q20_stats_hll": q20_stats_hll,
         "q21_rollup_stats": q21_rollup_stats,
         "q22_topk_per_group": q22_topk_per_group,
@@ -1264,7 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_boilerplate_ngrams": q43_boilerplate_ngrams,
         "q44_doc_chunks": q44_doc_chunks,
         "q45_stratified_sample": q45_stratified_sample,
-        "q46_quantile_check": q46_quantile_check,
+        "q60_quantile_check": q60_quantile_check,
         "q47_centroid_stats": q47_centroid_stats,
         "q48_cardinality_orders": q48_cardinality_orders,
         "q49_rate_limit_events": q49_rate_limit_events,
@@ -1275,10 +1275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_set_ops": q54_set_ops,
         "q55_ks_drift": q55_ks_drift,
         "q56_hash_split": q56_hash_split,
-        "q57_jmespath_interfaces": q57_jmespath_interfaces,
-        "q58_quarantine_split": q58_quarantine_split,
-        "q59_prefix_items": q59_prefix_items,
-        "q60_equals_table": q60_equals_table,
+        "q10_jmespath_interfaces": q10_jmespath_interfaces,
+        "q14_quarantine_split": q14_quarantine_split,
+        "q19_prefix_items": q19_prefix_items,
+        "q46_equals_table": q46_equals_table,
     }
 
 
@@ -1417,7 +1417,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(gap) AS BIGINT) AS sum_gap_s, MAX(gap) AS max_gap_s
         FROM w GROUP BY user_id ORDER BY user_id
     """
-    sqls["q10_hist_doc_len"] = """
+    sqls["q57_hist_doc_len"] = """
         SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, COUNT(*) AS n
         FROM documents GROUP BY 1 ORDER BY 1
     """
@@ -1861,7 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3 ORDER BY a_id, b_id
     """
 
-    # q18/q19: the hyperplane-LSH replicas need the same deterministic plane
+    # q18/q59: the hyperplane-LSH replicas need the same deterministic plane
     # matrix the Spark side embeds as literals.
     from schema_enforcer_spark.functions.dedup import _hyperplanes
 
@@ -1906,7 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         probes.add(qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:])
     probe_list = ", ".join(f"'{p}'" for p in sorted(probes))
     qv = ", ".join(str(float(x)) for x in QUERY_VEC)
-    sqls["q19_ann_topk"] = f"""
+    sqls["q59_ann_topk"] = f"""
         WITH b AS (
           SELECT vec_id, embedding, {_sql_bucket('embedding', planes19)} AS bucket
           FROM embeddings
@@ -2003,11 +2003,11 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang ORDER BY lang
     """
 
-    # q46: like q20, the approx sketch's raw output is engine-specific; the
+    # q60 (quantile_check): like q20, the approx sketch's raw output is engine-specific; the
     # deterministic surface is (p, n_total, within_tolerance) and the oracle
     # asserts the tolerance holds (TRUE) — a Spark-side rank-interval breach
     # would hash-mismatch.
-    sqls["q46_quantile_check"] = """
+    sqls["q60_quantile_check"] = """
         SELECT CAST(p AS DOUBLE) AS p, (SELECT COUNT(value) FROM events) AS n_total,
                TRUE AS within_tolerance
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(p)
@@ -2101,7 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         FROM kept GROUP BY lang ORDER BY lang
     """
 
-    sqls["q14_top_terms"] = r"""
+    sqls["q58_top_terms"] = r"""
         WITH terms AS (
           SELECT doc_id, UNNEST(LIST_FILTER(
                    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0)) AS term
@@ -2161,7 +2161,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q55: clustered-embedding ANN — replicate synth.clustered_embedding
-    # (md5 hex→int, same IEEE double op order) then q19's probe logic with
+    # (md5 hex→int, same IEEE double op order) then q59's probe logic with
     # the cluster-7 center as the query.
     from schema_enforcer_spark.synth import cluster_center
 
@@ -2224,7 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM viol ORDER BY path, message
     """
-    sqls["q57_jmespath_interfaces"] = """
+    sqls["q10_jmespath_interfaces"] = """
         WITH stats AS (
           SELECT user_id,
                  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_core,
@@ -2243,10 +2243,10 @@ def oracle_sql() -> dict[str, str]:
                'All core interfaces do not have IPv4 addresses'
         FROM stats WHERE n_core >= 1 AND n_core <> n_core_ipv4
     """
-    # q58: the quarantine validity flag — a row is valid iff it passes every
+    # q14 (quarantine_split): the quarantine validity flag — a row is valid iff it passes every
     # row rule of the events base manifest, with jsonschema null semantics
     # (null passes everything except required, hence COALESCE(..., TRUE))
-    sqls["q58_quarantine_split"] = """
+    sqls["q14_quarantine_split"] = """
         SELECT (COALESCE(event_type IN ('click','purchase','signup','view'), TRUE)
                 AND COALESCE(value <= 350.0, TRUE)
                 AND user_id IS NOT NULL
@@ -2255,15 +2255,15 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_rows
         FROM events GROUP BY row_valid
     """
-    # q59: Draft-7 tuple items — positional range/enum on the sliced int
+    # q19 (prefix_items): Draft-7 tuple items — positional range/enum on the sliced int
     # array, plus jsonschema's aggregate additionalItems message for the
     # length-3 tail. FLOOR (not CAST) keeps double->int engine-portable.
-    sqls["q59_prefix_items"] = """
+    sqls["q19_prefix_items"] = """
         WITH shaped AS (
           SELECT event_id, user_id,
-                 (event_id % 7) AS a0,
-                 (COALESCE(user_id, 0) % 5) AS a1,
-                 (CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) % 11) AS a2,
+                 (((event_id % 7) + 7) % 7) AS a0,
+                 (((COALESCE(user_id, 0) % 5) + 5) % 5) AS a1,
+                 (((CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) % 11) + 11) % 11) AS a2,
                  ((event_id % 3) + 1) AS n
           FROM events
         )
@@ -2288,11 +2288,11 @@ def oracle_sql() -> dict[str, str]:
                'Additional items are not allowed (' || CAST(a2 AS VARCHAR) || ' was unexpected)'
         FROM shaped WHERE n = 3
     """
-    # q60: equals_table full-diff vs the tampered reference copy. Engine
+    # q46 (equals_table): equals_table full-diff vs the tampered reference copy. Engine
     # details replicated: instance falls back to the key string when the
     # instance expr is NULL (null user_id) or the row is reference-only;
     # value reprs use 'None' for SQL NULL (py_repr parity).
-    sqls["q60_equals_table"] = """
+    sqls["q46_equals_table"] = """
         WITH ref AS (
           SELECT event_id,
                  CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END AS value

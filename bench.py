@@ -78,16 +78,83 @@ def main() -> None:
     manifest = load_manifest(os.path.join(REPO, "manifests", "transcripts_base.yml"))
     eng = ValidationEngine(manifest)
 
+    # reference-transcripts copy for the north-star per-turn text-equality
+    # diff (BASELINE.json input_hint): deterministically tampered — ~1/1000
+    # turns' text changed, ~1/2000 turns dropped — materialized once
+    REF_PATH = TRANSCRIPTS_PATH + "_ref"
+    if not os.path.exists(REF_PATH):
+        from pyspark.sql import functions as F
+
+        (
+            tdf.withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.hash("conv_id", "turn_idx"), F.lit(1000)) == 7,
+                    F.concat(F.lit("TAMPERED "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+            .filter(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(2000)) != 13)
+            .write.mode("overwrite")
+            .parquet(REF_PATH)
+        )
+    ref_tdf = spark.read.parquet(REF_PATH)
+    from schema_enforcer_spark.engine import validate_many
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    eq_manifest = manifest_from_dict(
+        {
+            "id": "schemas/transcripts_equals_ref",
+            "table": "transcripts",
+            "rules": [
+                {
+                    "kind": "equals_table",
+                    "columns": ["conv_id", "turn_idx"],
+                    "ref_table": "reference",
+                    "compare": ["text"],
+                }
+            ],
+        }
+    )
+    eq_eng = ValidationEngine(eq_manifest)
+    quality = load_manifest(os.path.join(REPO, "manifests", "transcripts_quality.yml"))
+    engines_2m = [eng, ValidationEngine(quality)]
+
     def _run_validate() -> float:
         t0 = time.monotonic()
         report = eng.validate(tdf)
         _noop(report.violations)
         _noop(report.verdicts)
+        dt = time.monotonic() - t0
+        report.unpersist()
+        return dt
+
+    def _run_validate_2m() -> float:
+        # multi-manifest fused path: base + quality manifests, all row rules
+        # in ONE scan (engine.validate_many) — the per-engine path would be
+        # ~2x the row-rule cost
+        t0 = time.monotonic()
+        report = validate_many(engines_2m, tdf)
+        _noop(report.violations)
+        _noop(report.verdicts)
+        dt = time.monotonic() - t0
+        report.unpersist()
+        return dt
+
+    def _run_equals_ref() -> float:
+        # north-star grain: per-turn text equality vs the reference copy
+        # under (conv_id, turn_idx) keys — one full-outer equi-join
+        t0 = time.monotonic()
+        _noop(eq_eng.violations(tdf, ref_tables={"reference": ref_tdf}))
         return time.monotonic() - t0
 
     # -- interleaved best-of-K over (validate + headline queries) -----------
     qs = entry.queries()
-    names = ["validate_transcripts"]
+    fixed = {
+        "validate_transcripts": _run_validate,
+        "validate_transcripts_2manifests": _run_validate_2m,
+        "equals_ref_transcripts": _run_equals_ref,
+    }
+    names = list(fixed)
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         # every queries() entry, always — a hand-maintained list silently
         # drops newly added queries from the recorded bench
@@ -95,8 +162,8 @@ def main() -> None:
     best: dict[str, float] = {}
     for _ in range(BEST_OF):
         for name in names:
-            if name == "validate_transcripts":
-                dt = _run_validate()
+            if name in fixed:
+                dt = fixed[name]()
             else:
                 t0 = time.monotonic()
                 _noop(qs[name](spark, SF_DIR))
@@ -107,21 +174,36 @@ def main() -> None:
     turns_per_sec = n_turns / best["validate_transcripts"]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "validated turns/sec (base manifest incl. row rules + uniqueness + ordering + contiguity + verdicts)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "turns": n_turns,
-                "turns_per_sec": round(turns_per_sec, 1),
-                "cpus": CPUS,
-                "best_of": BEST_OF,
-            }
-        )
-    )
+    headline = {
+        "metric": "validated turns/sec (base manifest incl. row rules + uniqueness + ordering + contiguity + verdicts)",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR,
+        "turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": CPUS,
+        "best_of": BEST_OF,
+        "n_queries": len(timings),
+        "queries_file": "BENCH/last_bench.json",
+    }
+    # Output contract (round-6 fix for BENCH_r05.json parsed:null): the
+    # driver's stdout capture is a bounded tail window, and one giant JSON
+    # line with 60 per-query timings overflowed it, truncating the line's
+    # HEAD (metric/value) and making the record unparseable. So: the short
+    # headline (~300 bytes) is printed on its own line FIRST and repeated
+    # LAST — whichever end of the capture window survives, a complete JSON
+    # line with the headline fields parses. The full per-query map goes on
+    # its own middle line (compact separators) and, authoritatively, to
+    # BENCH/last_bench.json.
+    head_line = json.dumps(headline, separators=(",", ":"))
+    print(head_line)
+    print(json.dumps({"queries": timings}, separators=(",", ":")))
+    full = dict(headline, queries=timings)
+    del full["queries_file"]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(head_line)
     spark.stop()
 
 

@@ -358,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import col as F_col
     from pyspark.sql.functions import count as F_count
+    from pyspark.sql.functions import coalesce as F_coalesce
     from pyspark.sql.functions import lit as F_lit
 
     from schema_enforcer_spark.checkpoint import CheckpointManager
@@ -526,6 +527,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"ERROR | --sample-fraction must be in (0, 1], got {args.sample_fraction}",
                   file=sys.stderr)
             return 2
+        if args.quarantine:
+            # --quarantine's contract is a COMPLETE row-grain split of the
+            # input; run on the sampled subset it would silently overwrite
+            # the quarantine dirs with a (1-F)-incomplete copy
+            print("ERROR | --quarantine cannot be combined with "
+                  "--sample-fraction (the quarantine split must cover every "
+                  "input row, not an audit sample)", file=sys.stderr)
+            return 2
         if args.checkpoint:
             # lineage from a sample would mark partitions PASS that were
             # only fractionally checked — permanently skipping real rows
@@ -538,8 +547,15 @@ def main(argv: list[str] | None = None) -> int:
         # would puncture turn_idx sequences and misfire every ordering/
         # contiguity/uniqueness rule on perfectly clean data
         unit = eng_kw["key_columns"][0]
+        # coalesce NULL keys to a sentinel group: split_bucket(NULL) is NULL
+        # (md5 of NULL), and a NULL comparison filters the row out — rows
+        # violating a required rule ON the key column would otherwise be
+        # unsampleable even at fraction 1.0
         df = df.filter(
-            split_bucket(F_col(unit).cast("string"), args.sample_seed)
+            split_bucket(
+                F_coalesce(F_col(unit).cast("string"), F_lit("\x00NULL")),
+                args.sample_seed,
+            )
             < int(round(args.sample_fraction * 10000))
         )
         print(
@@ -632,20 +648,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         print(f"validated {n_pending} pending rows")
     else:
-        report = eng.validate(df, ref_tables)
         if len(engines) > 1:
-            # one pass per bound manifest over the same scan; the sinks and
-            # verdict/FAIL-line logic below operate on the union (verdict
-            # rows carry schema_id, so per-manifest results stay separable)
-            from functools import reduce
+            # ONE scan for every bound manifest's row rules: each engine's
+            # violation array rides a single projection and one explode
+            # emits all manifests' rows (engine.validate_many) — the
+            # per-engine path was M full scans of the input for row-local
+            # work. Sinks/verdict logic below operate on the union; verdict
+            # rows carry schema_id, so per-manifest results stay separable.
+            from schema_enforcer_spark.engine import validate_many
 
-            from schema_enforcer_spark.engine import ValidationReport
-
-            reports = [report] + [e2.validate(df, ref_tables) for e2 in engines[1:]]
-            report = ValidationReport(
-                violations=reduce(lambda a, b: a.unionByName(b), [r.violations for r in reports]),
-                verdicts=reduce(lambda a, b: a.unionByName(b), [r.verdicts for r in reports]),
-            )
+            report = validate_many(engines, df, ref_tables)
+        else:
+            report = eng.validate(df, ref_tables)
 
     # the report fans out into several actions below (writes, lineage scan,
     # FAIL-line collect, passes(), counts) — each would otherwise re-run the
@@ -725,7 +739,9 @@ def main(argv: list[str] | None = None) -> int:
     # (/root/reference/schema_enforcer/validation.py:53-91)
     failures = report.violations.orderBy("message").limit(args.show_failures).collect()
     for v in failures:
-        prop = ":".join(v["absolute_path"] or [])
+        # a NULL key column yields a NULL path element (cast preserves it);
+        # print it as 'None' (py_repr parity) instead of crashing the join
+        prop = ":".join(p if p is not None else "None" for p in (v["absolute_path"] or []))
         if v["instance_type"] == "HOST":
             # reference print_failed HOST form (validation.py:68): no
             # location prefix, just the hostname
@@ -761,6 +777,7 @@ def main(argv: list[str] | None = None) -> int:
     # calling main() repeatedly must not accumulate persisted DataFrames
     report.violations.unpersist()
     report.verdicts.unpersist()
+    report.unpersist()  # also releases validate_many's tagged parent cache
     ids = ", ".join(e.manifest.id for e in engines)
     if any_fail:
         print(f"{n} violation(s) [{ids}]")

@@ -56,6 +56,11 @@ _VIOLATION_SCHEMA_DDL = (
 class ValidationReport:
     violations: DataFrame   # one row per (instance, rule, offending value)
     verdicts: DataFrame     # one row per instance: PASS/FAIL + n_violations
+    # the frame actually persisted, when it differs from `violations` —
+    # validate_many persists the manifest-tagged union and returns a
+    # projection of it; unpersisting the projection would NOT release the
+    # parent cache (Dataset.unpersist is per-plan, not per-lineage)
+    cached: DataFrame | None = None
 
     def passes(self) -> bool:
         """Exit-code semantics: any FAIL ⇒ False
@@ -65,10 +70,13 @@ class ValidationReport:
     def unpersist(self) -> None:
         """Release the cached violations (validate() persists them so the
         verdict aggregation doesn't recompute every rule)."""
-        try:
-            self.violations.unpersist()
-        except Exception:  # noqa: BLE001 - not cached / session gone
-            pass
+        for frame in (self.violations, self.cached):
+            if frame is None:
+                continue
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 - not cached / session gone
+                pass
 
     def rule_summary(self) -> DataFrame:
         """Per-rule observability: (schema_id, n_violations, n_instances) —
@@ -623,7 +631,13 @@ class ValidationEngine:
             out = out + f_
         return out
 
-    def row_violations(self, df: DataFrame) -> DataFrame | None:
+    def _row_violation_array(self, df: DataFrame) -> Column | None:
+        """Every row rule's violations for one row as ONE
+        ``array<struct{schema_id, absolute_path, failing_value, message}>``
+        column — the single-pass building block shared by
+        :meth:`row_violations` (single manifest) and :func:`validate_many`
+        (multi-manifest fused scan). None when the manifest has no row
+        rules."""
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         item_arrays = (
             self._items_violation_arrays(df)
@@ -646,7 +660,12 @@ class ValidationEngine:
             for cr in compiled
         ]
         arrays = ([F.array_compact(F.array(*structs))] if structs else []) + item_arrays
-        combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+        return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+
+    def row_violations(self, df: DataFrame) -> DataFrame | None:
+        combined = self._row_violation_array(df)
+        if combined is None:
+            return None
         exploded = (
             df.select(
                 self._instance_col(df).alias("instance_name"),
@@ -787,6 +806,15 @@ class ValidationEngine:
                 raise ValueError(f"equals_table: input lacks column {c!r}")
             if c not in ref.columns:
                 raise ValueError(f"equals_table: ref table {ref_name!r} lacks column {c!r}")
+            # dtype alignment must hold: a string-vs-double compare column
+            # would join/compare through implicit casts and render the ref
+            # repr with the wrong quoting — fail loudly instead
+            lt, rt = _dtype_of(df, c), _dtype_of(ref, c)
+            if lt != rt:
+                raise ValueError(
+                    f"equals_table: column {c!r} dtype mismatch — input is {lt}, "
+                    f"{ref_name} is {rt}; cast the tables to agree before validating"
+                )
         rid = rule.get("id") or f"{self.manifest.id}/equals_table/{ref_name}"
         custom_msg = rule.get("message")
 
@@ -828,7 +856,10 @@ class ValidationEngine:
         for c in comp:
             dtype = _dtype_of(df, c)
             lrep = py_repr(F.col(c), dtype)
-            rrep = py_repr(F.col(f"_r_{c}"), dtype)
+            # ref dtype equals the input dtype (checked above) — but source
+            # the repr from the ref schema so the message stays honest if
+            # the check is ever relaxed to compatible casts
+            rrep = py_repr(F.col(f"_r_{c}"), _dtype_of(ref, c))
             structs.append(
                 F.when(
                     F.col("_l").isNotNull()
@@ -1316,10 +1347,18 @@ class ValidationEngine:
 
     # -- orchestration -----------------------------------------------------
 
-    def violations(self, df: DataFrame, ref_tables: dict[str, DataFrame] | None = None) -> DataFrame:
+    def violations(
+        self,
+        df: DataFrame,
+        ref_tables: dict[str, DataFrame] | None = None,
+        include_row_rules: bool = True,
+    ) -> DataFrame:
         ref_tables = ref_tables or {}
         parts: list[DataFrame] = []
-        if (rv := self.row_violations(df)) is not None:
+        # include_row_rules=False: validate_many computes every engine's row
+        # rules in ONE fused projection over a single scan; only table-grain
+        # rules (their own exchanges anyway) stay per-engine here
+        if include_row_rules and (rv := self.row_violations(df)) is not None:
             parts.append(rv)
         strict_rules: list[Rule | None] = [r for r in self.manifest.table_rules if r.kind == "strict_columns"]
         if self.manifest.strict and not strict_rules:
@@ -1441,3 +1480,123 @@ class ValidationEngine:
 
             violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         return ValidationReport(violations=violations, verdicts=self.verdicts(df, violations))
+
+
+def _tag_element(inst: Column, mid: str, loc: str, itype: str):
+    # PySpark HOF lambdas must be single-arg closures (no default args —
+    # CLAUDE.md), so the per-engine constants ride a factory closure
+    def _tag(v: Column) -> Column:
+        return F.struct(
+            v["schema_id"].alias("schema_id"),
+            v["absolute_path"].alias("absolute_path"),
+            v["failing_value"].alias("failing_value"),
+            v["message"].alias("message"),
+            inst.alias("instance_name"),
+            F.lit(loc).alias("instance_location"),
+            F.lit(itype).alias("instance_type"),
+            F.lit(mid).alias("_mid"),
+        )
+
+    return _tag
+
+
+def validate_many(
+    engines: list[ValidationEngine],
+    df: DataFrame,
+    ref_tables: dict[str, DataFrame] | None = None,
+    cache_violations: bool = True,
+) -> ValidationReport:
+    """Validate one input against MANY manifests in ONE scan for all row
+    rules.
+
+    The per-engine path (``[e.validate(df) for e in engines]``) scans the
+    input once per manifest — at 100 TB with M bound manifests that is M
+    full-table reads for work that is all row-local. Here every engine
+    contributes its combined row-violation array
+    (:meth:`ValidationEngine._row_violation_array`) to a SINGLE projection;
+    one ``explode`` over the concatenated (manifest-tagged) arrays emits
+    every manifest's violation rows from one pass — the same fusion the
+    CLI's ``--quarantine`` flag already uses for its validity flag
+    (``row_fail_count`` summed across engines). Table-grain rules
+    (unique/window/aggregate/referential/drift) keep their own per-engine
+    exchanges — they aggregate on different keys, so a shared scan buys
+    nothing Spark wouldn't shuffle anyway.
+
+    Verdicts stay per-manifest: the fused violations are persisted once and
+    split by the internal ``_mid`` manifest tag (rule ids alone can't
+    attribute a violation — a rule may carry a user-supplied id that doesn't
+    embed the manifest id). The returned report's ``cached`` handle is the
+    tagged parent frame; ``unpersist()`` releases it.
+
+    Reference analogue: one data file is validated against every matching
+    schema in a single pass over the file's contents
+    (/root/reference/schema_enforcer/instances/file.py:178-201, one
+    ``schema.validate`` per matched schema over the same loaded content).
+    """
+    ref_tables = ref_tables or {}
+    if len(engines) == 1:
+        return engines[0].validate(df, ref_tables, cache_violations=cache_violations)
+    tagged: list[Column] = []
+    for e in engines:
+        arr = e._row_violation_array(df)
+        if arr is not None:
+            tagged.append(
+                F.transform(
+                    arr,
+                    _tag_element(
+                        e._instance_col(df), e.manifest.id, e.manifest.table, e.instance_type
+                    ),
+                )
+            )
+    parts: list[DataFrame] = []
+    if tagged:
+        combined = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
+        parts.append(
+            df.select(combined.alias("_v"))
+            # explode drops empty arrays ⇒ clean rows vanish before any sink
+            .select(F.explode("_v").alias("v"))
+            .select(
+                F.col("v.schema_id").alias("schema_id"),
+                F.lit("FAIL").alias("result"),
+                F.col("v.instance_name").alias("instance_name"),
+                F.col("v.instance_location").alias("instance_location"),
+                F.col("v.instance_type").alias("instance_type"),
+                F.col("v.absolute_path").alias("absolute_path"),
+                F.col("v.failing_value").alias("failing_value"),
+                F.col("v.message").alias("message"),
+                F.col("v._mid").alias("_mid"),
+            )
+        )
+    for e in engines:
+        # row-rule-only manifests contribute nothing here — skipping them
+        # keeps empty-relation unions out of the fused plan
+        if not e.manifest.table_rules and not e.manifest.strict:
+            continue
+        parts.append(
+            e.violations(df, ref_tables, include_row_rules=False).withColumn(
+                "_mid", F.lit(e.manifest.id)
+            )
+        )
+    if not parts:
+        parts.append(
+            df.sparkSession.createDataFrame([], _VIOLATION_SCHEMA_DDL).withColumn(
+                "_mid", F.lit(None).cast("string")
+            )
+        )
+    all_v = reduce(lambda a, b: a.unionByName(b), parts)
+    if cache_violations:
+        from pyspark.storagelevel import StorageLevel
+
+        all_v = all_v.persist(StorageLevel.MEMORY_AND_DISK)
+    verdicts = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            e.verdicts(df, all_v.filter(F.col("_mid") == e.manifest.id).drop("_mid"))
+            for e in engines
+        ],
+    )
+    return ValidationReport(
+        violations=all_v.drop("_mid"),
+        verdicts=verdicts,
+        cached=all_v if cache_violations else None,
+    )

@@ -111,6 +111,22 @@ def parse_checked(expr: str):
     return ast
 
 
+def _bucket(dt: T.DataType) -> object:
+    """Comparison-compatibility bucket for comparator compilation. Complex
+    types bucket by their exact simpleString: two arrays with different
+    element types compare as mismatched (python parity: [1] == ['a'] is
+    False), identical types compare structurally."""
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.NumericType):
+        return "num"
+    if isinstance(dt, T.StringType):
+        return "str"
+    return ("complex", dt.simpleString())
+
+
 def _lit_dtype(v) -> T.DataType:
     if isinstance(v, bool):
         return T.BooleanType()
@@ -124,9 +140,9 @@ def _lit_dtype(v) -> T.DataType:
 
 
 def truthy(col: Column, dtype: T.DataType) -> Column:
-    """JMESPath truthiness: false, null, empty string, empty list/object
-    are falsy; everything else (including 0? no — the reference gates on
-    PYTHON truthiness, where 0 is falsy: validator.py:79) is truthy."""
+    """PYTHON truthiness — the reference's rule-level gate (`if lhs:`,
+    validator.py:79), where 0 IS falsy. Used only for the compiled rule's
+    LHS pass/fail gate; filter predicates use :func:`jp_truthy`."""
     if isinstance(dtype, T.NullType):
         return F.lit(False)
     if isinstance(dtype, T.BooleanType):
@@ -137,6 +153,24 @@ def truthy(col: Column, dtype: T.DataType) -> Column:
         return col.isNotNull() & (F.size(col) > 0)
     if isinstance(dtype, T.NumericType):
         return col.isNotNull() & (col != F.lit(0))
+    return col.isNotNull()
+
+
+def jp_truthy(col: Column, dtype: T.DataType) -> Column:
+    """JMESPath truthiness — what `[? ...]` filters use: ONLY false, null,
+    empty string, empty list and empty object are falsy; numbers (including
+    0) are always truthy (jmespath.visitor._is_false). Property-testing
+    against the library (round 6) caught the divergence: the filter path
+    previously used python truthiness, silently dropping 0-valued elements
+    from bare-field filters like ``items[?id]``."""
+    if isinstance(dtype, T.NullType):
+        return F.lit(False)
+    if isinstance(dtype, T.BooleanType):
+        return F.coalesce(col, F.lit(False))
+    if isinstance(dtype, T.StringType):
+        return col.isNotNull() & (F.length(col) > 0)
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return col.isNotNull() & (F.size(col) > 0)
     return col.isNotNull()
 
 
@@ -185,25 +219,26 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
         for child in node["children"]:
             c, d = _ev(child, c, d)
         return c, d
+    # JMESPath type-mismatch semantics (library parity, pinned by the
+    # round-6 property test): projecting / flattening / filtering a value
+    # that is statically NOT a list (or `.*` over a non-object) evaluates
+    # to null — the library returns None and enclosing projections drop it.
+    # The compile is schema-driven, so the null is a static constant.
     if t == "value_projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.MapType):
-            raise UnsupportedJmesPath(
-                f".* value projection needs a map column, got {ldt.simpleString()}"
-            )
+            return F.lit(None), T.NullType()
         vals = F.map_values(left)
         return _apply_rhs(vals, ldt.valueType, node["children"][1])
     if t == "projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.ArrayType):
-            raise UnsupportedJmesPath(
-                f"projection needs an array, got {ldt.simpleString()}"
-            )
+            return F.lit(None), T.NullType()
         return _apply_rhs(left, ldt.elementType, node["children"][1])
     if t == "flatten":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.ArrayType):
-            raise UnsupportedJmesPath(f"[] flatten needs an array, got {ldt.simpleString()}")
+            return F.lit(None), T.NullType()
         if isinstance(ldt.elementType, T.ArrayType):
             return F.flatten(left), ldt.elementType
         # JMESPath flatten keeps non-list elements as-is
@@ -211,15 +246,13 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
     if t == "filter_projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.ArrayType):
-            raise UnsupportedJmesPath(
-                f"[?...] filter needs an array, got {ldt.simpleString()}"
-            )
+            return F.lit(None), T.NullType()
         comparator = node["children"][2]
         et = ldt.elementType
 
         def keep(e):
             c, d = _ev(comparator, e, et)
-            return truthy(c, d)
+            return jp_truthy(c, d)
 
         filtered = F.filter(left, keep)
         return _apply_rhs(filtered, et, node["children"][1])
@@ -239,15 +272,34 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
             return F.length(arg).cast("long"), T.LongType()
         raise UnsupportedJmesPath(f"length() over {adt.simpleString()}")
     if t == "comparator":
+        # type-aware compile mirroring jmespath.visitor exactly (pinned by
+        # the round-6 property test against the library):
+        # - equality: mismatched types are never equal (incl. the 0/1-vs-
+        #   bool special case) EXCEPT null == null, which is True;
+        # - ordering: defined for number-number and string-string (the
+        #   library compares strings natively); any other operand type
+        #   yields null (falsy in filters); number-vs-string raises in the
+        #   library at runtime — refused here at compile time instead.
         lc, ldt = _ev(node["children"][0], cur, dtype)
         rc, rdt = _ev(node["children"][1], cur, dtype)
         op = node["value"]
-        if op == "eq":
-            return lc.eqNullSafe(rc), T.BooleanType()
-        if op == "ne":
-            return ~lc.eqNullSafe(rc), T.BooleanType()
-        cmps = {"lt": lc < rc, "lte": lc <= rc, "gt": lc > rc, "gte": lc >= rc}
-        return cmps[op], T.BooleanType()
+        lb, rb = _bucket(ldt), _bucket(rdt)
+        if op in ("eq", "ne"):
+            if lb == rb or "null" in (lb, rb):
+                eq = lc.eqNullSafe(rc)
+            else:
+                eq = lc.isNull() & rc.isNull()
+            return (eq if op == "eq" else ~eq), T.BooleanType()
+        if (lb == rb == "num") or (lb == rb == "str"):
+            cmps = {"lt": lc < rc, "lte": lc <= rc, "gt": lc > rc, "gte": lc >= rc}
+            return cmps[op], T.BooleanType()
+        if {"num", "str"} == {lb, rb}:
+            raise UnsupportedJmesPath(
+                f"ordering comparator {op!r} between a number and a string — "
+                "the jmespath library raises TypeError on this at runtime; "
+                "fix the expression's operand types"
+            )
+        return F.lit(None).cast("boolean"), T.BooleanType()
     raise UnsupportedJmesPath(f"unsupported JMESPath node {t!r}")  # pragma: no cover
 
 

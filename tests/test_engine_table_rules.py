@@ -468,3 +468,12 @@ def test_equals_table_diff(spark, transcripts):
     # identical tables -> clean
     clean = ValidationEngine(m).violations(transcripts, ref_tables={"reference": ref})
     assert clean.count() == 0
+
+    # dtype misalignment fails loudly: comparing text against a ref whose
+    # 'text' is numeric would otherwise run through implicit casts and
+    # render the wrong repr in messages
+    import pytest as _pytest
+
+    bad_ref = ref.withColumn("text", F.length("text").cast("double"))
+    with _pytest.raises(ValueError, match="dtype mismatch"):
+        ValidationEngine(m).violations(df, ref_tables={"reference": bad_ref})

@@ -1,0 +1,187 @@
+"""Property test: the JMESPath→Catalyst translation vs the jmespath
+library itself, on GENERATED expressions from the supported grammar over
+generated documents — not just the two reference fixture validators
+(VERDICT r5 item 5). The AST→Column compiler (jmespath_compat._ev) is the
+newest nontrivial compiler in the repo; every supported construct —
+field access, dotted subexpressions, `.*` value projection, `[]` flatten,
+`[? ...]` filters (comparator and bare-truthiness predicates), projections,
+multi-select lists, `length()`, pipes, comparators — is composed randomly
+and both engines must agree element-for-element.
+
+Round-6 divergences this test caught (fixed in jmespath_compat):
+- filters used python truthiness (0 falsy) where the library's _is_false
+  keeps numbers — including 0 — truthy;
+- eq/ne across mismatched types analysis-errored or mis-compared instead
+  of the library's "never equal, except null == null";
+- string-vs-number ordering compiled to a lexicographic cast instead of
+  refusing (the library raises TypeError at runtime).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+jmespath = pytest.importorskip("jmespath")
+hypothesis = pytest.importorskip("hypothesis")
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from schema_enforcer_spark.jmespath_compat import (  # noqa: E402
+    UnsupportedJmesPath,
+    jmespath_to_column,
+)
+
+# ---------------------------------------------------------------------------
+# document strategy: fixed Spark schema (the compiler is schema-driven),
+# randomized values including nulls, zeros, empty strings/arrays/maps
+# ---------------------------------------------------------------------------
+
+SCHEMA = (
+    "a bigint, s string, flag boolean, "
+    "tags array<bigint>, words array<string>, "
+    "m map<string,bigint>, "
+    "items array<struct<id:bigint,st:string>>, "
+    "nn array<array<bigint>>"
+)
+
+_small_int = st.one_of(st.none(), st.integers(-3, 3))
+_small_str = st.one_of(st.none(), st.sampled_from(["", "a", "b", "core", "x y"]))
+
+_doc = st.fixed_dictionaries(
+    {
+        "a": _small_int,
+        "s": _small_str,
+        "flag": st.one_of(st.none(), st.booleans()),
+        "tags": st.one_of(st.none(), st.lists(_small_int, max_size=4)),
+        "words": st.one_of(st.none(), st.lists(_small_str, max_size=3)),
+        # sorted keys: Spark map_values and python dict .values() must agree
+        # on iteration order, which insertion order guarantees for both
+        "m": st.one_of(
+            st.none(),
+            st.dictionaries(st.sampled_from(["k1", "k2", "k3"]), _small_int, max_size=3).map(
+                lambda d: dict(sorted(d.items()))
+            ),
+        ),
+        "items": st.one_of(
+            st.none(),
+            st.lists(
+                st.fixed_dictionaries({"id": _small_int, "st": _small_str}), max_size=3
+            ),
+        ),
+        "nn": st.one_of(
+            st.none(), st.lists(st.lists(_small_int, max_size=3), max_size=3)
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# expression strategy: compose the supported grammar against SCHEMA
+# ---------------------------------------------------------------------------
+
+_num_scalar = st.sampled_from(["a", "`0`", "`2`", "`-1`"])
+_str_scalar = st.sampled_from(["s", "'a'", "'core'", "''"])
+
+_num_cmp = st.builds(
+    lambda l, op, r: f"{l} {op} {r}",
+    _num_scalar,
+    st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+    _num_scalar,
+)
+_str_cmp = st.builds(
+    lambda l, op, r: f"{l} {op} {r}",
+    _str_scalar,
+    st.sampled_from(["==", "!="]),
+    _str_scalar,
+)
+
+# filter predicates are @-relative to the element type
+_item_pred = st.one_of(
+    st.builds(lambda op, r: f"id {op} `{r}`", st.sampled_from(["==", "!=", "<", ">", ">=", "<="]), st.integers(-2, 2)),
+    st.builds(lambda op, r: f"st {op} '{r}'", st.sampled_from(["==", "!="]), st.sampled_from(["", "a", "core"])),
+    st.just("id"),   # bare-truthiness filter: 0 must stay (library semantics)
+    st.just("st"),
+)
+_long_elem_pred = st.one_of(
+    st.builds(lambda op, r: f"@ {op} `{r}`", st.sampled_from(["==", "!=", "<", ">", ">=", "<="]), st.integers(-2, 2)),
+    st.just("@"),
+)
+
+_array_expr = st.one_of(
+    st.sampled_from(["tags", "words", "nn[]", "m.*", "items[*].id", "items[*].st"]),
+    st.builds(lambda p: f"items[?{p}].id", _item_pred),
+    st.builds(lambda p: f"items[?{p}].st", _item_pred),
+    st.builds(lambda p: f"tags[?{p}]", _long_elem_pred),
+    st.builds(lambda p: f"nn[][?{p}]", _long_elem_pred),
+    st.builds(lambda p: f"m.*[?{p}]", _long_elem_pred),
+    st.sampled_from(["[a, a]", "[`1`, a]"]),
+)
+
+_scalar_expr = st.one_of(
+    st.sampled_from(["a", "s", "flag", "m.k1", "m.k2", "nokey"]),
+    st.builds(lambda a: f"length({a})", st.sampled_from(["tags", "words", "items", "m", "s"])),
+    st.builds(lambda a: f"{a} | length(@)", _array_expr),
+)
+
+EXPR = st.one_of(_array_expr, _scalar_expr, _num_cmp, _str_cmp)
+
+
+def _norm(v):
+    """Canonical form for cross-engine comparison: Rows→dicts, tuples→lists,
+    and booleans distinguished from ints (Spark returns real bools)."""
+    if hasattr(v, "asDict"):
+        return {k: _norm(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, bool):
+        return ("bool", v)
+    return v
+
+
+@pytest.fixture(scope="module")
+def _collector(spark):
+    """One plan per expression, MANY documents per plan: batching documents
+    amortizes the per-example Spark round-trip that would otherwise make
+    hypothesis unusably slow."""
+
+    def run(expr, docs):
+        df = spark.createDataFrame([tuple(d.values()) for d in docs], SCHEMA)
+        col, _dt = jmespath_to_column(expr, df)
+        return [_norm(r["r"]) for r in df.select(col.alias("r")).collect()]
+
+    return run
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=EXPR, docs=st.lists(_doc, min_size=1, max_size=8))
+def test_generated_expressions_match_library(_collector, expr, docs):
+    try:
+        got = _collector(expr, docs)
+    except UnsupportedJmesPath:
+        # the compiler may refuse (loudly) — but only constructs the library
+        # itself can't evaluate cleanly on SOME input (e.g. num-vs-str
+        # ordering raises TypeError); never one the library handles fine
+        compiled = jmespath.compile(expr)
+        with pytest.raises(Exception):
+            for d in [
+                {"a": 1, "s": "a", "flag": True, "tags": [1], "words": ["a"],
+                 "m": {"k1": 1}, "items": [{"id": 1, "st": "a"}], "nn": [[1]]}
+            ]:
+                compiled.search(d)
+        return
+    for g, d in zip(got, docs):
+        try:
+            w = _norm(jmespath.search(expr, d))
+        except Exception:
+            # the library raises mid-evaluation on some VALUES (e.g.
+            # length(null)); a distributed engine can't halt the job per
+            # row — the compiled column yields null for exactly those rows
+            assert g is None, f"expr={expr!r} doc={d!r}: library raised, spark gave {g!r}"
+            continue
+        assert g == w, f"expr={expr!r} doc={d!r}\n spark={g!r}\n jmespath={w!r}"

@@ -21,9 +21,26 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# expression-duplication budgets: the computed-once md5 counts measured when
+# the round-5 fixes landed, with zero headroom — ANY increase means a
+# projection got re-inlined downstream (see _marker_count)
+MD5_BUDGET_Q32 = 18  # measured: generator below the barrier only (q32 barrier fix, r5)
+MD5_BUDGET_Q40 = 2   # measured: one votes fold per join side (hex-of-long fix, r5)
+
 
 def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _marker_count(plan: str, marker: str) -> int:
+    """Expression-duplication guard: projection collapse + predicate
+    pushdown re-inline an expensive computed column into EVERY downstream
+    reference, and HOF-bearing expressions get no common-subexpression
+    elimination (CLAUDE.md round-5 notes — the q32 9-evals/row and simhash
+    64x-votes bugs). Callers count a marker substring of the expensive
+    expression in the formatted plan and fail above the computed-once
+    budget, so the next withColumn refactor can't silently regress."""
+    return plan.lower().count(marker.lower())
 
 
 def main() -> None:
@@ -280,6 +297,14 @@ def main() -> None:
         notes15.append("OK: equi-join keyed on (chunk, val, sub, subval) — two-level bucket-local")
     else:
         problems.append("q40 join is not keyed on the full two-level (chunk, val, sub, subval)")
+    n_md5_15 = _marker_count(p15, "md5")
+    if n_md5_15 <= MD5_BUDGET_Q40:
+        notes15.append(f"OK: md5 (votes fold) appears {n_md5_15}x (budget {MD5_BUDGET_Q40}) — signature computed once per side, hex rendered from the long")
+    else:
+        problems.append(
+            f"q40 votes-fold duplication: {n_md5_15} md5 occurrences (budget {MD5_BUDGET_Q40}) — "
+            "the simhash signature got re-inlined per downstream reference"
+        )
     sections.append(("SimHash near-dups (q40: two-level pigeonhole equi-join)", p15, notes15))
 
     # 16. map-entry rules (q56 patternProperties): like the items rule, the
@@ -302,7 +327,7 @@ def main() -> None:
     # 17. jmespath rule (q57): the compiled JMESPath HOF expression must
     # ride the row-rule projection — one scan, one Exchange (the groupBy
     # that builds the per-host documents), no Python UDF anywhere
-    p17 = _formatted(entry.q57_jmespath_interfaces(spark, sf))
+    p17 = _formatted(entry.q10_jmespath_interfaces(spark, sf))
     notes17 = []
     n_ex17 = len(re.findall(r"^\(\d+\) Exchange\s*$", p17, re.M))
     if n_ex17 <= 1:
@@ -317,12 +342,12 @@ def main() -> None:
         notes17.append("OK: exactly one parquet scan")
     else:
         problems.append("q57 jmespath scans the input more than once")
-    sections.append(("jmespath literal-expression rule (q57: Catalyst HOFs, one exchange)", p17, notes17))
+    sections.append(("jmespath literal-expression rule (q10: Catalyst HOFs, one exchange)", p17, notes17))
 
     # 18. quarantine validity split (q58): the row_fail_count flag is one
     # codegen expression on the scan projection — no joins, and the only
     # exchange is the 2-key groupBy's partial-agg shuffle
-    p18 = _formatted(entry.q58_quarantine_split(spark, sf))
+    p18 = _formatted(entry.q14_quarantine_split(spark, sf))
     notes18 = []
     n_ex18 = len(re.findall(r"^\(\d+\) Exchange\s*$", p18, re.M))
     if "Join" in p18:
@@ -337,7 +362,7 @@ def main() -> None:
         problems.append("q58 quarantine split lost its hash aggregate")
     else:
         notes18.append("OK: partial HashAggregate before the exchange (map-side combine)")
-    sections.append(("quarantine validity split (q58: flag on the scan, one exchange)", p18, notes18))
+    sections.append(("quarantine validity split (q14: flag on the scan, one exchange)", p18, notes18))
 
     # 19. clustered-ANN synthetic embedding (q32): the 128-md5 transform
     # must be MATERIALIZED by the repartition barrier — if the plan's
@@ -359,12 +384,20 @@ def main() -> None:
         else:
             notes19.append("OK: md5 generation sits below the Exchange — computed once, shuffled as data")
         notes19.append("OK: repartition barrier present (embedding materialized before the 8 plane dots)")
+    n_md5_19 = _marker_count(p19, "md5")
+    if n_md5_19 <= MD5_BUDGET_Q32:
+        notes19.append(f"OK: md5 appears {n_md5_19}x (budget {MD5_BUDGET_Q32}) — embedding computed once, not re-inlined per plane dot")
+    else:
+        problems.append(
+            f"q32 md5 duplication: {n_md5_19} occurrences in the plan (budget {MD5_BUDGET_Q32}) — "
+            "an expensive projection got re-inlined downstream"
+        )
     sections.append(("clustered-ANN synthetic embedding (q32: barrier before plane dots)", p19, notes19))
 
     # 20. equals_table reference diff (q60): ONE full-outer equi-join on
     # the key — a hash/sort-merge join, never a nested-loop/cartesian; the
     # per-column comparison rides the join's output projection
-    p20 = _formatted(entry.q60_equals_table(spark, sf))
+    p20 = _formatted(entry.q46_equals_table(spark, sf))
     notes20 = []
     if "BroadcastNestedLoopJoin" in p20 or "CartesianProduct" in p20:
         problems.append("equals_table planned as a nested-loop/cartesian join")
@@ -378,7 +411,84 @@ def main() -> None:
         problems.append("equals_table plan contains a Window (comparison should ride the join projection)")
     else:
         notes20.append("OK: comparison + violation structs ride the join's output projection")
-    sections.append(("equals_table reference diff (q60: one full-outer equi-join)", p20, notes20))
+    sections.append(("equals_table reference diff (q46: one full-outer equi-join)", p20, notes20))
+
+    # 21. fused multi-manifest row rules (validate_many): TWO manifests'
+    # row rules in ONE scan — the per-engine path costs one scan per
+    # manifest; at 100 TB with M bound manifests that is M full reads
+    from schema_enforcer_spark.engine import validate_many
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    quality = load_manifest(os.path.join(REPO, "manifests", "transcripts_quality.yml"))
+    fused = validate_many(
+        [ValidationEngine(row_m), ValidationEngine(quality)], tdf, cache_violations=False
+    )
+    p21 = _formatted(fused.violations)
+    notes21 = []
+    n_scan21 = len(re.findall(r"\(\d+\) Scan parquet", p21))
+    if n_scan21 == 1:
+        notes21.append("OK: ONE parquet scan carries both manifests' row rules")
+    else:
+        problems.append(f"fused multi-manifest pass scans the input {n_scan21}x (want 1)")
+    if re.search(r"^\(\d+\) Exchange\s*$", p21, re.M):
+        problems.append("fused multi-manifest pass contains an Exchange (should be scan -> project -> explode)")
+    else:
+        notes21.append("OK: no Exchange — row-local work stays row-local across manifests")
+    sections.append(("Fused multi-manifest row rules (validate_many: 2 manifests, one scan)", p21, notes21))
+
+    # 22. equals_table at the north-star grain with CO-PARTITIONED staging:
+    # repartition(N, conv_id, turn_idx) + localCheckpoint on BOTH sides is
+    # the in-sandbox stand-in for Iceberg bucket(N, keys) tables — the
+    # full-outer diff join must then plan ZERO Exchanges (sorts only).
+    # AQE off for the staging: it captures a non-final plan and downgrades
+    # the checkpointed partitioning to Unknown (CLAUDE.md).
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    ref22 = tdf.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.hash("conv_id", "turn_idx"), F.lit(100)) == 7, F.lit("TAMPERED")
+        ).otherwise(F.col("text")),
+    )
+    left22 = tdf.repartition(8, "conv_id", "turn_idx").localCheckpoint()
+    right22 = ref22.repartition(8, "conv_id", "turn_idx").localCheckpoint()
+    eq_m = manifest_from_dict(
+        {
+            "id": "schemas/transcripts_equals_ref",
+            "table": "transcripts",
+            "rules": [
+                {
+                    "kind": "equals_table",
+                    "columns": ["conv_id", "turn_idx"],
+                    "ref_table": "reference",
+                    "compare": ["text"],
+                }
+            ],
+        }
+    )
+    p22 = _formatted(
+        ValidationEngine(eq_m).violations(left22, ref_tables={"reference": right22})
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    notes22 = []
+    n_ex22 = len(re.findall(r"^\(\d+\) Exchange\s*$", p22, re.M))
+    if n_ex22 == 0:
+        notes22.append(
+            "OK: ZERO Exchanges — co-partitioned (bucketed) inputs make the full-outer "
+            "per-turn text diff shuffle-free on both sides"
+        )
+    else:
+        problems.append(
+            f"equals_table on co-partitioned inputs plans {n_ex22} Exchanges (want 0 — "
+            "the bucketed => exchange-free claim failed)"
+        )
+    if re.search(r"SortMergeJoin[^\n]*FullOuter", p22):
+        notes22.append("OK: full-outer sort-merge equi-join on (conv_id, turn_idx)")
+    else:
+        problems.append("staged equals_table is not a full-outer sort-merge equi-join")
+    sections.append(
+        ("equals_table on co-partitioned inputs (north-star diff, zero exchanges)", p22, notes22)
+    )
 
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")

@@ -19,9 +19,12 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER = """
+import os
 import sys
+import tempfile
 from pyspark.sql import SparkSession
 from schema_enforcer_spark import ValidationEngine, load_manifest
+from schema_enforcer_spark.cli import main as cli_main
 from schema_enforcer_spark.synth import gen_transcripts, inject
 
 spark = SparkSession.builder.getOrCreate()
@@ -29,8 +32,28 @@ spark.sparkContext.setLogLevel("ERROR")
 m = load_manifest(sys.argv[1])
 report = ValidationEngine(m).validate(inject(gen_transcripts(spark, n_convs=10), "invalid_enum"))
 n = report.violations.count()
-print(f"SUBMIT_SMOKE violations={n} passes={report.passes()}")
 assert n > 0 and not report.passes()
+report.unpersist()
+
+# the round-5 CLI surface must be spark-submit-proven, not just
+# local-session-proven: exercise --quarantine, --sample-fraction and
+# --stats-columns (incremental stats need --checkpoint) through the
+# zip-imported cli entry point
+work = tempfile.mkdtemp()
+inp = os.path.join(work, "input")
+inject(gen_transcripts(spark, n_convs=10), "invalid_enum").write.parquet(inp)
+rc_q = cli_main(["--manifest", sys.argv[1], "--input", inp,
+                 "--quarantine", os.path.join(work, "quarantine")])
+assert rc_q == 1, f"--quarantine rc={rc_q}"
+nq = spark.read.parquet(os.path.join(work, "quarantine")).filter("row_valid = false").count()
+assert nq > 0, "quarantine wrote no violating rows"
+rc_s = cli_main(["--manifest", sys.argv[1], "--input", inp, "--sample-fraction", "0.5"])
+assert rc_s in (0, 1), f"--sample-fraction rc={rc_s}"
+rc_st = cli_main(["--manifest", sys.argv[1], "--input", inp,
+                  "--checkpoint", os.path.join(work, "ck"),
+                  "--stats-columns", "turn_idx,role"])
+assert rc_st == 1, f"--stats-columns rc={rc_st}"
+print(f"SUBMIT_SMOKE violations={n} passes={report.passes()} quarantined={nq} cli_flags=ok")
 spark.stop()
 """
 
