@@ -756,15 +756,14 @@ def q43_boilerplate_ngrams(spark, sf_dir):
     from schema_enforcer_spark.functions.textops import boilerplate_report
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return (
-        boilerplate_report(docs, n=4, min_df=3)
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
-            "boilerplate_fraction",
-        )
-        .orderBy("doc_id")
+    # no presentation orderBy (multiset gate; see q16/q56) — the trailing
+    # sort's rangepartitioning sampling re-ran the post-shuffle join, a
+    # measured ~2x on this query (r6 A/B: 2.2 s vs 20+ s noisy-sorted runs)
+    return boilerplate_report(docs, n=4, min_df=3).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+        "boilerplate_fraction",
     )
 
 

@@ -150,22 +150,13 @@ class ManifestRegistry:
         report (the reference's per-instance loop over matched schemas,
         /root/reference/schema_enforcer/instances/file.py:190-201, as a
         single unioned plan). Verdicts are per (manifest × partition)."""
-        from functools import reduce
-
-        from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
+        from schema_enforcer_spark.engine import ValidationEngine, validate_many
 
         manifests = self.bind(df.columns, table=table, static_map=static_map, declared=declared)
         if not manifests:
             raise ManifestNotDefined(f"no manifest binds to columns {df.columns}")
-        viols, verds = [], []
-        for m in manifests:
-            # validate() (not raw violations+verdicts) so each manifest's
-            # violation set is persisted once instead of recomputing every
-            # rule for the verdict aggregation and again per consumer
-            rep = ValidationEngine(m, **engine_kw).validate(df, ref_tables)
-            viols.append(rep.violations)
-            verds.append(rep.verdicts)
-        return ValidationReport(
-            violations=reduce(lambda a, b: a.unionByName(b), viols),
-            verdicts=reduce(lambda a, b: a.unionByName(b), verds),
-        )
+        # validate_many: every bound manifest's row rules share ONE scan
+        # (single projection + one explode), one persisted violation set for
+        # all consumers (the per-engine loop here was M scans and M leaked
+        # caches); table-grain rules keep their own exchanges
+        return validate_many([ValidationEngine(m, **engine_kw) for m in manifests], df, ref_tables)

@@ -91,6 +91,131 @@ spark.stop()
 """
 
 
+_EQ_GEN_TEMPLATE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "128")
+         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet({path!r})
+# deterministic tamper: ~1/1000 turns' text changed, ~1/2000 dropped — the
+# reference-transcripts copy the north-star per-turn equality diff runs against
+(tdf.withColumn("text", F.when(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(1000)) == 7,
+                               F.concat(F.lit("TAMPERED "), F.col("text"))).otherwise(F.col("text")))
+    .filter(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(2000)) != 13)
+    .write.mode("overwrite").parquet({ref_path!r}))
+spark.stop()
+"""
+
+_EQ_RUN_TEMPLATE = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.manifest import manifest_from_dict
+
+n_exec, cores = {n_exec}, {cores}
+spark = (SparkSession.builder.master(f"local-cluster[{{n_exec}},{{cores}},6144]")
+         .appName(f"eq-scaling-{{n_exec}}x{{cores}}")
+         .config("spark.sql.shuffle.partitions", "64")  # FIXED: same plan at both sizes
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", "8g")
+         .config("spark.executor.memory", "6g")
+         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet({path!r})
+ref = spark.read.parquet({ref_path!r})
+n = tdf.count()
+m = manifest_from_dict({{
+    "id": "schemas/transcripts_equals_ref", "table": "transcripts",
+    "rules": [{{"kind": "equals_table", "columns": ["conv_id", "turn_idx"],
+                "ref_table": "reference", "compare": ["text"]}}],
+}})
+eng = ValidationEngine(m)
+eng.violations(tdf.limit(20000), ref_tables={{"reference": ref.limit(20000)}}).count()  # warm-up
+t0 = time.monotonic()
+eng.violations(tdf, ref_tables={{"reference": ref}}).write.format("noop").mode("overwrite").save()
+el = time.monotonic() - t0
+print(json.dumps({{"n_exec": n_exec, "cores": cores, "turns": n, "sec": round(el, 3),
+                   "turns_per_sec": round(n / el, 1)}}))
+spark.stop()
+"""
+
+
+def eq_main() -> None:
+    """SCALE_EQ=1: equals_table north-star diff (per-turn text equality vs
+    the tampered reference copy under (conv_id, turn_idx) keys) at N vs 4N
+    executors — ONE full-outer sort-merge equi-join, the shuffle-dominated
+    scaling case. Writes the <!-- eq-scaling --> block of BENCH/BASELINE.md."""
+    import re as _re
+
+    n_convs = int(os.environ.get("SCALE_CONVS", "2000000"))
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    n_low = int(os.environ.get("SCALE_N_LOW", "1"))
+    n_high = int(os.environ.get("SCALE_N_HIGH", "4"))
+    cores = int(os.environ.get("SCALE_CORES", "1"))
+    path = f"/dev/shm/bench_transcripts_{n_convs}"
+    ref_path = path + "_ref"
+    if not os.path.exists(path):
+        print(f"generating {n_convs} convs at {path} ...", file=sys.stderr)
+        subprocess.run([sys.executable, "-c", _GEN_TEMPLATE.format(repo=REPO, n_convs=n_convs, path=path)], timeout=1800, check=True)
+    if not os.path.exists(ref_path):
+        print(f"tampering reference copy at {ref_path} ...", file=sys.stderr)
+        subprocess.run([sys.executable, "-c", _EQ_GEN_TEMPLATE.format(repo=REPO, path=path, ref_path=ref_path)], timeout=1800, check=True)
+
+    results = {n_low: [], n_high: []}
+    for t in range(trials):
+        for n_exec in (n_low, n_high):
+            r = _run(_EQ_RUN_TEMPLATE.format(repo=REPO, n_exec=n_exec, cores=cores, path=path, ref_path=ref_path))
+            if r:
+                results[n_exec].append(r)
+                print(f"trial {t}: {n_exec}x{cores} -> {r['sec']}s ({r['turns_per_sec']:,.0f} tps)", file=sys.stderr)
+    for n in (n_low, n_high):
+        if not results[n]:
+            raise RuntimeError(f"every trial of the {n}-executor eq config failed")
+    best_low = min(results[n_low], key=lambda r: r["sec"])
+    best_high = min(results[n_high], key=lambda r: r["sec"])
+    ratio = n_high / n_low
+    efficiency = (best_high["turns_per_sec"] / best_low["turns_per_sec"]) / ratio
+    rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
+    rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
+    section = f"""<!-- eq-scaling:begin -->
+## equals_table north-star diff scaling (SCALE_EQ=1 tools/scaling_bench.py)
+
+Per-turn text equality of {best_low['turns']:,} transcript turns against a
+tampered reference copy (~1/1000 texts changed, ~1/2000 rows dropped) under
+(conv_id, turn_idx) keys — ONE full-outer sort-merge equi-join, shuffling
+both sides: the shuffle-dominated scaling case, same interleaved
+best-of-{trials} local-cluster methodology as the headline table.
+
+| config | turns | best wall sec | turns/sec | all trials |
+|---|---|---|---|---|
+| {n_low} executor(s) x {cores} cores (N)  | {best_low['turns']:,} | {best_low['sec']} | {best_low['turns_per_sec']:,.0f} | {rows_low} |
+| {n_high} executors x {cores} cores (4N) | {best_high['turns']:,} | {best_high['sec']} | {best_high['turns_per_sec']:,.0f} | {rows_high} |
+
+- speedup N -> 4N: **{best_high['turns_per_sec'] / best_low['turns_per_sec']:.2f}x** (ideal {ratio:.0f}x)
+- scaling efficiency: **{efficiency:.3f}** (criterion: >= 0.8)
+<!-- eq-scaling:end -->"""
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(baseline_path, encoding="utf-8") as fh:
+        text = fh.read()
+    if "<!-- eq-scaling:begin -->" in text:
+        text = _re.sub(r"<!-- eq-scaling:begin -->.*?<!-- eq-scaling:end -->", section, text, flags=_re.S)
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(baseline_path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    print(json.dumps({"scaling_efficiency": round(efficiency, 3)}))
+    print(f"wrote BENCH/BASELINE.md eq-scaling (efficiency={efficiency:.3f})", file=sys.stderr)
+
+
 _CC_CHAIN_LEN = 40          # diameter stressor: rounds must stay O(log 40)
 _CC_STAR_SPOKES = 10_000    # skew stressor: one hub key with 10^4 neighbors
 
@@ -285,6 +410,9 @@ def main() -> None:
     if os.environ.get("SCALE_CC"):
         cc_main()
         return
+    if os.environ.get("SCALE_EQ"):
+        eq_main()
+        return
     n_convs = int(os.environ.get("SCALE_CONVS", "8000000"))
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
     n_low = int(os.environ.get("SCALE_N_LOW", "1"))
@@ -323,9 +451,9 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    rows_low = "; ".join(f"{r['sec']}s" for r in results["low"])
-    rows_high = "; ".join(f"{r['sec']}s" for r in results["high"])
-    rows_weak = "; ".join(f"{r['sec']}s" for r in results["weak"])
+    # results is keyed by executor COUNT here (cc_main uses string keys)
+    rows_low = "; ".join(f"{r['sec']}s" for r in results[n_low])
+    rows_high = "; ".join(f"{r['sec']}s" for r in results[n_high])
     # preserve marker-delimited sections other tools maintain in this file
     # (e.g. tools/ann_recall.py's <!-- ann-recall:begin/end --> block)
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
