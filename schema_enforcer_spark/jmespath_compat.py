@@ -23,8 +23,19 @@ manifest-compile time, before any Spark job): field access / dotted
 subexpressions, ``.*`` value projection over map columns, ``[]`` flatten,
 ``[? ...]`` filter projections with ``@``-relative comparisons, projection
 field access (with JMESPath's drop-null semantics), multi-select lists,
-``length()``, literals, and pipes — the grammar the reference's own
-fixture validators exercise.
+indexes (``[0]``, ``[-1]``), step-1 slices (``[1:3]``, ``[-2:]``),
+``&&``/``||``/``!`` (value-returning, JMESPath truthiness), literals,
+pipes, and the functions ``length contains starts_with ends_with min max
+sum avg abs ceil floor keys values not_null type reverse sort join`` —
+a superset of the grammar the reference's own fixture validators exercise.
+
+Runtime-error parity: the jmespath library raises ``JMESPathTypeError``
+mid-evaluation when a function argument's VALUE has the wrong type (e.g.
+``min(tags)`` with a null element, ``abs(a)`` on a null). A distributed
+engine cannot halt the job per row, so the compiled column yields null for
+exactly those rows (pinned by the property test). Constructs whose static
+column type can never evaluate cleanly (``starts_with`` on a number,
+ordering a number against a string) are refused at compile time instead.
 
 JMESPath semantics preserved exactly:
 - projections drop null results (``array_compact`` after every per-element
@@ -74,6 +85,32 @@ _SUPPORTED_NODES = {
     "comparator",
     "pipe",
     "index_expression",
+    "index",
+    "slice",
+    "and_expression",
+    "or_expression",
+    "not_expression",
+}
+
+_SUPPORTED_FUNCTIONS = {
+    "length",
+    "contains",
+    "starts_with",
+    "ends_with",
+    "min",
+    "max",
+    "sum",
+    "avg",
+    "abs",
+    "ceil",
+    "floor",
+    "keys",
+    "values",
+    "not_null",
+    "type",
+    "reverse",
+    "sort",
+    "join",
 }
 
 
@@ -95,15 +132,24 @@ def parse_checked(expr: str):
                 "subset (field/.*/[]/filter/length/pipe); express the check as "
                 "a declarative aggregate rule instead"
             )
-        if t == "function_expression" and node["value"] != "length":
+        if t == "function_expression" and node["value"] not in _SUPPORTED_FUNCTIONS:
             raise UnsupportedJmesPath(
                 f"JMESPath function {node['value']!r} in {expr!r} is not "
-                "supported (only length())"
+                f"supported (supported: {' '.join(sorted(_SUPPORTED_FUNCTIONS))})"
             )
         if t == "comparator" and node["value"] not in ("eq", "ne", "lt", "lte", "gt", "gte"):
             raise UnsupportedJmesPath(
                 f"JMESPath comparator {node['value']!r} in {expr!r} is not supported"
             )
+        if t == "slice":
+            # slice children are raw ints/None (start, stop, step), not AST
+            # nodes; python-slice semantics compile only for unit step
+            if node["children"][2] not in (None, 1):
+                raise UnsupportedJmesPath(
+                    f"JMESPath slice step {node['children'][2]!r} in {expr!r} "
+                    "is not supported (only step 1)"
+                )
+            return
         for c in node.get("children", []):
             walk(c)
 
@@ -180,7 +226,11 @@ def _apply_rhs(arr: Column, elem_dtype: T.DataType, rhs) -> tuple[Column, T.Data
     the result dtype is captured from the single call. Single-arg closure,
     no default args (PySpark 4 rejects defaulted HOF lambdas)."""
     if rhs["type"] in ("identity", "current"):
-        return arr, T.ArrayType(elem_dtype)
+        # projections drop null RESULTS — for an identity RHS that means
+        # null ELEMENTS: tags[*] / tags[0:2] / m.* / nn[] over [1, null]
+        # all yield [1] in the library (the round-6 smoke caught the
+        # no-compact divergence here)
+        return F.array_compact(arr), T.ArrayType(elem_dtype)
     cell = {}
 
     def lam(e):
@@ -190,6 +240,150 @@ def _apply_rhs(arr: Column, elem_dtype: T.DataType, rhs) -> tuple[Column, T.Data
 
     out = F.array_compact(F.transform(arr, lam))
     return out, T.ArrayType(cell["dt"])
+
+
+def _jp_eq(lc: Column, ldt: T.DataType, rc: Column, rdt: T.DataType) -> Column:
+    """JMESPath equality: mismatched types are never equal EXCEPT
+    null == null, which is True (jmespath.visitor parity, pinned by the
+    property test). Identical types compare structurally, null-safely."""
+    lb, rb = _bucket(ldt), _bucket(rdt)
+    if lb == rb or "null" in (lb, rb):
+        return lc.eqNullSafe(rc)
+    return lc.isNull() & rc.isNull()
+
+
+def _no_null_elems(arr: Column) -> Column:
+    """True iff no element of ``arr`` is null — the gate for functions the
+    library aborts on null elements (min/max/sum/sort/join): the compiled
+    column yields null for exactly the rows where the library raises."""
+
+    def isnull(e):
+        return e.isNull()
+
+    return ~F.exists(arr, isnull)
+
+
+def _fn(name: str, args: list[tuple[Column, T.DataType]]) -> tuple[Column, T.DataType]:
+    """Compile one JMESPath built-in. Value-dependent library errors (null
+    argument, null element) become null results; statically-impossible
+    argument types are refused at compile time (the library would raise on
+    EVERY row of that column type)."""
+
+    def refuse(why: str):
+        raise UnsupportedJmesPath(f"{name}(): {why}")
+
+    if name == "length":
+        arg, adt = args[0]
+        if isinstance(adt, (T.ArrayType, T.MapType)):
+            return F.size(arg).cast("long"), T.LongType()
+        if isinstance(adt, T.StringType):
+            return F.length(arg).cast("long"), T.LongType()
+        refuse(f"needs a string/array/object, got {adt.simpleString()}")
+    if name == "contains":
+        (subj, sdt), (srch, rdt) = args
+        if isinstance(sdt, T.ArrayType):
+            # element-wise JMESPath equality (mismatched element/search
+            # types are never equal — contains([1,2], 'a') is False, and
+            # contains([null], null) is True); null subject → null
+            def eq_elem(e):
+                return _jp_eq(e, sdt.elementType, srch, rdt)
+
+            return F.exists(subj, eq_elem), T.BooleanType()
+        if isinstance(sdt, T.StringType):
+            if not isinstance(rdt, T.StringType):
+                refuse("substring search needs a string needle — the "
+                       "library raises TypeError on a string subject with "
+                       f"a {rdt.simpleString()} needle")
+            return subj.contains(srch), T.BooleanType()
+        refuse(f"needs an array or string subject, got {sdt.simpleString()}")
+    if name in ("starts_with", "ends_with"):
+        (subj, sdt), (pat, pdt) = args
+        if not (isinstance(sdt, T.StringType) and isinstance(pdt, T.StringType)):
+            refuse(f"needs string args, got {sdt.simpleString()}, {pdt.simpleString()}")
+        return (subj.startswith(pat) if name == "starts_with" else subj.endswith(pat)), T.BooleanType()
+    if name in ("min", "max", "sort"):
+        arg, adt = args[0]
+        if not isinstance(adt, T.ArrayType) or not isinstance(
+            adt.elementType, (T.NumericType, T.StringType)
+        ):
+            refuse(f"needs array-number or array-string, got {adt.simpleString()}")
+        gate = _no_null_elems(arg)  # null element → library raises → null
+        if name == "sort":
+            return F.when(gate, F.sort_array(arg)), adt
+        agg = F.array_min(arg) if name == "min" else F.array_max(arg)
+        return F.when(gate, agg), adt.elementType
+    if name in ("sum", "avg"):
+        arg, adt = args[0]
+        if not isinstance(adt, T.ArrayType) or not isinstance(adt.elementType, T.NumericType):
+            refuse(f"needs array-number, got {adt.simpleString()}")
+        edt = adt.elementType
+        zero = F.lit(0).cast(edt)
+
+        def add(acc, e):
+            return acc + e
+
+        total = F.aggregate(arg, zero, add)
+        if name == "sum":  # sum([]) is 0 in the library; aggregate gives 0 too
+            return F.when(_no_null_elems(arg), total), edt
+        return (
+            F.when(_no_null_elems(arg) & (F.size(arg) > 0), total / F.size(arg)),
+            T.DoubleType(),
+        )
+    if name in ("abs", "ceil", "floor"):
+        arg, adt = args[0]
+        if not isinstance(adt, T.NumericType):
+            refuse(f"needs a number, got {adt.simpleString()}")
+        if name == "abs":
+            return F.abs(arg), adt
+        # library ceil/floor return integers; Spark's return LONG
+        return (F.ceil(arg) if name == "ceil" else F.floor(arg)).cast("long"), T.LongType()
+    if name in ("keys", "values"):
+        arg, adt = args[0]
+        if not isinstance(adt, T.MapType):
+            refuse(f"needs an object, got {adt.simpleString()}")
+        if name == "keys":
+            return F.map_keys(arg), T.ArrayType(adt.keyType)
+        return F.map_values(arg), T.ArrayType(adt.valueType)
+    if name == "not_null":
+        live = [(c, d) for c, d in args if not isinstance(d, T.NullType)]
+        if not live:
+            return F.lit(None), T.NullType()
+        dts = {d.simpleString() for _, d in live}
+        if len(dts) > 1:
+            refuse(f"mixed argument types {sorted(dts)} cannot share one column type")
+        return F.coalesce(*[c for c, _ in live]), live[0][1]
+    if name == "type":
+        arg, adt = args[0]
+        if isinstance(adt, T.NullType):
+            return F.lit("null"), T.StringType()
+        b = _bucket(adt)
+        static = {"bool": "boolean", "num": "number", "str": "string"}.get(b) if isinstance(b, str) else None
+        if static is None:
+            static = "array" if isinstance(adt, T.ArrayType) else "object"
+        return F.when(arg.isNull(), F.lit("null")).otherwise(F.lit(static)), T.StringType()
+    if name == "reverse":
+        arg, adt = args[0]
+        if not isinstance(adt, (T.ArrayType, T.StringType)):
+            refuse(f"needs an array or string, got {adt.simpleString()}")
+        return F.reverse(arg), adt
+    if name == "join":
+        (glue, gdt), (arr, adt) = args
+        if not isinstance(gdt, T.StringType):
+            refuse(f"needs a string glue, got {gdt.simpleString()}")
+        if not isinstance(adt, T.ArrayType) or not isinstance(adt.elementType, T.StringType):
+            refuse(f"needs array-string, got {adt.simpleString()}")
+        # array_join's python wrapper needs a str delimiter and silently
+        # SKIPS null elements; fold with concat instead — null element or
+        # null glue → library raises → null result
+        def step(acc, e):
+            return F.when(acc.isNull(), e).otherwise(F.concat(acc, glue, e))
+
+        folded = F.aggregate(arr, F.lit(None).cast("string"), step)
+        return (
+            F.when(_no_null_elems(arr) & glue.isNotNull(), F.coalesce(folded, F.lit(""))),
+            T.StringType(),
+        )
+    refuse("unreachable: parse_checked whitelists functions")  # pragma: no cover
 
 
 def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
@@ -243,6 +437,66 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
             return F.flatten(left), ldt.elementType
         # JMESPath flatten keeps non-list elements as-is
         return left, ldt
+    if t == "index":
+        # a[i]: out-of-range (either sign) → null; index on a non-list →
+        # null (library parity). F.get is 0-based and null-on-invalid —
+        # element_at would throw under ANSI mode for out-of-range indexes.
+        if not isinstance(dtype, T.ArrayType):
+            return F.lit(None), T.NullType()
+        i = node["value"]
+        idx = F.lit(i) if i >= 0 else F.size(cur) + F.lit(i)
+        return F.get(cur, idx), dtype.elementType
+    if t == "slice":
+        # python-slice clamping (start/stop are compile-time ints or None;
+        # step restricted to 1 by parse_checked). Slice of a non-list →
+        # null; null array propagates null through size() and slice().
+        if not isinstance(dtype, T.ArrayType):
+            return F.lit(None), T.NullType()
+        start, stop, _step = node["children"]
+        n = F.size(cur)
+
+        def clamp(v, default):
+            if v is None:
+                return default
+            if v < 0:
+                return F.greatest(n + F.lit(v), F.lit(0))
+            return F.least(F.lit(v), n)
+
+        st = clamp(start, F.lit(0))
+        en = clamp(stop, n)
+        return F.slice(cur, st + F.lit(1), F.greatest(en - st, F.lit(0))), dtype
+    if t == "and_expression":
+        # value-returning with JMESPath truthiness: falsy lhs short-circuits
+        # to ITS value (not a boolean) — `a && b` is `b if truthy(a) else a`
+        lc, ldt = _ev(node["children"][0], cur, dtype)
+        rc, rdt = _ev(node["children"][1], cur, dtype)
+        if isinstance(ldt, T.NullType):
+            return lc, ldt  # null && x → null (null is falsy)
+        if isinstance(rdt, T.NullType):
+            return F.when(jp_truthy(lc, ldt), F.lit(None)).otherwise(lc), ldt
+        if ldt.simpleString() != rdt.simpleString():
+            raise UnsupportedJmesPath(
+                f"'&&' operands of different types ({ldt.simpleString()} vs "
+                f"{rdt.simpleString()}) cannot share one column type"
+            )
+        return F.when(jp_truthy(lc, ldt), rc).otherwise(lc), ldt
+    if t == "or_expression":
+        lc, ldt = _ev(node["children"][0], cur, dtype)
+        rc, rdt = _ev(node["children"][1], cur, dtype)
+        if isinstance(ldt, T.NullType):
+            return rc, rdt  # null || x → x
+        if isinstance(rdt, T.NullType):
+            return F.when(jp_truthy(lc, ldt), lc).otherwise(F.lit(None)), ldt
+        if ldt.simpleString() != rdt.simpleString():
+            raise UnsupportedJmesPath(
+                f"'||' operands of different types ({ldt.simpleString()} vs "
+                f"{rdt.simpleString()}) cannot share one column type"
+            )
+        return F.when(jp_truthy(lc, ldt), lc).otherwise(rc), ldt
+    if t == "not_expression":
+        c, d = _ev(node["children"][0], cur, dtype)
+        # jp_truthy is total (never null), so !x is a clean boolean
+        return ~jp_truthy(c, d), T.BooleanType()
     if t == "filter_projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.ArrayType):
@@ -264,13 +518,9 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
                 f"multi-select list with heterogeneous element types {sorted(dts)}"
             )
         return F.array(*[p[0] for p in pairs]), T.ArrayType(pairs[0][1])
-    if t == "function_expression":  # length() only (parse_checked enforced)
-        arg, adt = _ev(node["children"][0], cur, dtype)
-        if isinstance(adt, (T.ArrayType, T.MapType)):
-            return F.size(arg).cast("long"), T.LongType()
-        if isinstance(adt, T.StringType):
-            return F.length(arg).cast("long"), T.LongType()
-        raise UnsupportedJmesPath(f"length() over {adt.simpleString()}")
+    if t == "function_expression":
+        args = [_ev(c, cur, dtype) for c in node["children"]]
+        return _fn(node["value"], args)
     if t == "comparator":
         # type-aware compile mirroring jmespath.visitor exactly (pinned by
         # the round-6 property test against the library):
@@ -285,10 +535,7 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
         op = node["value"]
         lb, rb = _bucket(ldt), _bucket(rdt)
         if op in ("eq", "ne"):
-            if lb == rb or "null" in (lb, rb):
-                eq = lc.eqNullSafe(rc)
-            else:
-                eq = lc.isNull() & rc.isNull()
+            eq = _jp_eq(lc, ldt, rc, rdt)
             return (eq if op == "eq" else ~eq), T.BooleanType()
         if (lb == rb == "num") or (lb == rb == "str"):
             cmps = {"lt": lc < rc, "lte": lc <= rc, "gt": lc > rc, "gte": lc >= rc}

@@ -157,11 +157,15 @@ def test_reference_operator_semantics_per_document(spark):
 
 
 def test_unsupported_constructs_rejected():
-    # slicing is outside the subset
+    # multi-select HASHES build objects — outside the subset (lists,
+    # indexes, step-1 slices and the function set are all in it now)
     with pytest.raises(UnsupportedJmesPath, match="outside the compiled"):
-        parse_checked("interfaces[0:2]")
-    # non-length functions
-    with pytest.raises(UnsupportedJmesPath, match="only length"):
+        parse_checked("interfaces.{name: name}")
+    # non-unit slice steps
+    with pytest.raises(UnsupportedJmesPath, match="only step 1"):
+        parse_checked("interfaces[::2]")
+    # functions outside the whitelist (expression-refs never compile)
+    with pytest.raises(UnsupportedJmesPath, match="not supported"):
         parse_checked("max_by(interfaces.*, &speed)")
     # syntax errors
     with pytest.raises(UnsupportedJmesPath, match="invalid JMESPath"):
@@ -172,7 +176,7 @@ def test_unsupported_constructs_rejected():
             {
                 "id": "x",
                 "rules": [
-                    {"kind": "jmespath", "left": "a[0:2]", "operator": "eq", "right": 1}
+                    {"kind": "jmespath", "left": "a.{x: @}", "operator": "eq", "right": 1}
                 ],
             }
         )

@@ -14,7 +14,16 @@ Round-6 divergences this test caught (fixed in jmespath_compat):
 - eq/ne across mismatched types analysis-errored or mis-compared instead
   of the library's "never equal, except null == null";
 - string-vs-number ordering compiled to a lexicographic cast instead of
-  refusing (the library raises TypeError at runtime).
+  refusing (the library raises TypeError at runtime);
+- identity-RHS projections (tags[*], m.*, nn[], slices) kept null
+  elements where the library's projection drops null results.
+
+The grammar here also covers the round-6 extensions: indexes, step-1
+slices, &&/||/! (value-returning, JMESPath truthiness), and the function
+set contains/starts_with/ends_with/min/max/sum/avg/abs/ceil/floor/keys/
+values/not_null/type/reverse/sort/join. Library runtime type errors on
+VALUES (null function args, null elements) must surface as null exactly
+where the library raises — asserted per document.
 """
 
 from __future__ import annotations
@@ -107,23 +116,76 @@ _long_elem_pred = st.one_of(
     st.just("@"),
 )
 
+# boolean combinators: operands kept same-typed (the compiler refuses
+# heterogeneous &&/|| — one column type — while the library allows them)
+_bool_combo = st.one_of(
+    st.builds(lambda l, r: f"{l} && {r}", _num_cmp, _num_cmp),
+    st.builds(lambda l, r: f"{l} || {r}", _num_cmp, _str_cmp),
+    st.builds(lambda c: f"!({c})", _num_cmp),
+    st.sampled_from(["!a", "!s", "!flag", "!tags", "!m", "a && a", "s || s", "flag && flag", "m.k1 || a"]),
+)
+
+# filter predicates with boolean operators, @-relative
+_item_pred_bool = st.one_of(
+    _item_pred,
+    st.builds(lambda l, r: f"({l}) && ({r})", _item_pred, _item_pred),
+    st.builds(lambda l, r: f"({l}) || ({r})", _item_pred, _item_pred),
+    st.builds(lambda p: f"!({p})", _item_pred),
+)
+
+_slice_part = st.one_of(st.none(), st.integers(-4, 4)).map(
+    lambda v: "" if v is None else str(v)
+)
+_slice_expr = st.builds(
+    lambda base, a, b: f"{base}[{a}:{b}]",
+    st.sampled_from(["tags", "words", "nn", "items"]),
+    _slice_part,
+    _slice_part,
+)
+
 _array_expr = st.one_of(
     st.sampled_from(["tags", "words", "nn[]", "m.*", "items[*].id", "items[*].st"]),
-    st.builds(lambda p: f"items[?{p}].id", _item_pred),
+    st.builds(lambda p: f"items[?{p}].id", _item_pred_bool),
     st.builds(lambda p: f"items[?{p}].st", _item_pred),
     st.builds(lambda p: f"tags[?{p}]", _long_elem_pred),
     st.builds(lambda p: f"nn[][?{p}]", _long_elem_pred),
     st.builds(lambda p: f"m.*[?{p}]", _long_elem_pred),
     st.sampled_from(["[a, a]", "[`1`, a]"]),
+    _slice_expr,
+    st.sampled_from(
+        ["sort(tags)", "sort(words)", "reverse(tags)", "reverse(words)",
+         "keys(m)", "values(m)", "nn[0]", "nn[-1]"]
+    ),
+)
+
+_fn_expr = st.one_of(
+    st.builds(
+        lambda f, a: f"{f}({a})",
+        st.sampled_from(["min", "max", "sum", "avg"]),
+        st.sampled_from(["tags", "items[*].id", "nn[]"]),
+    ),
+    st.sampled_from(
+        ["min(words)", "max(words)", "abs(a)", "ceil(a)", "floor(a)",
+         "abs(m.k1)", "type(a)", "type(s)", "type(flag)", "type(tags)",
+         "type(m)", "type(nokey)", "reverse(s)", "not_null(a, `9`)",
+         "not_null(nokey, a)", "not_null(s, 'z')", "join(',', words)",
+         "join('-', items[*].st)", "join(s, words)",
+         "contains(s, 'a')", "contains(s, s)", "contains(words, 'a')",
+         "contains(tags, `1`)", "contains(tags, 'a')", "contains(items[*].st, s)",
+         "starts_with(s, 'a')", "ends_with(s, 'b')", "starts_with(s, s)",
+         "sort(tags)[0]", "min(sort(words))"]
+    ),
 )
 
 _scalar_expr = st.one_of(
     st.sampled_from(["a", "s", "flag", "m.k1", "m.k2", "nokey"]),
     st.builds(lambda a: f"length({a})", st.sampled_from(["tags", "words", "items", "m", "s"])),
     st.builds(lambda a: f"{a} | length(@)", _array_expr),
+    st.builds(lambda a, i: f"{a}[{i}]", st.sampled_from(["tags", "words"]), st.integers(-4, 4)),
+    st.sampled_from(["items[0].id", "items[-1].st", "nn[0][0]"]),
 )
 
-EXPR = st.one_of(_array_expr, _scalar_expr, _num_cmp, _str_cmp)
+EXPR = st.one_of(_array_expr, _scalar_expr, _num_cmp, _str_cmp, _bool_combo, _fn_expr)
 
 
 def _norm(v):
