@@ -597,7 +597,29 @@ def q55_ks_drift(spark, sf_dir):
     return cdf.agg(F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"))
 
 
-def q33_near_dup_groups(spark, sf_dir):
+def q33_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: a NEW batch (every doc_id ending in 7) matched
+    against a MinHash index of the already-ingested corpus (the other 90%)
+    — the daily crawl-vs-corpus shape of dedup at 100 TB, where the corpus
+    is banded ONCE (build_minhash_index) and each batch joins its own
+    banded signatures against the stored buckets, never re-hashing the
+    corpus. Output (new_id, corpus_id, jaccard ≥ 0.8) after exact-Jaccard
+    verify. Oracle = exact all-pairs batch×corpus Jaccard (same
+    recall-safety argument as q16: every true pair sits at Jaccard ≥ 0.95
+    here, banding miss probability ~1e-40 at 64 hashes / 32 bands)."""
+    from schema_enforcer_spark.functions.dedup import build_minhash_index, match_against_index
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+    index = build_minhash_index(corpus, num_hashes=64, bands=32)
+    # no presentation orderBy (see q16: multiset gate, double-sampled verify)
+    return match_against_index(
+        batch, index, corpus, threshold=0.8, num_hashes=64, bands=32
+    )
+
+
+def q61_near_dup_groups(spark, sf_dir):
     """Transitive near-dup GROUPS: MinHash+LSH pairs → distributed
     min-label-propagation connected components → (doc_id, group_id,
     is_duplicate). Oracle = exact all-pairs Jaccard + a recursive-CTE
@@ -877,7 +899,7 @@ def q49_rate_limit_events(spark, sf_dir):
 
 
 def q50_dedup_materialize(spark, sf_dir):
-    """The near-dup pipeline's MATERIALIZATION step (q33 is the
+    """The near-dup pipeline's MATERIALIZATION step (q61 is the
     diagnostic): drop every non-canonical member of a near-dup group and
     summarize the cleaned corpus per language. Join-back on doc_id, then
     one groupBy — the exact shape of a production dedup pass."""
@@ -1250,7 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_merge_defaults": q30_merge_defaults,
         "q31_asof_join": q31_asof_join,
         "q32_ann_clustered": q32_ann_clustered,
-        "q33_near_dup_groups": q33_near_dup_groups,
+        "q33_incremental_dedup": q33_incremental_dedup,
+        "q61_near_dup_groups": q61_near_dup_groups,
         "q34_pattern_properties": q34_pattern_properties,
         "q35_sequence_packing": q35_sequence_packing,
         "q36_pii_counts": q36_pii_counts,
@@ -1694,7 +1717,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn_like
         FROM documents
     """
-    sqls["q33_near_dup_groups"] = r"""
+    # q33 (incremental dedup): exact all-pairs Jaccard restricted to
+    # batch (doc_id % 10 = 7) × corpus (the rest) — deterministic twin of
+    # the index-join path per the q16 banding-recall argument.
+    sqls["q33_incremental_dedup"] = r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(t.toks) - 1),
+                        i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2])
+                   ELSE [ARRAY_TO_STRING(t.toks, ' ')] END) AS sh
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks
+                FROM documents) t
+        ), pairs AS (
+          SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+                 LEN(LIST_INTERSECT(b.sh, c.sh)) AS inter,
+                 LEN(LIST_DISTINCT(LIST_CONCAT(b.sh, c.sh))) AS uni
+          FROM sh b JOIN sh c ON b.doc_id % 10 = 7 AND c.doc_id % 10 != 7
+        )
+        SELECT new_id, corpus_id,
+               ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 1.0 END, 6) >= 0.8
+    """
+    sqls["q61_near_dup_groups"] = r"""
         WITH RECURSIVE sh AS (
           SELECT doc_id,
                  LIST_DISTINCT(CASE WHEN LEN(t.toks) >= 3
@@ -2062,7 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY path, failing_value
     """
 
-    # q50: the q33 transitive-closure oracle, then keep only canonical
+    # q50: the q61 transitive-closure oracle, then keep only canonical
     # members (comp == doc_id, incl. docs with no near-dup edge) and
     # summarize per language
     sqls["q50_dedup_materialize"] = r"""

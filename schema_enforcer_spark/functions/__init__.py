@@ -3,11 +3,13 @@ text analysis, deduplication, similarity search, time-series joins,
 multimodal plumbing."""
 
 from schema_enforcer_spark.functions.dedup import (
+    build_minhash_index,
     contamination_scores,
     connected_components,
     exact_dedup,
     exact_dup_groups,
     lsh_bucket_stats,
+    match_against_index,
     near_dup_groups,
     minhash_lsh_candidates,
     minhash_near_dups,
@@ -39,8 +41,10 @@ from schema_enforcer_spark.functions.textops import (
 )
 
 __all__ = [
+    "build_minhash_index",
     "contamination_scores",
     "connected_components",
+    "match_against_index",
     "near_dup_groups",
     "exact_dedup",
     "exact_dup_groups",

@@ -279,6 +279,98 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a stored MinHash index of the corpus
+# ---------------------------------------------------------------------------
+#
+# The daily shape of corpus dedup at 100 TB is NOT corpus-vs-corpus — it is
+# "dedup today's crawl against everything already ingested" without
+# re-hashing the existing corpus. build_minhash_index materializes the
+# banded LSH buckets once; match_against_index bands ONLY the new batch and
+# equi-joins it against the stored index. The reference has no analogue
+# (its validation is per-file, schema_enforcer/validation.py); this is the
+# incremental twin of minhash_near_dups.
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(band, bucket, <id_col>) LSH index rows for the corpus.
+
+    Write this ONCE, partitioned/bucketed by (band, bucket) — every later
+    batch then sort-merge-joins its own banded signatures against it with
+    no corpus re-scan and (if the store preserves bucketing) no index-side
+    exchange. Rows are K-hash banded exactly like minhash_lsh_candidates,
+    so build/match MUST agree on num_hashes/bands/shingle_n/seed — the
+    bucket values are meaningless across parameterizations."""
+    return _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed).select(
+        "band", "bucket", F.col("_id").alias(id_col)
+    )
+
+
+def match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Near-dups of NEW docs against an indexed corpus:
+    (new_id, corpus_id, jaccard ≥ threshold).
+
+    Only the new batch is shingled/hashed/banded; the corpus contributes
+    its pre-built index (band, bucket, id) and — for candidates only — its
+    text for the exact-Jaccard verify. Plan at scale: batch-side signature
+    is one scan + explode; the candidate join is an equi-join on
+    (band, bucket) (sort-merge, or exchange-free on the index side when the
+    stored index is bucketed); the verify joins hit the corpus doc store
+    with the candidate id set, which AQE broadcasts when small — the corpus
+    is then STREAMED (column-pruned to id+text), never shuffled. Index
+    buckets above max_bucket_size (boilerplate clusters) are dropped before
+    pair emission, same windowed cap and same lossy-by-design caveat as
+    minhash_lsh_candidates."""
+    banded_new = _banded_buckets(new_df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    idx = _cap_buckets(
+        index.select("band", "bucket", F.col(id_col).alias("_cid")),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+    cands = (
+        banded_new.join(idx, ["band", "bucket"])
+        .filter(F.col("_id") != F.col("_cid"))  # overlap safety: a doc indexed AND re-submitted is not its own dup
+        .select(F.col("_id").alias("new_id"), F.col("_cid").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"), word_shingles(F.col(text_col), shingle_n).alias("_shn")
+    )
+    sh_cor = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), word_shingles(F.col(text_col), shingle_n).alias("_shc")
+    )
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_cor, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("_shn"), F.col("_shc")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (pure Catalyst expressions — zero Python in the hot path)
 # ---------------------------------------------------------------------------
 #

@@ -56,6 +56,41 @@ def test_minhash_recall_vs_exact(spark, docs):
     assert recall >= 0.8, f"recall {recall} too low: exact={exact}, approx={approx}"
 
 
+def test_incremental_index_matches_batch_vs_corpus(spark, docs, tmp_path):
+    """build_minhash_index + match_against_index must find exactly the
+    batch-vs-corpus pairs that exact all-pairs Jaccard finds (the banding
+    recall argument from test_minhash_recall_vs_exact), emit NO
+    corpus-vs-corpus pairs, and survive the write/read round-trip a stored
+    index lives through."""
+    from schema_enforcer_spark.functions.dedup import build_minhash_index, match_against_index
+
+    corpus = docs.filter("doc_id % 10 != 1")
+    batch = docs.filter("doc_id % 10 = 1")  # the one-word-changed variants
+    idx_path = str(tmp_path / "minhash_index")
+    build_minhash_index(corpus, num_hashes=64, bands=16).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # threshold 0.7: banded recall at s>=0.7 with b=16,r=4 is ~0.999 (at
+    # the fixture's actual pair similarities 0.78-0.85 the fixed seed
+    # catches every pair); at 0.5 the banding itself would miss ~35%
+    got = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in match_against_index(
+            batch, index, corpus, threshold=0.7, num_hashes=64, bands=16
+        ).collect()
+    }
+    # oracle: exact all-pairs, restricted to batch-vs-corpus
+    exact = {
+        (r["a_id"], r["b_id"], r["jaccard"]) if r["a_id"] % 10 == 1 else (r["b_id"], r["a_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect()
+        if (r["a_id"] % 10 == 1) != (r["b_id"] % 10 == 1)
+    }
+    assert exact, "fixture must contain batch-vs-corpus near-dup pairs"
+    assert got == exact
+    # every emitted pair is batch-on-the-left, corpus-on-the-right
+    assert all(n % 10 == 1 and c % 10 != 1 for n, c, _ in got)
+
+
 def test_simhash_near_dups(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[0] == sigs[100]  # identical text → identical simhash

@@ -490,6 +490,34 @@ def main() -> None:
         ("equals_table on co-partitioned inputs (north-star diff, zero exchanges)", p22, notes22)
     )
 
+    # 23. incremental dedup (q33): batch-vs-stored-index match must be an
+    # equi-join on (band, bucket) — never an all-pairs/nested-loop join —
+    # and every documents scan must be column-pruned to (doc_id, text)
+    p23 = _formatted(entry.q33_incremental_dedup(spark, sf))
+    notes23 = []
+    if "BroadcastNestedLoopJoin" in p23 or "CartesianProduct" in p23:
+        problems.append("incremental dedup planned a nested-loop/cartesian join")
+    else:
+        notes23.append("OK: no nested-loop/cartesian join anywhere in the match path")
+    if re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)[^\n]*", p23) and re.search(
+        r"Left keys[^\n]*band", p23
+    ):
+        notes23.append("OK: candidate join is an equi-join keyed on (band, bucket)")
+    else:
+        problems.append("incremental-dedup candidate join is not keyed on (band, bucket)")
+    bad_schema23 = [
+        m
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", p23)
+        if set(c.split(":")[0] for c in m.split(",") if c) - {"doc_id", "text"}
+    ]
+    if not bad_schema23:
+        notes23.append("OK: every documents scan is pruned to (doc_id, text)")
+    else:
+        problems.append(f"incremental dedup reads extra columns: {bad_schema23}")
+    sections.append(
+        ("Incremental dedup (q33: batch banded once, equi-joined against the corpus index)", p23, notes23)
+    )
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
