@@ -3,6 +3,7 @@ from schema_enforcer_spark.streaming.validate import (
     stream_verdicts,
     stream_dedup,
     stream_drift,
+    stream_match_against_index,
     stream_quarantine,
     stream_session_stats,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "stream_verdicts",
     "stream_dedup",
     "stream_drift",
+    "stream_match_against_index",
     "stream_quarantine",
     "stream_session_stats",
     "stream_rate_limit",

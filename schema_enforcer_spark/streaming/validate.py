@@ -175,3 +175,36 @@ def stream_drift(
     if resolved is None and baselines_path is None:
         raise ValueError("stream_drift needs `baselines` or `baselines_path`")
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_match_against_index(
+    stream_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    on_matches,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **match_kw,
+):
+    """Streaming twin of incremental dedup (functions.dedup
+    match_against_index): each micro-batch of NEWLY ARRIVING documents is
+    banded and equi-joined against the SAME stored corpus index the batch
+    path uses — near-dups are detected at ingest time and the corpus is
+    hashed zero times per batch. ``on_matches(batch_id, matches_df)``
+    receives the verified (new_id, corpus_id, jaccard) rows.
+
+    foreachBatch rather than a stream-static join: the verify step is two
+    further joins after the candidate join, and reusing the batch operator
+    verbatim keeps the two paths one implementation. No state, no
+    watermark — each batch is independent, exactly like the batch
+    daily-crawl shape. Returns a started-ready ``DataStreamWriter``
+    (caller sets checkpointLocation/trigger and calls ``start()``)."""
+    from schema_enforcer_spark.functions.dedup import match_against_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        matches = match_against_index(
+            batch_df, index, corpus_df, text_col=text_col, id_col=id_col, **match_kw
+        )
+        on_matches(batch_id, matches)
+
+    return stream_df.writeStream.foreachBatch(_process)

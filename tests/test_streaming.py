@@ -501,3 +501,54 @@ def test_stream_quarantine_split(spark, stream_src, tmp_path):
     assert bad.count() >= 1
     assert bad.filter("role = 'operator'").count() == bad.count()
     assert got.filter("row_valid = true and role = 'operator'").count() == 0
+
+
+def test_stream_match_against_index(spark, tmp_path):
+    """Streaming incremental dedup: micro-batches of arriving docs matched
+    against the SAME stored MinHash index the batch path uses — results
+    must equal the batch operator's on the identical batch/corpus split."""
+    from schema_enforcer_spark.functions.dedup import build_minhash_index, match_against_index
+    from schema_enforcer_spark.streaming import stream_match_against_index
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a completely different document about spark sql aggregation and shuffles",
+        "language models need deduplicated training data at massive scale to work",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t.replace("the ", "one ", 1).replace("a ", "an ", 1)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 10 != 1")
+    batch = docs.filter("doc_id % 10 = 1")
+    index = build_minhash_index(corpus, num_hashes=64, bands=16)
+
+    batch_path = str(tmp_path / "arriving")
+    batch.write.mode("overwrite").parquet(batch_path)
+    src = spark.readStream.schema(batch.schema).parquet(batch_path)
+
+    got: set[tuple] = set()
+
+    def on_matches(batch_id, matches):
+        got.update((r["new_id"], r["corpus_id"], r["jaccard"]) for r in matches.collect())
+
+    q = (
+        stream_match_against_index(
+            src, index, corpus, on_matches, threshold=0.7, num_hashes=64, bands=16
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream_match_against_index failed to terminate"
+    q.stop()
+
+    want = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in match_against_index(
+            batch, index, corpus, threshold=0.7, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert want, "fixture must contain batch-vs-corpus near-dups"
+    assert got == want
