@@ -789,12 +789,35 @@ class ValidationEngine:
         input against a reference table on the key columns. Emits three
         violation shapes — a compared column's value differs, an input row
         has no reference counterpart, a reference row has no input
-        counterpart. ONE full-outer equi-join shuffle on the keys (both
-        sides bucketed by conv_id ⇒ exchange-free); 'stable turn ordering'
-        is by construction — the comparison keys on (conv_id, turn_idx),
-        never on file or partition order. No collect, no window."""
-        from schema_enforcer_spark.compiler import py_repr
+        counterpart. 'Stable turn ordering' is by construction — the
+        comparison keys on (conv_id, turn_idx), never on file or partition
+        order. No window; no unbounded collect.
 
+        Two physical strategies, picked by ``compare_mode``:
+
+        - ``direct``: ONE full-outer equi-join shuffle on the keys, value
+          comparison on the join projection. Right when the compared
+          columns are narrow (numerics/timestamps): the hash detour would
+          shuffle just as many bytes plus a second scan.
+        - ``hash``: two-phase. Pass 1 shuffles only (keys, instance,
+          xxhash64 per compared column) through the full-outer join — for
+          a transcripts-scale ``text`` column that cuts shuffle bytes
+          ~5-20x, which is exactly the cross-executor traffic that breaks
+          N→4N scaling — and keeps only missing/mismatched rows (tiny at
+          the 1/1000 tamper rates a diff exists to catch), materialized
+          via localCheckpoint. Pass 2 fetches the real values for the
+          mismatch keys with a broadcast join-back against each table and
+          RECOMPARES the actual values, so the emitted violations are
+          byte-identical to direct mode (a hash collision can only mask a
+          real mismatch, at ~n*2^-64 odds; it can never invent one).
+          NOTE: hash mode triggers pass 1 eagerly at plan-build time (the
+          mismatch count decides broadcast vs fallback).
+        - ``auto`` (default): ``hash`` when any compared column is
+          string/binary/nested (wide values), else ``direct``.
+
+        If the mismatch key set exceeds ``max_fetch_keys`` (default 2e6 —
+        past any plausible drift, the tables are simply different), hash
+        mode abandons the detour and falls back to the direct join."""
         keys = list(rule.params["columns"])
         comp = list(rule.params["compare"])
         ref_name = rule.params["ref_table"]
@@ -818,13 +841,124 @@ class ValidationEngine:
         rid = rule.get("id") or f"{self.manifest.id}/equals_table/{ref_name}"
         custom_msg = rule.get("message")
 
-        left = df.select(
-            *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
+        mode = rule.get("compare_mode", "auto")
+        if mode == "auto":
+            mode = (
+                "hash"
+                if any(
+                    _dtype_of(df, c).simpleString() in ("string", "binary")
+                    or _dtype_of(df, c).simpleString().startswith(("array", "struct", "map"))
+                    for c in comp
+                )
+                else "direct"
+            )
+        if mode == "hash":
+            j = self._equals_table_hash_join(df, ref, keys, comp, rule)
+        else:
+            left = df.select(
+                *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
+            )
+            right = ref.select(
+                *keys, *[F.col(c).alias(f"_r_{c}") for c in comp], F.lit(1).alias("_r")
+            )
+            j = left.join(right, on=keys, how="full_outer")
+        return self._equals_table_emit(j, df, ref, keys, comp, ref_name, rid, custom_msg)
+
+    def _equals_table_hash_join(
+        self, df: DataFrame, ref: DataFrame, keys: list[str], comp: list[str], rule: Rule
+    ) -> DataFrame:
+        """Hash-precompare pass for equals_table (see the rule docstring):
+        returns a frame with the same columns the direct full-outer join
+        produces (keys, compared values, ``_r_*`` twins, ``_inst``,
+        ``_l``/``_r`` side markers) but containing ONLY the rows that can
+        emit a violation — built by joining 8-byte xxhash64 digests instead
+        of the values, then fetching real values for the (tiny) mismatch
+        key set via broadcast join-backs. NULL values hash to NULL (not the
+        seed constant) so NULL-vs-'' and NULL-vs-present stay distinct."""
+
+        def _h(c: str) -> Column:
+            return F.when(F.col(c).isNull(), F.lit(None).cast("bigint")).otherwise(
+                F.xxhash64(F.col(c))
+            )
+
+        lh = df.select(
+            *keys,
+            self._instance_col(df).alias("_inst"),
+            *[_h(c).alias(f"_h_{c}") for c in comp],
+            F.lit(1).alias("_l"),
         )
-        right = ref.select(
-            *keys, *[F.col(c).alias(f"_r_{c}") for c in comp], F.lit(1).alias("_r")
+        rh = ref.select(
+            *keys,
+            *[_h(c).alias(f"_rh_{c}") for c in comp],
+            F.lit(1).alias("_r"),
         )
-        j = left.join(right, on=keys, how="full_outer")
+        pre = lh.join(rh, on=keys, how="full_outer")
+        flagged = F.col("_l").isNull() | F.col("_r").isNull()
+        for c in comp:
+            flagged = flagged | ~F.col(f"_h_{c}").eqNullSafe(F.col(f"_rh_{c}"))
+        # materialize the mismatch set once: it feeds the side-missing
+        # branch, the fetch-back key list, AND the broadcast-vs-fallback
+        # decision — without the checkpoint each consumer would re-run the
+        # whole pass-1 join (the derived-table-reuse trap, CLAUDE.md r4)
+        mis = pre.filter(flagged).localCheckpoint(eager=True)
+        max_fetch = int(rule.get("max_fetch_keys", 2_000_000))
+        if mis.count() > max_fetch:
+            left = df.select(
+                *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
+            )
+            right = ref.select(
+                *keys, *[F.col(c).alias(f"_r_{c}") for c in comp], F.lit(1).alias("_r")
+            )
+            return left.join(right, on=keys, how="full_outer")
+
+        null_comp = [F.lit(None).cast(_dtype_of(df, c)).alias(c) for c in comp]
+        null_rcomp = [F.lit(None).cast(_dtype_of(ref, c)).alias(f"_r_{c}") for c in comp]
+        # side-missing rows need no values: the message is built from keys
+        miss_side = mis.filter(F.col("_l").isNull() | F.col("_r").isNull()).select(
+            *keys, *null_comp, *null_rcomp, "_inst", "_l", "_r"
+        )
+        # both-present hash mismatches: fetch the real values. The key list
+        # is DISTINCT so duplicate join keys multiply exactly as the direct
+        # full-outer join would (each input row matches each ref row once),
+        # and the pair join recompares actual values — equal-value sibling
+        # pairs under a duplicated key emit nothing, same as direct mode.
+        mk = (
+            mis.filter(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+            .select(*keys)
+            .distinct()
+        )
+        fetch_in = df.select(
+            *keys, *comp, self._instance_col(df).alias("_inst")
+        ).join(F.broadcast(mk), on=keys, how="inner")
+        fetch_ref = ref.select(
+            *keys, *[F.col(c).alias(f"_r_{c}") for c in comp]
+        ).join(F.broadcast(mk), on=keys, how="inner")
+        pairs = fetch_in.join(fetch_ref, on=keys, how="inner").select(
+            *keys,
+            *comp,
+            *[f"_r_{c}" for c in comp],
+            "_inst",
+            F.lit(1).alias("_l"),
+            F.lit(1).alias("_r"),
+        )
+        return miss_side.unionByName(pairs)
+
+    def _equals_table_emit(
+        self,
+        j: DataFrame,
+        df: DataFrame,
+        ref: DataFrame,
+        keys: list[str],
+        comp: list[str],
+        ref_name: str,
+        rid: str,
+        custom_msg: str | None,
+    ) -> DataFrame:
+        """Shared violation-shaping tail of equals_table: ``j`` carries
+        keys, compared values + ``_r_*`` twins, ``_inst`` and the
+        ``_l``/``_r`` side markers (from either the direct full-outer join
+        or the hash-precompare fetch-back)."""
+        from schema_enforcer_spark.compiler import py_repr
 
         key_cols = [F.col(c).cast("string") for c in keys]
         key_str = F.concat_ws("|", *key_cols)

@@ -386,6 +386,30 @@ def _fn(name: str, args: list[tuple[Column, T.DataType]]) -> tuple[Column, T.Dat
     refuse("unreachable: parse_checked whitelists functions")  # pragma: no cover
 
 
+def _truthy_ev(node, cur, dtype: T.DataType) -> Column:
+    """Evaluate a node for its JMESPath TRUTHINESS only (a total boolean,
+    never null). For `&&`/`||`/`!` this sidesteps the shared-column-type
+    requirement of value evaluation: the library's `a && b` returns `b if
+    truthy(a) else a`, whose truthiness is exactly `truthy(a) AND
+    truthy(b)` (dually for `||`), so heterogeneous operand types — legal
+    in JMESPath, impossible in one Spark column — evaluate fine wherever
+    only truthiness is consumed (filter comparators, `!`). Found by the
+    hypothesis property test: `items[?(id) && (id == \\`0\\`)].id`."""
+    t = node["type"]
+    if t == "and_expression":
+        return _truthy_ev(node["children"][0], cur, dtype) & _truthy_ev(
+            node["children"][1], cur, dtype
+        )
+    if t == "or_expression":
+        return _truthy_ev(node["children"][0], cur, dtype) | _truthy_ev(
+            node["children"][1], cur, dtype
+        )
+    if t == "not_expression":
+        return ~_truthy_ev(node["children"][0], cur, dtype)
+    c, d = _ev(node, cur, dtype)
+    return jp_truthy(c, d)
+
+
 def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
     """Translate one AST node given the current value (Column + DataType).
     At the row root, ``cur`` is None and ``dtype`` is the row StructType."""
@@ -494,9 +518,9 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
             )
         return F.when(jp_truthy(lc, ldt), lc).otherwise(rc), ldt
     if t == "not_expression":
-        c, d = _ev(node["children"][0], cur, dtype)
-        # jp_truthy is total (never null), so !x is a clean boolean
-        return ~jp_truthy(c, d), T.BooleanType()
+        # jp_truthy is total (never null), so !x is a clean boolean; the
+        # truthiness-only path also admits heterogeneous &&/|| operands
+        return ~_truthy_ev(node["children"][0], cur, dtype), T.BooleanType()
     if t == "filter_projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.ArrayType):
@@ -505,8 +529,9 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
         et = ldt.elementType
 
         def keep(e):
-            c, d = _ev(comparator, e, et)
-            return jp_truthy(c, d)
+            # the comparator is consumed ONLY through truthiness — the
+            # truthiness-only path admits heterogeneous &&/|| operands
+            return _truthy_ev(comparator, e, et)
 
         filtered = F.filter(left, keep)
         return _apply_rhs(filtered, et, node["children"][1])

@@ -113,7 +113,9 @@ TABLE_RULE_KINDS = {
                      # ordering): full-diff vs a reference table on the key
                      # columns — value mismatches per compared column, rows
                      # missing from the reference, reference rows missing
-                     # from the input; ONE full-outer equi-join shuffle
+                     # from the input; direct mode = ONE full-outer value
+                     # join, hash mode = xxhash64 precompare join + broadcast
+                     # fetch-back of the mismatch keys (wide columns)
 }
 
 RULE_KINDS = ROW_RULE_KINDS | TABLE_RULE_KINDS
@@ -206,6 +208,11 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "additional_items": {"type": ["boolean", "object"]},
                     "value_pattern": {"type": "string"},
                     "right_expr": {"type": "string"},
+                    # equals_table physical strategy: direct = one full-outer
+                    # value join; hash = xxhash64 precompare + broadcast
+                    # fetch-back (wide columns); auto picks by compare dtype
+                    "compare_mode": {"enum": ["auto", "direct", "hash"]},
+                    "max_fetch_keys": {"type": "integer", "minimum": 1},
                 },
                 "additionalProperties": False,
             },
@@ -346,6 +353,11 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
         if not isinstance(rule, dict):
             continue
         kind = rule.get("kind")
+        if not isinstance(kind, str):
+            # a non-string kind (list/dict/int) is already reported by the
+            # meta-schema enum check above; dict.get on an unhashable value
+            # would raise TypeError instead of collecting errors (fuzz find)
+            continue
         for req in _PER_KIND_REQUIRED.get(kind, []):
             if req not in rule:
                 errors.append(f"rules/{i}: kind {kind!r} requires field {req!r}")

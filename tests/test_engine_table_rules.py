@@ -477,3 +477,62 @@ def test_equals_table_diff(spark, transcripts):
     bad_ref = ref.withColumn("text", F.length("text").cast("double"))
     with _pytest.raises(ValueError, match="dtype mismatch"):
         ValidationEngine(m).violations(df, ref_tables={"reference": bad_ref})
+
+
+def test_equals_table_hash_mode_parity(spark):
+    """The hash-precompare strategy (xxhash64 join + broadcast fetch-back)
+    must emit violations BYTE-IDENTICAL to the direct full-outer value
+    join, on every tricky shape at once: a value mismatch, NULL-vs-empty
+    (xxhash64 of NULL must stay distinct from any real value's hash),
+    NULL-vs-NULL (clean under eqNullSafe), rows missing from either side,
+    and a DUPLICATED join key (the fetch-back keys are distinct, so pair
+    multiplicity matches the direct join). The max_fetch_keys=1 run forces
+    the too-many-mismatches fallback to the direct join and must also
+    agree. `value` (a double) rides along to prove multi-column compare
+    with a narrow second column works in hash mode."""
+    rows = [
+        ("a", 1, "x", 1.0),
+        ("a", 2, "x", 1.0),      # text mismatch vs ref 'y'
+        ("b", 1, None, 2.0),     # NULL vs '' in ref -> mismatch
+        ("b", 2, None, None),    # NULL vs NULL -> clean
+        ("c", 1, "z", 3.0),      # missing from reference
+        ("e", 1, "p", 4.0),      # dup key: one clean pair ...
+        ("e", 1, "q", 4.0),      # ... one mismatching pair vs ref 'p'
+    ]
+    ref_rows = [
+        ("a", 1, "x", 1.0),
+        ("a", 2, "y", 1.0),
+        ("b", 1, "", 2.0),
+        ("b", 2, None, None),
+        ("d", 1, "w", 5.0),      # missing from the input
+        ("e", 1, "p", 4.0),
+    ]
+    schema = "conv_id string, turn_idx int, text string, value double"
+    df = spark.createDataFrame(rows, schema)
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    def run(**params):
+        m = _m([
+            ("equals_table", dict({
+                "columns": ["conv_id", "turn_idx"],
+                "ref_table": "reference",
+                "compare": ["text", "value"],
+            }, **params))
+        ])
+        out = ValidationEngine(m).violations(df, ref_tables={"reference": ref})
+        return sorted(tuple(r) for r in out.collect())
+
+    direct = run(compare_mode="direct")
+    hashed = run(compare_mode="hash")
+    fallback = run(compare_mode="hash", max_fetch_keys=1)
+    auto = run()  # string compare column present -> auto resolves to hash
+    assert hashed == direct
+    assert fallback == direct
+    assert auto == direct
+    # the fixture exercises every shape: a2 text, b1 NULL-vs-'', c missing
+    # from ref, d missing from input, e1 dup-key pair, a2/b1 value rides
+    msgs = [v[-1] for v in direct]
+    assert sum("does not equal reference.text" in m_ for m_ in msgs) == 3  # a2, b1, e1-q
+    assert sum("is missing from reference" in m_ for m_ in msgs) == 1
+    assert sum("is missing from the input" in m_ for m_ in msgs) == 1
+    assert len(direct) == 5
