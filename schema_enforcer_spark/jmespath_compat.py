@@ -341,9 +341,20 @@ def _fn(name: str, args: list[tuple[Column, T.DataType]]) -> tuple[Column, T.Dat
         arg, adt = args[0]
         if not isinstance(adt, T.MapType):
             refuse(f"needs an object, got {adt.simpleString()}")
+        # KEY-SORTED, both functions: the JMESPath spec leaves object
+        # iteration order unspecified (the library happens to use dict
+        # insertion order), and Spark gives no cross-engine guarantee on
+        # map entry order at all — hypothesis caught map_keys() returning
+        # ['k3','k1'] for an insertion-sorted python dict. Sorting by key
+        # is spec-conformant, deterministic under any partitioning, and
+        # keeps keys()/values() mutually consistent (values ride the same
+        # key order, not the engine's internal entry order).
         if name == "keys":
-            return F.map_keys(arg), T.ArrayType(adt.keyType)
-        return F.map_values(arg), T.ArrayType(adt.valueType)
+            return F.array_sort(F.map_keys(arg)), T.ArrayType(adt.keyType)
+        return (
+            F.transform(F.array_sort(F.map_keys(arg)), lambda k: F.try_element_at(arg, k)),
+            T.ArrayType(adt.valueType),
+        )
     if name == "not_null":
         live = [(c, d) for c, d in args if not isinstance(d, T.NullType)]
         if not live:
@@ -446,7 +457,8 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
         left, ldt = _ev(node["children"][0], cur, dtype)
         if not isinstance(ldt, T.MapType):
             return F.lit(None), T.NullType()
-        vals = F.map_values(left)
+        # key-sorted for determinism — same contract as values(), see above
+        vals = F.transform(F.array_sort(F.map_keys(left)), lambda k: F.try_element_at(left, k))
         return _apply_rhs(vals, ldt.valueType, node["children"][1])
     if t == "projection":
         left, ldt = _ev(node["children"][0], cur, dtype)

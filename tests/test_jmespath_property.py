@@ -247,3 +247,18 @@ def test_generated_expressions_match_library(_collector, expr, docs):
             assert g is None, f"expr={expr!r} doc={d!r}: library raised, spark gave {g!r}"
             continue
         assert g == w, f"expr={expr!r} doc={d!r}\n spark={g!r}\n jmespath={w!r}"
+
+
+def test_map_order_is_key_sorted(_collector):
+    """Regression (hypothesis-discovered): Spark gives no guarantee on map
+    entry order — map_keys() returned ['k3','k1'] for an insertion-sorted
+    python dict — so keys()/values()/`.*` are defined as KEY-SORTED (the
+    JMESPath spec leaves object order unspecified; sorted is the only order
+    a distributed engine can promise). The null-map row must stay null
+    (the library raises invalid-type there)."""
+    base = dict(a=None, s=None, flag=None, tags=None, words=None, m=None, items=None, nn=None)
+    docs = [dict(base), dict(base, m={"k1": None, "k3": 7, "k2": 2})]
+    assert _collector("keys(m)", docs) == [None, ["k1", "k2", "k3"]]
+    assert _collector("values(m)", docs) == [None, [None, 2, 7]]
+    assert _collector("m.*", docs) == [None, [2, 7]]  # projection drops null results
+    assert _collector("m.* | length(@)", docs) == [None, 2]
