@@ -927,12 +927,36 @@ class ValidationEngine:
             .select(*keys)
             .distinct()
         )
+        # Range-prune the fetch-back scans: the broadcast probe alone still
+        # DECODES every row's compared columns before discarding 99.9% of
+        # them. A min/max bound per key column is implied by membership in
+        # mk, costs one tiny job over the checkpointed mismatch set, and —
+        # unlike the 10k-literal IN set — is parquet-PUSHABLE, so row
+        # groups/pages outside the bounds are skipped before any value
+        # decode. Uniformly-spread tampering prunes nothing (bounds span
+        # the table), but real corruption clusters (a bad ingest day, one
+        # broken partition), and then the fetch-back reads only the
+        # affected key range instead of re-scanning 100 TB.
+        bounds = mk.agg(
+            *[F.min(F.col(c)).alias(f"lo_{c}") for c in keys],
+            *[F.max(F.col(c)).alias(f"hi_{c}") for c in keys],
+        ).first()
+        fetch_filter = None
+        for c in keys:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None:  # all-null key column — no bound
+                continue
+            cl = F.col(c).between(F.lit(lo), F.lit(hi))
+            fetch_filter = cl if fetch_filter is None else (fetch_filter & cl)
         fetch_in = df.select(
             *keys, *comp, self._instance_col(df).alias("_inst")
-        ).join(F.broadcast(mk), on=keys, how="inner")
-        fetch_ref = ref.select(
-            *keys, *[F.col(c).alias(f"_r_{c}") for c in comp]
-        ).join(F.broadcast(mk), on=keys, how="inner")
+        )
+        fetch_ref = ref.select(*keys, *[F.col(c).alias(f"_r_{c}") for c in comp])
+        if fetch_filter is not None:
+            fetch_in = fetch_in.filter(fetch_filter)
+            fetch_ref = fetch_ref.filter(fetch_filter)
+        fetch_in = fetch_in.join(F.broadcast(mk), on=keys, how="inner")
+        fetch_ref = fetch_ref.join(F.broadcast(mk), on=keys, how="inner")
         pairs = fetch_in.join(fetch_ref, on=keys, how="inner").select(
             *keys,
             *comp,

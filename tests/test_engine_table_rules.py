@@ -536,3 +536,54 @@ def test_equals_table_hash_mode_parity(spark):
     assert sum("is missing from reference" in m_ for m_ in msgs) == 1
     assert sum("is missing from the input" in m_ for m_ in msgs) == 1
     assert len(direct) == 5
+
+
+def test_equals_table_hash_fetch_range_pushdown(spark, tmp_path):
+    """The hash fetch-back range-prunes its re-scans: min/max bounds of the
+    mismatch key set (implied by broadcast-join membership, but — unlike a
+    10k-literal IN — parquet-PUSHABLE) must reach the parquet scan as
+    PushedFilters, and the violations must stay byte-identical to direct
+    mode on a CLUSTERED corruption pattern (the case the pruning exists
+    for: one bad ingest range, the rest of the table untouched)."""
+    from pyspark.sql import functions as F
+
+    n = 2000
+    base = spark.range(n).select(
+        F.concat(F.lit("conv-"), F.format_string("%06d", F.col("id"))).alias("conv_id"),
+        F.lit(1).alias("turn_idx"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+    # corruption clustered in conv-000100..conv-000119
+    ref = base.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id").between("conv-000100", "conv-000119"),
+            F.concat(F.lit("TAMPERED-"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    ipath, rpath = str(tmp_path / "in"), str(tmp_path / "ref")
+    base.write.parquet(ipath)
+    ref.write.parquet(rpath)
+    df, rdf = spark.read.parquet(ipath), spark.read.parquet(rpath)
+
+    def run(mode):
+        m = _m([
+            ("equals_table", {
+                "columns": ["conv_id", "turn_idx"],
+                "ref_table": "reference",
+                "compare": ["text"],
+                "compare_mode": mode,
+            })
+        ])
+        return ValidationEngine(m).violations(df, ref_tables={"reference": rdf})
+
+    hashed = run("hash")
+    direct = run("direct")
+    assert sorted(map(tuple, hashed.collect())) == sorted(map(tuple, direct.collect()))
+    assert hashed.count() == 20
+    plan = hashed._sc._jvm.PythonSQLUtils.explainString(
+        hashed._jdf.queryExecution(), "formatted"
+    )
+    # both fetch-back scans carry the pushed key range
+    assert plan.count("GreaterThanOrEqual(conv_id,conv-000100)") >= 2, plan
+    assert plan.count("LessThanOrEqual(conv_id,conv-000119)") >= 2, plan
