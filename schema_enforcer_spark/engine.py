@@ -902,7 +902,20 @@ class ValidationEngine:
         # whole pass-1 join (the derived-table-reuse trap, CLAUDE.md r4)
         mis = pre.filter(flagged).localCheckpoint(eager=True)
         max_fetch = int(rule.get("max_fetch_keys", 2_000_000))
-        if mis.count() > max_fetch:
+        # ONE job for the fallback decision AND the fetch range bounds:
+        # every separate action is a full scheduler barrier whose wall time
+        # is set by the slowest executor — hash mode already pays three
+        # (checkpoint, this, broadcast build), so the count and the
+        # min/max ride the same tiny aggregate over the checkpointed
+        # mismatch set. Bounds cover only both-present rows (the fetch
+        # set); side-missing rows need no values.
+        _bp = F.col("_l").isNotNull() & F.col("_r").isNotNull()
+        _stats = mis.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.min(F.when(_bp, F.col(c))).alias(f"lo_{c}") for c in keys],
+            *[F.max(F.when(_bp, F.col(c))).alias(f"hi_{c}") for c in keys],
+        ).first()
+        if _stats["_n"] > max_fetch:
             left = df.select(
                 *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
             )
@@ -930,20 +943,16 @@ class ValidationEngine:
         # Range-prune the fetch-back scans: the broadcast probe alone still
         # DECODES every row's compared columns before discarding 99.9% of
         # them. A min/max bound per key column is implied by membership in
-        # mk, costs one tiny job over the checkpointed mismatch set, and —
+        # mk, rides the fallback-decision aggregate above for free, and —
         # unlike the 10k-literal IN set — is parquet-PUSHABLE, so row
         # groups/pages outside the bounds are skipped before any value
         # decode. Uniformly-spread tampering prunes nothing (bounds span
         # the table), but real corruption clusters (a bad ingest day, one
         # broken partition), and then the fetch-back reads only the
         # affected key range instead of re-scanning 100 TB.
-        bounds = mk.agg(
-            *[F.min(F.col(c)).alias(f"lo_{c}") for c in keys],
-            *[F.max(F.col(c)).alias(f"hi_{c}") for c in keys],
-        ).first()
         fetch_filter = None
         for c in keys:
-            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            lo, hi = _stats[f"lo_{c}"], _stats[f"hi_{c}"]
             if lo is None or hi is None:  # all-null key column — no bound
                 continue
             cl = F.col(c).between(F.lit(lo), F.lit(hi))
