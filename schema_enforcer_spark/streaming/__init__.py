@@ -6,6 +6,7 @@ from schema_enforcer_spark.streaming.validate import (
     stream_match_against_index,
     stream_quarantine,
     stream_session_stats,
+    stream_equals_table,
 )
 from schema_enforcer_spark.streaming.stateful import (
     stream_rate_limit,
@@ -20,6 +21,7 @@ __all__ = [
     "stream_match_against_index",
     "stream_quarantine",
     "stream_session_stats",
+    "stream_equals_table",
     "stream_rate_limit",
     "stream_stateful_contiguity",
 ]

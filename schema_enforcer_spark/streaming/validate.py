@@ -208,3 +208,71 @@ def stream_match_against_index(
         on_matches(batch_id, matches)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_equals_table(
+    stream_df: DataFrame,
+    manifest: Manifest,
+    ref_tables: dict[str, DataFrame],
+    **engine_kw,
+) -> DataFrame:
+    """Streaming twin of the ``equals_table`` diff (the north-star per-turn
+    text-equality invariant): each arriving micro-batch is LEFT-OUTER
+    stream-static joined against the stored reference table on the key
+    columns and emits the SAME violation rows the batch rule produces —
+    value mismatches and input rows with no reference counterpart — at
+    ingest time, stateless (no watermark; each batch is independent).
+
+    What a stream cannot emit: ``missing from the input`` rows. Absence is
+    only provable once the stream is complete, so reference-only rows are
+    a batch reconciliation concern (run the batch rule over the landed
+    table); Spark enforces the same physics by rejecting full-outer
+    stream-static joins. Compare mode is ``direct`` only — hash mode's
+    eager pass-1 (localCheckpoint + count actions) cannot run on an
+    unbounded stream, and a micro-batch is small enough that shuffling its
+    values is the cheap side of the trade anyway.
+
+    Reference analogue: schema-enforcer validates each file as it is
+    encountered (/root/reference/schema_enforcer/cli.py:60-88, the
+    validate command's per-file loop); this is that loop's unbounded form.
+    """
+    eq_rules = [r for r in manifest.rules if r.kind == "equals_table"]
+    if len(eq_rules) != 1:
+        raise ValueError(
+            f"stream_equals_table needs exactly one equals_table rule in the "
+            f"manifest, found {len(eq_rules)}"
+        )
+    rule = eq_rules[0]
+    keys = list(rule.params["columns"])
+    comp = list(rule.params["compare"])
+    ref_name = rule.params["ref_table"]
+    if ref_name not in ref_tables:
+        raise KeyError(f"equals_table rule needs ref table {ref_name!r} in ref_tables")
+    ref = ref_tables[ref_name]
+    if ref.isStreaming:
+        raise ValueError("the reference side must be a static table")
+    eng = ValidationEngine(manifest, **engine_kw)
+    # same dtype fail-fast as the batch rule
+    from schema_enforcer_spark.compiler import _dtype_of
+
+    for c in keys + comp:
+        for side, d in (("input", stream_df), (ref_name, ref)):
+            if c not in d.columns:
+                raise ValueError(f"equals_table: {side} lacks column {c!r}")
+        lt, rt = _dtype_of(stream_df, c), _dtype_of(ref, c)
+        if lt != rt:
+            raise ValueError(
+                f"equals_table: column {c!r} dtype mismatch — input is {lt}, "
+                f"{ref_name} is {rt}; cast the tables to agree before validating"
+            )
+    rid = rule.get("id") or f"{manifest.id}/equals_table/{ref_name}"
+    left = stream_df.select(
+        *keys, *comp, eng._instance_col(stream_df).alias("_inst"), F.lit(1).alias("_l")
+    )
+    right = ref.select(
+        *keys, *[F.col(c).alias(f"_r_{c}") for c in comp], F.lit(1).alias("_r")
+    )
+    j = left.join(right, on=keys, how="left_outer")
+    return eng._equals_table_emit(
+        j, stream_df, ref, keys, comp, ref_name, rid, rule.get("message")
+    )

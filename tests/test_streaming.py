@@ -552,3 +552,60 @@ def test_stream_match_against_index(spark, tmp_path):
     }
     assert want, "fixture must contain batch-vs-corpus near-dups"
     assert got == want
+
+
+def test_stream_equals_table(spark, tmp_path):
+    """Streaming north-star diff: arriving turns are stream-static
+    left-outer joined against the stored reference; a tampered text and an
+    input-only row emit the batch rule's exact violation rows at ingest,
+    and reference-only rows (unprovable on a stream) emit nothing."""
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.streaming import stream_equals_table
+
+    rows = [
+        ("a", 1, "x"),   # clean
+        ("a", 2, "x"),   # mismatch vs ref 'y'
+        ("c", 1, "z"),   # missing from reference
+    ]
+    ref_rows = [
+        ("a", 1, "x"),
+        ("a", 2, "y"),
+        ("d", 1, "w"),   # missing from the input — batch-only shape
+    ]
+    schema = "conv_id string, turn_idx int, text string"
+    inp = spark.createDataFrame(rows, schema)
+    ref = spark.createDataFrame(ref_rows, schema)
+    path = str(tmp_path / "eq_stream")
+    inp.write.parquet(path)
+
+    m = manifest_from_dict(
+        {
+            "id": "schemas/transcripts_eq_stream",
+            "table": "transcripts",
+            "rules": [
+                {
+                    "kind": "equals_table",
+                    "columns": ["conv_id", "turn_idx"],
+                    "ref_table": "reference",
+                    "compare": ["text"],
+                }
+            ],
+        }
+    )
+    src = spark.readStream.schema(inp.schema).parquet(path)
+    out = stream_equals_table(src, m, {"reference": ref})
+    assert out.isStreaming
+    _run(out, "eqdiff")
+    got = sorted(tuple(r) for r in spark.sql("select * from eqdiff").collect())
+
+    # the batch rule on the same data, minus the stream-unprovable shape
+    batch = ValidationEngine(m).violations(inp, ref_tables={"reference": ref})
+    want = sorted(
+        tuple(r)
+        for r in batch.filter(~F.col("message").contains("is missing from the input")).collect()
+    )
+    assert got == want
+    assert len(got) == 2
+    msgs = [g[-1] for g in got]
+    assert sum("does not equal reference.text" in m_ for m_ in msgs) == 1
+    assert sum("is missing from reference" in m_ for m_ in msgs) == 1
