@@ -157,6 +157,25 @@ def parse_checked(expr: str):
     return ast
 
 
+def _sorted_map_values(m: Column) -> Column:
+    """Map values in KEY order (the deterministic contract of values() and
+    `.*` — Spark guarantees no map entry order). Sort the ENTRIES with a
+    key-only comparator: one O(n log n) pass, no per-key map lookups (a
+    transform over sorted keys + element_at is a linear probe per element,
+    O(n^2) per row — a measured 5x on q10's per-user interface maps), and
+    no ordering requirement on the VALUE type (a bare array_sort of the
+    entry structs would compare values on key ties and refuse
+    non-orderable value types; map keys are unique so the comparator never
+    reaches a tie)."""
+    entries = F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+        .when(a["key"] > b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.transform(entries, lambda e: e["value"])
+
+
 def _bucket(dt: T.DataType) -> object:
     """Comparison-compatibility bucket for comparator compilation. Complex
     types bucket by their exact simpleString: two arrays with different
@@ -351,10 +370,7 @@ def _fn(name: str, args: list[tuple[Column, T.DataType]]) -> tuple[Column, T.Dat
         # key order, not the engine's internal entry order).
         if name == "keys":
             return F.array_sort(F.map_keys(arg)), T.ArrayType(adt.keyType)
-        return (
-            F.transform(F.array_sort(F.map_keys(arg)), lambda k: F.try_element_at(arg, k)),
-            T.ArrayType(adt.valueType),
-        )
+        return _sorted_map_values(arg), T.ArrayType(adt.valueType)
     if name == "not_null":
         live = [(c, d) for c, d in args if not isinstance(d, T.NullType)]
         if not live:
@@ -458,7 +474,7 @@ def _ev(node, cur, dtype: T.DataType) -> tuple[Column, T.DataType]:
         if not isinstance(ldt, T.MapType):
             return F.lit(None), T.NullType()
         # key-sorted for determinism — same contract as values(), see above
-        vals = F.transform(F.array_sort(F.map_keys(left)), lambda k: F.try_element_at(left, k))
+        vals = _sorted_map_values(left)
         return _apply_rhs(vals, ldt.valueType, node["children"][1])
     if t == "projection":
         left, ldt = _ev(node["children"][0], cur, dtype)
