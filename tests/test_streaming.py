@@ -31,11 +31,15 @@ def stream_src(spark, tmp_path_factory):
     return path, df.schema
 
 
-def _run(stream_df, name):
+def _run(stream_df, name, mode=None):
+    # append for non-aggregating streams, complete for aggregations;
+    # default keyed off the historical query names, override via mode=
+    if mode is None:
+        mode = "append" if name in ("viol", "dedup", "eqdiff") else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name == "viol" or name == "dedup" else "complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
