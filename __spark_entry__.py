@@ -789,7 +789,38 @@ def q43_boilerplate_ngrams(spark, sf_dir):
     )
 
 
-def q44_doc_chunks(spark, sf_dir):
+def q44_expression_rule(spark, sf_dir):
+    """The `expression` row rule: a declarative SQL boolean over the whole
+    row, Catalyst-compiled onto the same zero-shuffle row-rule projection
+    as every scalar check — the Spark-native twin of the reference's
+    custom-validator subclasses (validator.py:90-117, arbitrary Python per
+    model). Two cross-column business rules over events: purchases must
+    not be micro-transactions, and high-value rows must be clicks. String
+    render column only (double reprs are not engine-portable)."""
+    ev = _t(spark, sf_dir, "events")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_expr",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "expression",
+                    "expr": "NOT (event_type = 'purchase' AND value < 20.0D)",
+                    "column": "event_type",
+                },
+                {
+                    "kind": "expression",
+                    "expr": "value < 300.0D OR event_type = 'click'",
+                    "message": "high-value event outside click",
+                },
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["event_id"], instance_expr=_INST)
+    return _flat(eng.violations(ev))
+
+
+def q62_doc_chunks(spark, sf_dir):
     """Sliding-window chunking for context-window preprocessing: 64-token
     windows, 16-token overlap. scan → project → generate, zero shuffles."""
     from schema_enforcer_spark.functions.sampling import chunk_documents
@@ -1284,7 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_term_doc_freq": q41_term_doc_freq,
         "q42_composition_validation": q42_composition_validation,
         "q43_boilerplate_ngrams": q43_boilerplate_ngrams,
-        "q44_doc_chunks": q44_doc_chunks,
+        "q44_expression_rule": q44_expression_rule,
+        "q62_doc_chunks": q62_doc_chunks,
         "q45_stratified_sample": q45_stratified_sample,
         "q60_quantile_check": q60_quantile_check,
         "q47_centroid_stats": q47_centroid_stats,
@@ -2020,7 +2052,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
-    sqls["q44_doc_chunks"] = r"""
+    sqls["q44_expression_rule"] = """
+        SELECT 'schemas/events_expr/expression/event_type' AS schema_id,
+               'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':event_type' AS path,
+               '''' || event_type || '''' AS failing_value,
+               'does not satisfy "NOT (event_type = ''purchase'' AND value < 20.0D)"' AS message
+        FROM events WHERE event_type = 'purchase' AND value < 20.0
+        UNION ALL
+        SELECT 'schemas/events_expr/expression/*', 'FAIL',
+               CAST(user_id % 16 AS VARCHAR),
+               CAST(event_id AS VARCHAR),
+               NULL,
+               'high-value event outside click'
+        FROM events WHERE NOT (value < 300.0 OR event_type = 'click')
+    """
+
+    sqls["q62_doc_chunks"] = r"""
         WITH t AS (
           SELECT doc_id,
                  LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> LENGTH(x) > 0) AS toks

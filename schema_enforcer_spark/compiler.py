@@ -300,6 +300,30 @@ def compile_row_rule(df: DataFrame, manifest_id: str, rule: Rule) -> CompiledRul
         from schema_enforcer_spark.jmespath_compat import compile_jmespath_rule
 
         return compile_jmespath_rule(df, manifest_id, rule)
+    if rule.kind == "expression":
+        # declarative SQL boolean over the whole row — the Spark-native twin
+        # of the reference's custom-validator subclasses (validator.py:90-117
+        # let users write arbitrary Python per model); here the predicate is
+        # Catalyst-compiled onto the same zero-shuffle row projection as
+        # every other row rule. Resolve it against the input schema NOW so a
+        # typo'd column or non-boolean expression fails at manifest-compile
+        # time, not mid-job over 100 TB (schema-only: no job runs).
+        pred = F.expr(rule.params["expr"])
+        dt = df.select(pred.alias("_e")).schema[0].dataType
+        if not isinstance(dt, T.BooleanType):
+            raise ValueError(
+                f"expression rule must be a SQL boolean, got {dt.simpleString()}: "
+                f"{rule.params['expr']!r}"
+            )
+        col_name = rule.get("column")
+        if col_name and not has_column_path(df, col_name):
+            raise ValueError(f"expression rule renders column {col_name!r}, which the input lacks")
+        msg = F.lit(rule.get("message") or f"does not satisfy {rule.params['expr']!r}")
+        fv = (
+            py_repr(F.col(col_name), _dtype_of(df, col_name)) if col_name else F.lit(None).cast("string")
+        )
+        rid = rule.get("id") or f"{manifest_id}/expression/{col_name or '*'}"
+        return CompiledRule(rule_id=rid, column=col_name, predicate=pred, message=msg, failing_value=fv)
     col_name = rule.get("column")
     col = F.col(col_name) if col_name else None
     dtype = _dtype_of(df, col_name) if col_name else None
@@ -322,7 +346,9 @@ def compile_row_rules(df: DataFrame, manifest: Manifest) -> list[CompiledRule]:
         if rule.kind in ("items", "prefix_items", "pattern_properties", "property_names"):
             continue  # array-element / map-entry rules emit per-entry violations — engine path
         col_name = rule.get("column")
-        if col_name and not has_column_path(df, col_name):
+        # expression rules fail loudly on missing columns (the expr is the
+        # contract, `column` only renders) — never the silent skip below
+        if col_name and rule.kind != "expression" and not has_column_path(df, col_name):
             if rule.kind in ("required", "not_empty"):
                 # Missing column ≡ missing required property for every row.
                 # The rule keeps its OWN kind in the fallback id so a rule's

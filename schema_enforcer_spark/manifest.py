@@ -91,6 +91,16 @@ ROW_RULE_KINDS = {
                      # transform() over the array, violations carry the
                      # element index in absolute_path (["dns_servers","0",
                      # "address"] parity, tests/test_jsonschema.py:84-91)
+    "expression",    # X2 Spark-native twin of the reference's custom
+                     # validators (validator.py:90-117 subclasses write
+                     # arbitrary Python over the row): a declarative SQL
+                     # boolean over any columns of the row (`expr`),
+                     # compiled by Catalyst onto the same zero-shuffle
+                     # row-rule projection. SQL CHECK-constraint null
+                     # semantics: a NULL predicate passes (enforce
+                     # non-null operands with a required rule). `column`
+                     # optionally names which column to render as the
+                     # failing value.
 }
 
 TABLE_RULE_KINDS = {
@@ -170,6 +180,8 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     "left": {},
                     "operator": {"enum": sorted(_COMPARISON_OPS)},
                     "right": {},
+                    # expression rule: a single SQL boolean over the row
+                    "expr": {"type": "string", "minLength": 1},
                     "when": {"type": "object"},
                     "then": {"type": "object"},
                     "otherwise": {"type": "object"},
@@ -256,6 +268,7 @@ _PER_KIND_REQUIRED = {
     "const": ["column", "value"],
     "contains": ["column", "check"],
     "dependent_required": ["column", "requires"],
+    "expression": ["expr"],
     "cardinality": ["columns", "ref_table", "ref_columns"],
     "rate_limit": ["partition_by", "order_by", "window_seconds", "max_count"],
     "equals_table": ["columns", "ref_table", "compare"],
@@ -266,6 +279,7 @@ _PER_KIND_REQUIRED = {
 # predicate must stay a plain boolean expression over one column).
 _COMPOSABLE_CHECK_KINDS = ROW_RULE_KINDS - {
     "jmespath",
+    "expression",
     "items",
     "pattern_properties",
     "property_names",
@@ -484,6 +498,18 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
                         parse_checked(rule[fld])
                     except UnsupportedJmesPath as exc:
                         errors.append(f"rules/{i}: {fld}: {exc}")
+        if kind == "expression":
+            # full parse/resolution happens at compile time against the
+            # input schema (needs a session); here reject the shapes that
+            # can never compile
+            ex = rule.get("expr")
+            if not isinstance(ex, str) or not ex.strip():
+                errors.append(f"rules/{i}: expression 'expr' must be a non-empty SQL string")
+            elif ";" in ex:
+                errors.append(
+                    f"rules/{i}: expression 'expr' must be a single SQL boolean "
+                    "expression, not a statement list"
+                )
         if kind == "pattern_properties":
             check = rule.get("check")
             if check is None and not (rule.get("additional_properties") is False):

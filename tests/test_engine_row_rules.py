@@ -306,3 +306,85 @@ def test_prefix_items_manifest_validation(spark):
                 ],
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# expression rule: declarative SQL boolean over the whole row (the
+# Spark-native twin of the reference's custom-validator subclasses,
+# /root/reference/schema_enforcer/validator.py:90-117)
+# ---------------------------------------------------------------------------
+
+
+def _expr_manifest(expr, **extra):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    return manifest_from_dict(
+        {
+            "id": "schemas/expr_test",
+            "table": "transcripts",
+            "rules": [{"kind": "expression", "expr": expr, **extra}],
+        }
+    )
+
+
+def test_expression_rule_cross_column(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "user", "hi", None),
+            ("a", 2, "tool", "", "search"),  # tool turn with empty text
+            ("b", 1, "assistant", None, None),  # NULL text -> NULL pred -> PASS
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    m = _expr_manifest("NOT (role = 'tool' AND length(text) = 0)", column="text")
+    viols = ValidationEngine(m, key_columns=["conv_id", "turn_idx"]).violations(df).collect()
+    assert len(viols) == 1
+    v = viols[0]
+    assert v["absolute_path"] == ["a", "2", "text"]
+    assert v["failing_value"] == "''"
+    assert v["message"] == 'does not satisfy "NOT (role = \'tool\' AND length(text) = 0)"'
+    assert v["schema_id"] == "schemas/expr_test/expression/text"
+
+
+def test_expression_rule_null_passes_custom_message(spark):
+    """SQL CHECK-constraint semantics: a NULL predicate result passes."""
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5)], "conv_id string, turn_idx int, n int"
+    )
+    m = _expr_manifest("n < 3", message="n out of policy")
+    viols = ValidationEngine(m).violations(df).collect()
+    assert len(viols) == 1  # only the non-null failing row
+    assert viols[0]["message"] == "n out of policy"
+    assert viols[0]["failing_value"] is None  # no render column bound
+
+
+def test_expression_rule_rejects_bad_shapes(spark):
+    df = spark.createDataFrame([("a", 1)], "conv_id string, turn_idx int")
+    with pytest.raises(Exception, match="non-empty SQL string"):
+        _expr_manifest("   ")
+    with pytest.raises(Exception, match="statement list"):
+        _expr_manifest("1=1; DROP TABLE x")
+    with pytest.raises(ValueError, match="must be a SQL boolean"):
+        ValidationEngine(_expr_manifest("conv_id")).violations(df).collect()
+    with pytest.raises(Exception, match="nope_col"):
+        ValidationEngine(_expr_manifest("nope_col > 1")).violations(df).collect()
+    with pytest.raises(ValueError, match="which the input lacks"):
+        ValidationEngine(_expr_manifest("turn_idx > 0", column="ghost")).violations(df).collect()
+
+
+def test_expression_rule_not_composable(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    with pytest.raises(Exception, match="expression|composable|scalar"):
+        manifest_from_dict(
+            {
+                "id": "s/x",
+                "rules": [
+                    {
+                        "kind": "any_of",
+                        "column": "n",
+                        "checks": [{"kind": "expression", "expr": "n > 1"}],
+                    }
+                ],
+            }
+        )
