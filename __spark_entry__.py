@@ -681,7 +681,46 @@ def q36_pii_counts(spark, sf_dir):
     )
 
 
-def q37_repetition_ratio(spark, sf_dir):
+def q37_infer_manifest(spark, sf_dir):
+    """Manifest inference over events: two bounded jobs (one full-scan agg;
+    one candidate pass — exact collect_set only for columns the HLL
+    estimate bounds to <= 2*enum_max, exact count_distinct only for
+    approx-unique columns) drive a deterministic draft-manifest emission:
+    type/required per column, enum XOR range/length, unique key
+    candidates. The DuckDB twin re-derives every rule row from the same
+    aggregates, so the emission LOGIC (not just the profile) is
+    oracle-checked. Numeric bounds render at fixed DECIMAL(18,6) scale —
+    raw double-to-string is not engine-portable."""
+    from decimal import Decimal
+
+    from schema_enforcer_spark.infer import infer_manifest
+
+    ev = _t(spark, sf_dir, "events")
+    draft = infer_manifest(ev, "schemas/events_inferred", enum_max=16)
+
+    def _num(v):
+        if isinstance(v, float):
+            return str(Decimal(repr(v)).quantize(Decimal("0.000001")))
+        return str(v)
+
+    rows = []
+    for r in draft["rules"]:
+        col = r.get("column") or r["columns"][0]
+        if r["kind"] == "type":
+            spec = r["type"]
+        elif r["kind"] == "enum":
+            spec = "|".join(str(v) for v in r["values"])
+        elif r["kind"] == "range":
+            spec = f"min={_num(r['minimum'])},max={_num(r['maximum'])}"
+        elif r["kind"] == "length":
+            spec = f"min_len={r['min_length']},max_len={r['max_length']}"
+        else:  # required / unique
+            spec = ""
+        rows.append((col, r["kind"], spec))
+    return spark.createDataFrame(rows, "col_name string, kind string, spec string")
+
+
+def q63_repetition_ratio(spark, sf_dir):
     """Intra-document repetition quality signal: fraction of duplicated word
     4-grams per document (high ⇒ boilerplate / looping generation). Uses the
     projection-barrier form so the n-gram transform runs ONCE per row (the
@@ -1308,7 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_pattern_properties": q34_pattern_properties,
         "q35_sequence_packing": q35_sequence_packing,
         "q36_pii_counts": q36_pii_counts,
-        "q37_repetition_ratio": q37_repetition_ratio,
+        "q37_infer_manifest": q37_infer_manifest,
+        "q63_repetition_ratio": q63_repetition_ratio,
         "q38_contamination": q38_contamination,
         "q39_range_join": q39_range_join,
         "q40_simhash_near_dups": q40_simhash_near_dups,
@@ -1673,7 +1713,88 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY schema_id, path
     """
 
-    sqls["q37_repetition_ratio"] = r"""
+    # q37: re-derive the manifest-inference emission logic in SQL. One
+    # profile CTE per events column (nulls / exact distinct / native
+    # min-max / length bounds), then one UNION ALL branch per rule kind
+    # gated by the same conditions infer_manifest uses. enum_max = 16.
+    sqls["q37_infer_manifest"] = """
+        WITH prof AS (
+          SELECT COUNT(*) AS n_rows,
+                 SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS eid_nulls,
+                 COUNT(DISTINCT event_id) AS eid_nd,
+                 MIN(event_id) AS eid_min, MAX(event_id) AS eid_max,
+                 SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+                 SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS uid_nulls,
+                 COUNT(DISTINCT user_id) AS uid_nd,
+                 MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+                 SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS et_nulls,
+                 COUNT(DISTINCT event_type) AS et_nd,
+                 SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS val_nulls,
+                 COUNT(DISTINCT value) AS val_nd,
+                 MIN(value) AS val_min, MAX(value) AS val_max,
+                 SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
+                 COUNT(DISTINCT props) AS pr_nd,
+                 MIN(LENGTH(event_type)) AS et_lmin, MAX(LENGTH(event_type)) AS et_lmax,
+                 MIN(LENGTH(props)) AS pr_lmin, MAX(LENGTH(props)) AS pr_lmax
+          FROM events
+        )
+        SELECT col_name, kind, spec FROM (
+          SELECT 'event_id' AS col_name, 'type' AS kind, 'integer' AS spec FROM prof
+          UNION ALL SELECT 'event_id', 'required', '' FROM prof WHERE eid_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'event_id', 'enum',
+                 (SELECT STRING_AGG(CAST(event_id AS VARCHAR), '|' ORDER BY event_id)
+                  FROM (SELECT DISTINCT event_id FROM events WHERE event_id IS NOT NULL))
+            FROM prof WHERE eid_nd BETWEEN 1 AND 16
+          UNION ALL SELECT 'event_id', 'range',
+                 'min=' || CAST(eid_min AS VARCHAR) || ',max=' || CAST(eid_max AS VARCHAR)
+            FROM prof WHERE eid_nd > 16 AND eid_min IS NOT NULL
+          UNION ALL SELECT 'event_id', 'unique', ''
+            FROM prof WHERE eid_nulls = 0 AND n_rows > 0 AND eid_nd = n_rows
+          UNION ALL SELECT 'ts', 'type', 'timestamp' FROM prof
+          UNION ALL SELECT 'ts', 'required', '' FROM prof WHERE ts_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'user_id', 'type', 'integer' FROM prof
+          UNION ALL SELECT 'user_id', 'required', '' FROM prof WHERE uid_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'user_id', 'enum',
+                 (SELECT STRING_AGG(CAST(user_id AS VARCHAR), '|' ORDER BY user_id)
+                  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL))
+            FROM prof WHERE uid_nd BETWEEN 1 AND 16
+          UNION ALL SELECT 'user_id', 'range',
+                 'min=' || CAST(uid_min AS VARCHAR) || ',max=' || CAST(uid_max AS VARCHAR)
+            FROM prof WHERE uid_nd > 16 AND uid_min IS NOT NULL
+          UNION ALL SELECT 'user_id', 'unique', ''
+            FROM prof WHERE uid_nulls = 0 AND n_rows > 0 AND uid_nd = n_rows
+          UNION ALL SELECT 'event_type', 'type', 'string' FROM prof
+          UNION ALL SELECT 'event_type', 'required', '' FROM prof WHERE et_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'event_type', 'enum',
+                 (SELECT STRING_AGG(event_type, '|' ORDER BY event_type)
+                  FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL))
+            FROM prof WHERE et_nd BETWEEN 1 AND 16
+          UNION ALL SELECT 'event_type', 'length',
+                 'min_len=' || CAST(et_lmin AS VARCHAR) || ',max_len=' || CAST(et_lmax AS VARCHAR)
+            FROM prof WHERE et_nd > 16 AND et_lmin IS NOT NULL
+          UNION ALL SELECT 'event_type', 'unique', ''
+            FROM prof WHERE et_nulls = 0 AND n_rows > 0 AND et_nd = n_rows
+          UNION ALL SELECT 'value', 'type', 'number' FROM prof
+          UNION ALL SELECT 'value', 'required', '' FROM prof WHERE val_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'value', 'range',
+                 'min=' || CAST(CAST(val_min AS DECIMAL(18,6)) AS VARCHAR)
+                 || ',max=' || CAST(CAST(val_max AS DECIMAL(18,6)) AS VARCHAR)
+            FROM prof WHERE val_min IS NOT NULL
+          UNION ALL SELECT 'props', 'type', 'string' FROM prof
+          UNION ALL SELECT 'props', 'required', '' FROM prof WHERE pr_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'props', 'enum',
+                 (SELECT STRING_AGG(props, '|' ORDER BY props)
+                  FROM (SELECT DISTINCT props FROM events WHERE props IS NOT NULL))
+            FROM prof WHERE pr_nd BETWEEN 1 AND 16
+          UNION ALL SELECT 'props', 'length',
+                 'min_len=' || CAST(pr_lmin AS VARCHAR) || ',max_len=' || CAST(pr_lmax AS VARCHAR)
+            FROM prof WHERE pr_nd > 16 AND pr_lmin IS NOT NULL
+          UNION ALL SELECT 'props', 'unique', ''
+            FROM prof WHERE pr_nulls = 0 AND n_rows > 0 AND pr_nd = n_rows
+        )
+    """
+
+    sqls["q63_repetition_ratio"] = r"""
         WITH t AS (
           SELECT doc_id,
                  LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LENGTH(x) > 0) AS toks

@@ -41,11 +41,29 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="schema-enforcer-spark")
     p.add_argument(
         "--manifest",
-        required=True,
+        default=None,
         help="YAML/JSON constraint manifest, or a DIRECTORY of manifests — "
         "a directory automaps every manifest against the input's columns "
         "and validates each one that binds (the reference `validate` "
-        "command's all-schemas semantics, cli.py:75-96)",
+        "command's all-schemas semantics, cli.py:75-96). Required for "
+        "every mode except --infer-manifest",
+    )
+    p.add_argument(
+        "--infer-manifest",
+        default=None,
+        metavar="OUT.yml",
+        help="profile --input (two jobs: one full scan + one candidate "
+        "pass) and write a DRAFT constraint manifest — type/required/"
+        "enum/range/length rules plus unique key candidates — then exit. "
+        "The draft encodes the strictest constraints the data already "
+        "satisfies; edit before enforcing",
+    )
+    p.add_argument("--infer-id", default="schemas/inferred", help="manifest id for --infer-manifest")
+    p.add_argument(
+        "--infer-enum-max",
+        type=int,
+        default=16,
+        help="--infer-manifest: max distinct values for an enum rule",
     )
     p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
     p.add_argument(
@@ -349,8 +367,38 @@ def _automap_main(args) -> int:
     return 0
 
 
+def _infer_main(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from schema_enforcer_spark.infer import write_inferred_manifest
+
+    if not args.input:
+        print("ERROR | --infer-manifest requires --input", file=sys.stderr)
+        return 2
+    builder = SparkSession.builder.appName("schema-enforcer-spark:infer")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    df = spark.read.parquet(args.input)
+    draft = write_inferred_manifest(
+        df, args.infer_id, args.infer_manifest, enum_max=args.infer_enum_max
+    )
+    kinds: dict[str, int] = {}
+    for r in draft["rules"]:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    summary = ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items()))
+    print(f"inferred {len(draft['rules'])} rules over {len(df.columns)} columns ({summary})")
+    print(f"draft manifest written to {args.infer_manifest} — review before enforcing")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.infer_manifest:
+        return _infer_main(args)
+    if not args.manifest:
+        print("ERROR | --manifest is required", file=sys.stderr)
+        return 2
     if args.list_manifests or args.dump_manifest:
         return _schema_tools(args)
     if args.automap:

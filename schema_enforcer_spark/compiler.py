@@ -112,7 +112,9 @@ _SPARK_TYPE_CHECK = {
         else F.lit(False)
     ),
     "timestamp": lambda c, dt: (
-        F.lit(True) if isinstance(dt, T.TimestampType) else (c.isNull() | F.try_to_timestamp(c).isNotNull())
+        F.lit(True)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        else (c.isNull() | F.try_to_timestamp(c).isNotNull())
     ),
     "null": lambda c, dt: c.isNull(),
     "array": lambda c, dt: F.lit(isinstance(dt, T.ArrayType)),

@@ -1,0 +1,188 @@
+"""Manifest inference: profile a table and draft a constraint manifest.
+
+The reference ships manifests written by hand; at 100 TB the first
+practical question is the inverse — "this dump just landed, what SHOULD
+its manifest say?". ``infer_manifest`` answers it from data:
+
+- pass 1 — ONE full scan, a single ``agg()`` with only map-side-combinable
+  expressions (counts, native-type min/max, length bounds,
+  approx_count_distinct): no shuffle beyond the final single-row reduce,
+  so the scan cost is the floor cost of reading the table once.
+- pass 2 — one more job over CANDIDATE columns only: exact
+  ``collect_set`` for enum candidates (prefiltered by the HLL estimate,
+  so the set size is bounded before anything is collected) and exact
+  ``count_distinct`` for key candidates (prefiltered by
+  approx_distinct ≈ n_rows). High-cardinality columns never reach a
+  collect, which is what makes the pass safe at 10^12 rows.
+
+Emitted rules (deterministic given the data — the HLL prefilters carry a
+2x margin so the exact checks, not the estimates, decide the output):
+
+- ``type`` for every supported column (string/integer/number/boolean/
+  timestamp).
+- ``required`` when the column has zero nulls (a draft should encode the
+  strictest constraint the data already satisfies; relax by hand).
+- ``enum`` when a string/integer/boolean column has ≤ ``enum_max``
+  distinct non-null values (subsumes range/length, so those are skipped).
+- ``range`` (min/max) for numeric columns without an enum.
+- ``length`` (min/max) for string columns without an enum.
+- ``unique`` (table grain) when a column is null-free and its exact
+  distinct count equals the row count — a primary-key candidate.
+
+Timestamps get no range rule: pinning time bounds in a draft manifest
+guarantees false failures on the next day's data.
+
+Reference analogue: the reference's closest feature is ``schema
+--check``/``--dump`` introspection of hand-written schemas
+(/root/reference/schema_enforcer/cli.py:98-135); inference inverts the
+workflow for tables too large to eyeball.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# columns of these Spark types get a `type` rule; everything else (binary,
+# array, map, struct) is profiled for nulls only — nested constraints are
+# the manifest author's call (items / pattern_properties / property_names)
+_TYPE_OF = (
+    (T.StringType, "string"),
+    (T.BooleanType, "boolean"),
+    ((T.TimestampType, T.TimestampNTZType, T.DateType), "timestamp"),
+    ((T.ByteType, T.ShortType, T.IntegerType, T.LongType), "integer"),
+    ((T.FloatType, T.DoubleType, T.DecimalType), "number"),
+)
+
+
+def _json_type(dt: T.DataType) -> str | None:
+    for spark_t, name in _TYPE_OF:
+        if isinstance(dt, spark_t):
+            return name
+    return None
+
+
+def profile_for_inference(
+    df: DataFrame, columns: list[str] | None = None, enum_max: int = 16
+) -> dict[str, dict[str, Any]]:
+    """Two-job table profile keyed by column: n_rows, n_nulls, jtype,
+    min/max (native, numerics only), len_min/len_max (strings),
+    approx_distinct, and — for candidate columns only — ``enum_values``
+    (exact, sorted) and ``n_distinct`` (exact)."""
+    columns = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields if f.name in columns}
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        dt, col = dtypes[c], F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(col).alias(f"{c}__approx"))
+        if _json_type(dt) in ("integer", "number"):
+            aggs += [F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+        if isinstance(dt, T.StringType):
+            aggs += [
+                F.min(F.length(col)).alias(f"{c}__lmin"),
+                F.max(F.length(col)).alias(f"{c}__lmax"),
+            ]
+    row1 = df.agg(*aggs).collect()[0]  # single row — bounded driver data
+    n_rows = row1["__n_rows"]
+
+    prof: dict[str, dict[str, Any]] = {}
+    enum_cands, key_cands = [], []
+    for c in columns:
+        dt = dtypes[c]
+        jtype = _json_type(dt)
+        p: dict[str, Any] = {
+            "jtype": jtype,
+            "n_rows": n_rows,
+            "n_nulls": row1[f"{c}__nulls"] or 0,
+            "approx_distinct": row1[f"{c}__approx"],
+            "min": row1.asDict().get(f"{c}__min"),
+            "max": row1.asDict().get(f"{c}__max"),
+            "len_min": row1.asDict().get(f"{c}__lmin"),
+            "len_max": row1.asDict().get(f"{c}__lmax"),
+            "enum_values": None,
+            "n_distinct": None,
+        }
+        prof[c] = p
+        # 2x margin over the HLL default rsd (5%): the exact pass-2 check
+        # decides membership; the estimate only bounds what gets collected
+        if jtype in ("string", "integer", "boolean") and p["approx_distinct"] <= 2 * enum_max:
+            enum_cands.append(c)
+        if (
+            jtype in ("string", "integer")
+            and p["n_nulls"] == 0
+            and n_rows > 0
+            and p["approx_distinct"] >= 0.9 * n_rows
+        ):
+            key_cands.append(c)
+
+    if enum_cands or key_cands:
+        aggs2 = [
+            F.array_sort(F.collect_set(F.col(c))).alias(f"{c}__set") for c in enum_cands
+        ] + [F.count_distinct(F.col(c)).alias(f"{c}__exact") for c in key_cands]
+        row2 = df.agg(*aggs2).collect()[0]
+        for c in enum_cands:
+            vals = row2[f"{c}__set"]
+            if len(vals) <= enum_max:
+                prof[c]["enum_values"] = list(vals)
+            prof[c]["n_distinct"] = len(vals)
+        for c in key_cands:
+            prof[c]["n_distinct"] = row2[f"{c}__exact"]
+    return prof
+
+
+def infer_manifest(
+    df: DataFrame,
+    manifest_id: str,
+    table: str | None = None,
+    columns: list[str] | None = None,
+    enum_max: int = 16,
+) -> dict[str, Any]:
+    """Draft a manifest dict (loadable via ``manifest_from_dict`` — it
+    passes the same meta-validation as a hand-written one) from a two-job
+    profile of *df*. The draft encodes the strictest constraints the data
+    already satisfies; it is a starting point to edit, not an oracle."""
+    prof = profile_for_inference(df, columns=columns, enum_max=enum_max)
+    rules: list[dict[str, Any]] = []
+    for c, p in prof.items():
+        if p["jtype"] is not None:
+            rules.append({"kind": "type", "column": c, "type": p["jtype"]})
+        if p["n_nulls"] == 0 and p["n_rows"] > 0:
+            rules.append({"kind": "required", "column": c})
+        if p["enum_values"] is not None and 0 < len(p["enum_values"]) <= enum_max:
+            rules.append({"kind": "enum", "column": c, "values": p["enum_values"]})
+        elif p["jtype"] in ("integer", "number") and p["min"] is not None:
+            rules.append(
+                {"kind": "range", "column": c, "minimum": p["min"], "maximum": p["max"]}
+            )
+        elif p["jtype"] == "string" and p["len_min"] is not None:
+            rules.append(
+                {"kind": "length", "column": c, "min_length": p["len_min"], "max_length": p["len_max"]}
+            )
+        if (
+            p["n_distinct"] is not None
+            and p["n_nulls"] == 0
+            and p["n_rows"] > 0
+            and p["n_distinct"] == p["n_rows"]
+        ):
+            rules.append({"kind": "unique", "columns": [c]})
+    out: dict[str, Any] = {"id": manifest_id, "rules": rules}
+    if table:
+        out["table"] = table
+    return out
+
+
+def write_inferred_manifest(
+    df: DataFrame, manifest_id: str, yaml_path: str, **kw
+) -> dict[str, Any]:
+    """Infer, round-trip through meta-validation (an inferred draft must
+    itself be a valid manifest), and write YAML."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+    from schema_enforcer_spark.selftest import dump_data_to_yaml
+
+    draft = infer_manifest(df, manifest_id, **kw)
+    manifest_from_dict(draft)  # raises on any meta-validation error
+    dump_data_to_yaml(draft, yaml_path)
+    return draft

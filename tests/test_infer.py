@@ -1,0 +1,128 @@
+"""Manifest inference: the draft must (a) encode the strictest constraints
+the profiled data satisfies — so the SAME data validates clean against it
+(round trip) — (b) catch injected corruption, (c) never collect a
+high-cardinality column into an enum, and (d) survive the YAML round trip
+through the same meta-validation as a hand-written manifest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.infer import infer_manifest, profile_for_inference, write_inferred_manifest
+from schema_enforcer_spark.manifest import load_manifest, manifest_from_dict
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def _kinds(draft, column=None):
+    return {
+        r["kind"]
+        for r in draft["rules"]
+        if column is None or r.get("column") == column or r.get("columns") == [column]
+    }
+
+
+def test_round_trip_clean(spark, events):
+    draft = infer_manifest(events, "schemas/ev_inferred", table="events")
+    m = manifest_from_dict(draft)  # meta-validation must accept the draft
+    report = ValidationEngine(m, key_columns=["event_id"]).validate(events)
+    assert report.passes(), "inferred draft must hold on the data it was inferred from"
+    assert report.violations.count() == 0
+
+
+def test_inferred_rule_shapes(spark, events):
+    draft = infer_manifest(events, "schemas/ev_inferred")
+    assert _kinds(draft, "event_type") == {"type", "required", "enum"}
+    enum = next(r for r in draft["rules"] if r["kind"] == "enum" and r["column"] == "event_type")
+    assert enum["values"] == ["click", "error", "purchase", "signup", "view"]  # sorted
+    # unique key candidate: null-free, distinct == rows
+    assert _kinds(draft, "event_id") == {"type", "required", "range", "unique"}
+    # numeric without enum -> range; string without enum -> length
+    assert "range" in _kinds(draft, "value") and "enum" not in _kinds(draft, "value")
+    assert "length" in _kinds(draft, "props")
+    # timestamps: type + required only (no range pinning time bounds)
+    assert _kinds(draft, "ts") == {"type", "required"}
+    ts_type = next(r for r in draft["rules"] if r["kind"] == "type" and r["column"] == "ts")
+    assert ts_type["type"] == "timestamp"
+
+
+def test_corruption_caught(spark, events):
+    m = manifest_from_dict(infer_manifest(events, "schemas/ev_inferred"))
+    bad = events.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 5, F.lit("hack")).otherwise(F.col("event_type")),
+    ).withColumn(
+        "value", F.when(F.col("event_id") == 7, F.lit(1e9)).otherwise(F.col("value"))
+    )
+    viols = ValidationEngine(m, key_columns=["event_id"]).violations(bad).collect()
+    msgs = sorted(v["message"] for v in viols)
+    assert len(msgs) == 2
+    assert "'hack' is not one of" in msgs[0]
+    assert "greater than the maximum" in msgs[1]
+
+
+def test_nulls_and_cardinality_gates(spark):
+    rows = [(i, None if i % 3 == 0 else f"v{i}", i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, s string, b int")
+    prof = profile_for_inference(df, enum_max=16)
+    # s: has nulls -> no required; 133 distinct >> prefilter -> never collected
+    assert prof["s"]["n_nulls"] > 0 and prof["s"]["enum_values"] is None
+    draft = infer_manifest(df, "schemas/t")
+    assert "required" not in _kinds(draft, "s")
+    assert "enum" not in _kinds(draft, "s")
+    assert "length" in _kinds(draft, "s")  # nullable still gets bounds
+    # b: 2 distinct -> enum, no range
+    assert "enum" in _kinds(draft, "b") and "range" not in _kinds(draft, "b")
+    # k: unique key
+    assert "unique" in _kinds(draft, "k")
+
+
+def test_unsupported_types_profile_nulls_only(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"a": 1})], "k int, arr array<int>, m map<string,int>"
+    )
+    draft = infer_manifest(df, "schemas/t")
+    assert _kinds(draft, "arr") == {"required"}
+    assert _kinds(draft, "m") == {"required"}
+
+
+def test_yaml_round_trip(spark, events, tmp_path):
+    out = str(tmp_path / "draft.yml")
+    draft = write_inferred_manifest(events, "schemas/ev_inferred", out, table="events")
+    m = load_manifest(out)
+    assert m.id == "schemas/ev_inferred"
+    assert len(m.rules) == len(draft["rules"])
+    report = ValidationEngine(m, key_columns=["event_id"]).validate(events)
+    assert report.passes()
+
+
+def test_cli_infer_flag(spark, events, tmp_path):
+    from schema_enforcer_spark.cli import main as cli_main
+
+    out = str(tmp_path / "cli_draft.yml")
+    rc = cli_main(
+        [
+            "--infer-manifest", out,
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--infer-id", "schemas/cli_inferred",
+        ]
+    )
+    assert rc == 0
+    m = load_manifest(out)
+    assert m.id == "schemas/cli_inferred"
+    # and the draft immediately validates its own source table clean
+    rc2 = cli_main(
+        [
+            "--manifest", out,
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--key-columns", "event_id",
+        ]
+    )
+    assert rc2 == 0
+    # no manifest and no infer mode is a usage error
+    assert cli_main(["--input", "/x"]) == 2

@@ -610,6 +610,52 @@ def main() -> None:
         ("Incremental dedup (q33: batch banded once, equi-joined against the corpus index)", p23, notes23)
     )
 
+    # 24. expression rule (q44): a declarative SQL boolean must ride the
+    # SAME zero-shuffle row-rule projection as every scalar check —
+    # scan -> project -> explode, no Exchange, no extra scan
+    p24 = _formatted(entry.q44_expression_rule(spark, sf))
+    notes24 = []
+    if re.search(r"^\(\d+\) Exchange\s*$", p24, re.M):
+        problems.append("expression rule plans an Exchange (must stay row-local)")
+    else:
+        notes24.append("OK: no Exchange — SQL predicates stay on the row projection")
+    n_scan24 = len(re.findall(r"\(\d+\) Scan parquet", p24))
+    if n_scan24 == 1:
+        notes24.append("OK: one scan carries both expression rules")
+    else:
+        problems.append(f"expression-rule pass scans the input {n_scan24}x (want 1)")
+    sections.append(("Expression rule (q44: SQL booleans on the zero-shuffle row projection)", p24, notes24))
+
+    # 25. manifest-inference profile (infer.py pass 1): ONE scan, and the
+    # only Exchange is the single-row final-aggregate reduce — the pass is
+    # a pure map-side-combine profile, so its cost at 100 TB is the floor
+    # cost of reading the table once
+    from schema_enforcer_spark.infer import profile_for_inference  # noqa: F401
+
+    ev25 = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    aggs25 = []
+    from pyspark.sql import functions as F25
+
+    for c in ev25.columns:
+        aggs25.append(F25.sum(F25.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs25.append(F25.approx_count_distinct(c).alias(f"{c}__approx"))
+    p25 = _formatted(ev25.agg(F25.count(F25.lit(1)).alias("n"), *aggs25))
+    notes25 = []
+    n_scan25 = len(re.findall(r"\(\d+\) Scan parquet", p25))
+    n_ex25 = len(re.findall(r"^\(\d+\) Exchange\s*$", p25, re.M))
+    if n_scan25 == 1 and n_ex25 <= 1:
+        notes25.append(
+            "OK: profile pass = one scan + partial aggregate + one single-row reduce "
+            f"({n_ex25} Exchange)"
+        )
+    else:
+        problems.append(
+            f"inference profile pass: {n_scan25} scans / {n_ex25} exchanges (want 1 / <=1)"
+        )
+    if "HashAggregate" in p25 and p25.index("HashAggregate") > -1 and "partial" in p25.lower():
+        notes25.append("OK: map-side partial aggregation before the reduce")
+    sections.append(("Manifest-inference profile (one scan, map-side combine)", p25, notes25))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
