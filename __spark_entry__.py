@@ -686,16 +686,22 @@ def q37_infer_manifest(spark, sf_dir):
     one candidate pass — exact collect_set only for columns the HLL
     estimate bounds to <= 2*enum_max, exact count_distinct only for
     approx-unique columns) drive a deterministic draft-manifest emission:
-    type/required per column, enum XOR range/length, unique key
-    candidates. The DuckDB twin re-derives every rule row from the same
-    aggregates, so the emission LOGIC (not just the profile) is
+    type/required per column, enum XOR format XOR range/length, unique
+    key candidates. A derived ipv4-shaped column (250 distinct values —
+    past enum reach) exercises the FORMAT branch: every non-null value
+    matches a shape-distinctive Draft-7 format, so the draft pins
+    `format: ipv4` instead of a length rule. The DuckDB twin re-derives
+    every rule row from the same aggregates (the ipv4 all-match gate via
+    regexp_full_match), so the emission LOGIC (not just the profile) is
     oracle-checked. Numeric bounds render at fixed DECIMAL(18,6) scale —
     raw double-to-string is not engine-portable."""
     from decimal import Decimal
 
     from schema_enforcer_spark.infer import infer_manifest
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip", F.concat(F.lit("10.0.0."), F.pmod(F.col("event_id"), F.lit(250)).cast("string"))
+    )
     draft = infer_manifest(ev, "schemas/events_inferred", enum_max=16)
 
     def _num(v):
@@ -714,6 +720,8 @@ def q37_infer_manifest(spark, sf_dir):
             spec = f"min={_num(r['minimum'])},max={_num(r['maximum'])}"
         elif r["kind"] == "length":
             spec = f"min_len={r['min_length']},max_len={r['max_length']}"
+        elif r["kind"] == "format":
+            spec = r["format"]
         else:  # required / unique
             spec = ""
         rows.append((col, r["kind"], spec))
@@ -1717,8 +1725,16 @@ def oracle_sql() -> dict[str, str]:
     # profile CTE per events column (nulls / exact distinct / native
     # min-max / length bounds), then one UNION ALL branch per rule kind
     # gated by the same conditions infer_manifest uses. enum_max = 16.
+    # The derived `ip` column exercises the FORMAT branch: its all-match
+    # gate is re-derived with regexp_full_match over the same ipv4 shape
+    # regex the engine compiles to rlike (event_type/props match no
+    # distinctive format, so their enum/length branches are unaffected).
     sqls["q37_infer_manifest"] = """
-        WITH prof AS (
+        WITH ev2 AS (
+          SELECT *, '10.0.0.' || CAST(event_id % 250 AS VARCHAR) AS ip
+          FROM events
+        ),
+        prof AS (
           SELECT COUNT(*) AS n_rows,
                  SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS eid_nulls,
                  COUNT(DISTINCT event_id) AS eid_nd,
@@ -1735,8 +1751,14 @@ def oracle_sql() -> dict[str, str]:
                  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
                  COUNT(DISTINCT props) AS pr_nd,
                  MIN(LENGTH(event_type)) AS et_lmin, MAX(LENGTH(event_type)) AS et_lmax,
-                 MIN(LENGTH(props)) AS pr_lmin, MAX(LENGTH(props)) AS pr_lmax
-          FROM events
+                 MIN(LENGTH(props)) AS pr_lmin, MAX(LENGTH(props)) AS pr_lmax,
+                 SUM(CASE WHEN ip IS NULL THEN 1 ELSE 0 END) AS ip_nulls,
+                 COUNT(DISTINCT ip) AS ip_nd,
+                 MIN(LENGTH(ip)) AS ip_lmin, MAX(LENGTH(ip)) AS ip_lmax,
+                 MIN(CASE WHEN regexp_full_match(ip,
+                   '((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])')
+                   THEN 1 ELSE 0 END) AS ip_allv4
+          FROM ev2
         )
         SELECT col_name, kind, spec FROM (
           SELECT 'event_id' AS col_name, 'type' AS kind, 'integer' AS spec FROM prof
@@ -1791,6 +1813,19 @@ def oracle_sql() -> dict[str, str]:
             FROM prof WHERE pr_nd > 16 AND pr_lmin IS NOT NULL
           UNION ALL SELECT 'props', 'unique', ''
             FROM prof WHERE pr_nulls = 0 AND n_rows > 0 AND pr_nd = n_rows
+          UNION ALL SELECT 'ip', 'type', 'string' FROM prof
+          UNION ALL SELECT 'ip', 'required', '' FROM prof WHERE ip_nulls = 0 AND n_rows > 0
+          UNION ALL SELECT 'ip', 'enum',
+                 (SELECT STRING_AGG(ip, '|' ORDER BY ip)
+                  FROM (SELECT DISTINCT ip FROM ev2 WHERE ip IS NOT NULL))
+            FROM prof WHERE ip_nd BETWEEN 1 AND 16
+          UNION ALL SELECT 'ip', 'format', 'ipv4'
+            FROM prof WHERE ip_nd > 16 AND ip_allv4 = 1
+          UNION ALL SELECT 'ip', 'length',
+                 'min_len=' || CAST(ip_lmin AS VARCHAR) || ',max_len=' || CAST(ip_lmax AS VARCHAR)
+            FROM prof WHERE ip_nd > 16 AND ip_allv4 = 0 AND ip_lmin IS NOT NULL
+          UNION ALL SELECT 'ip', 'unique', ''
+            FROM prof WHERE ip_nulls = 0 AND n_rows > 0 AND ip_nd = n_rows
         )
     """
 

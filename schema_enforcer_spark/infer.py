@@ -63,13 +63,27 @@ def _json_type(dt: T.DataType) -> str | None:
     return None
 
 
+# shape-distinctive Draft-7 formats probed during inference, most specific
+# first (the first all-match wins). Deliberately EXCLUDES the promiscuous
+# formats — hostname matches any bare word, email is just '@', uri matches
+# 'a:b', json-pointer matches '' — which would make every draft noisy.
+_DISTINCTIVE_FORMATS = ("date-time", "date", "time", "ipv4", "ipv6")
+
+
 def profile_for_inference(
-    df: DataFrame, columns: list[str] | None = None, enum_max: int = 16
+    df: DataFrame,
+    columns: list[str] | None = None,
+    enum_max: int = 16,
+    formats: bool = True,
 ) -> dict[str, dict[str, Any]]:
     """Two-job table profile keyed by column: n_rows, n_nulls, jtype,
-    min/max (native, numerics only), len_min/len_max (strings),
+    min/max (native, numerics only), len_min/len_max (strings), ``format``
+    (first distinctive format every non-null value matches, if any),
     approx_distinct, and — for candidate columns only — ``enum_values``
-    (exact, sorted) and ``n_distinct`` (exact)."""
+    (exact, sorted) and ``n_distinct`` (exact). Format probing adds
+    ~5 codegen regex aggregates per string column to the one full scan;
+    pass ``formats=False`` to skip it."""
+    from schema_enforcer_spark.formats import format_predicate
     columns = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields if f.name in columns}
 
@@ -85,6 +99,16 @@ def profile_for_inference(
                 F.min(F.length(col)).alias(f"{c}__lmin"),
                 F.max(F.length(col)).alias(f"{c}__lmax"),
             ]
+            if formats:
+                # one boolean agg per distinctive format: min(pred) == 1 iff
+                # every value matches (format_predicate is True on NULL, so
+                # an all-null column is excluded separately via n_nulls)
+                aggs += [
+                    F.min(format_predicate(col, fmt).cast("long")).alias(
+                        f"{c}__fmt{i}"
+                    )
+                    for i, fmt in enumerate(_DISTINCTIVE_FORMATS)
+                ]
     row1 = df.agg(*aggs).collect()[0]  # single row — bounded driver data
     n_rows = row1["__n_rows"]
 
@@ -102,9 +126,15 @@ def profile_for_inference(
             "max": row1.asDict().get(f"{c}__max"),
             "len_min": row1.asDict().get(f"{c}__lmin"),
             "len_max": row1.asDict().get(f"{c}__lmax"),
+            "format": None,
             "enum_values": None,
             "n_distinct": None,
         }
+        if formats and jtype == "string" and p["n_nulls"] < n_rows:
+            for i, fmt in enumerate(_DISTINCTIVE_FORMATS):
+                if row1[f"{c}__fmt{i}"] == 1:
+                    p["format"] = fmt
+                    break
         prof[c] = p
         # 2x margin over the HLL default rsd (5%): the exact pass-2 check
         # decides membership; the estimate only bounds what gets collected
@@ -139,12 +169,15 @@ def infer_manifest(
     table: str | None = None,
     columns: list[str] | None = None,
     enum_max: int = 16,
+    formats: bool = True,
 ) -> dict[str, Any]:
     """Draft a manifest dict (loadable via ``manifest_from_dict`` — it
     passes the same meta-validation as a hand-written one) from a two-job
     profile of *df*. The draft encodes the strictest constraints the data
-    already satisfies; it is a starting point to edit, not an oracle."""
-    prof = profile_for_inference(df, columns=columns, enum_max=enum_max)
+    already satisfies; it is a starting point to edit, not an oracle.
+    String rule precedence: enum (strictest) > format (shape-distinctive
+    only) > length."""
+    prof = profile_for_inference(df, columns=columns, enum_max=enum_max, formats=formats)
     rules: list[dict[str, Any]] = []
     for c, p in prof.items():
         if p["jtype"] is not None:
@@ -157,6 +190,8 @@ def infer_manifest(
             rules.append(
                 {"kind": "range", "column": c, "minimum": p["min"], "maximum": p["max"]}
             )
+        elif p["jtype"] == "string" and p["format"] is not None:
+            rules.append({"kind": "format", "column": c, "format": p["format"]})
         elif p["jtype"] == "string" and p["len_min"] is not None:
             rules.append(
                 {"kind": "length", "column": c, "min_length": p["len_min"], "max_length": p["len_max"]}

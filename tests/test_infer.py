@@ -82,6 +82,47 @@ def test_nulls_and_cardinality_gates(spark):
     assert "unique" in _kinds(draft, "k")
 
 
+def test_format_inference(spark):
+    rows = [
+        (i, f"2024-03-{(i % 28) + 1:02d}", f"10.0.{i % 40}.{i % 25}", f"word{i}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k int, day string, addr string, w string")
+    draft = infer_manifest(df, "schemas/fmt", enum_max=16)
+    # all-match shape columns past enum reach pin a format rule, not length
+    day = _kinds(draft, "day")
+    assert "format" in day and "length" not in day and "enum" not in day
+    assert next(
+        r for r in draft["rules"] if r["kind"] == "format" and r["column"] == "day"
+    )["format"] == "date"
+    assert next(
+        r for r in draft["rules"] if r["kind"] == "format" and r["column"] == "addr"
+    )["format"] == "ipv4"
+    # a plain word column matches no distinctive format -> length fallback
+    assert "format" not in _kinds(draft, "w") and "length" in _kinds(draft, "w")
+    # enum still wins over format when cardinality allows it: 10 distinct
+    # full dates all match `date`, but the enum is the stricter constraint
+    small = df.withColumn(
+        "day", F.concat(F.lit("2024-03-0"), (F.col("k") % 9 + 1).cast("string"))
+    )
+    draft2 = infer_manifest(small, "schemas/fmt2", enum_max=16)
+    dk = _kinds(draft2, "day")
+    assert "enum" in dk and "format" not in dk
+    # formats=False skips the probe entirely
+    draft3 = infer_manifest(df, "schemas/fmt3", formats=False)
+    assert "format" not in _kinds(draft3, "day")
+    assert "length" in _kinds(draft3, "day")
+    # the drafted format rule round-trips meta-validation and holds
+    m = manifest_from_dict(draft)
+    report = ValidationEngine(m, key_columns=["k"]).validate(df)
+    assert report.passes()
+    # calendar-awareness: an invalid day-in-month fails the drafted rule
+    bad = df.withColumn(
+        "day", F.when(F.col("k") == 3, F.lit("2024-02-30")).otherwise(F.col("day"))
+    )
+    assert not ValidationEngine(m, key_columns=["k"]).validate(bad).passes()
+
+
 def test_unsupported_types_profile_nulls_only(spark):
     df = spark.createDataFrame(
         [(1, [1, 2], {"a": 1})], "k int, arr array<int>, m map<string,int>"
