@@ -357,7 +357,37 @@ def q59_ann_topk(spark, sf_dir):
     return lsh_topk(emb, QUERY_VEC, k=20)
 
 
-def q20_stats_hll(spark, sf_dir):
+def q20_fd_check(spark, sf_dir):
+    """Functional-dependency rule (table grain, the Deequ/Metanome
+    profiling constraint — no reference analogue: the per-document walker
+    has no cross-row visibility). Two declared FDs over the documents
+    corpus: source→lang is violated by every source (each crawl source
+    mixes languages), emitting one row per offending determinant group
+    with the exact distinct-value count and an example conflicting pair;
+    text→n_chars holds exactly (n_chars is derived from text), proving the
+    PASS branch through the same evaluator. Plan (PLANS.md §26): two-phase
+    distinct agg per declared FD — exchange 1 carries map-side-deduplicated
+    (determinant, dependent) pairs, exchange 2 the tiny per-group reduce;
+    output bounded by |distinct determinants| — no collect, no broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/docs_fd",
+            "table": "documents",
+            "rules": [
+                {"kind": "functional_dependency", "columns": ["source"], "dependent": "lang"},
+                {"kind": "functional_dependency", "columns": ["text"], "dependent": "n_chars"},
+            ],
+        }
+    )
+    eng = ValidationEngine(
+        m, key_columns=["doc_id"], instance_expr="CAST(pmod(doc_id, 16) AS STRING)"
+    )
+    # no presentation sort: the gate is a multiset compare (CLAUDE.md r5)
+    return _flat(eng.violations(docs))
+
+
+def q64_stats_hll(spark, sf_dir):
     """HLL sketch accuracy assertion (A7 mergeable stats): per column, the
     exact distinct count + a boolean asserting the hll_sketch_agg estimate
     sits within 2% of it — oracle-replicable (the raw estimate is
@@ -457,7 +487,31 @@ def q26_sessionize(spark, sf_dir):
     )
 
 
-def q27_bpe_token_count(spark, sf_dir):
+def q27_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier rule (table grain, Deequ-style anomaly
+    detection — no reference analogue): events whose `value` falls outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR], quartiles computed from the data itself.
+    `exact: true` uses the R-7 interpolated percentile, bit-identical to
+    DuckDB quantile_cont (verified at build time), so the fence, the
+    flagged row set, and the DECIMAL(18,6)-rendered messages all replicate.
+    Plan: bounds pass + flag pass (two scans, inherent to a global
+    statistic) glued by a broadcast of the single bounds row; the default
+    approx_percentile path is the 100 TB route (fixed-size mergeable
+    sketch), exercised in tests."""
+    ev = _t(spark, sf_dir, "events")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_outlier",
+            "table": "events",
+            "rules": [
+                {"kind": "outlier", "column": "value", "k": 1.5, "exact": True},
+            ],
+        }
+    )
+    return _flat(_events_engine(m).violations(ev))
+
+
+def q65_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting (regex word/digit/punct segmentation)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", textops.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
@@ -898,7 +952,7 @@ def q45_stratified_sample(spark, sf_dir):
 
 def q60_quantile_check(spark, sf_dir):
     """approx_percentile rank-accuracy assertion (oracle-replicable, like
-    q20's HLL form): the estimate's rank interval must sit within
+    q64's HLL form): the estimate's rank interval must sit within
     1/accuracy (+slack) of each requested p."""
     from schema_enforcer_spark.stats import quantile_accuracy_report
 
@@ -1337,14 +1391,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_sequence_rule": q17_sequence_rule,
         "q18_embedding_near_dups": q18_embedding_near_dups,
         "q59_ann_topk": q59_ann_topk,
-        "q20_stats_hll": q20_stats_hll,
+        "q20_fd_check": q20_fd_check,
+        "q64_stats_hll": q64_stats_hll,
         "q21_rollup_stats": q21_rollup_stats,
         "q22_topk_per_group": q22_topk_per_group,
         "q23_pivot_event_types": q23_pivot_event_types,
         "q24_json_extract": q24_json_extract,
         "q25_fingerprint": q25_fingerprint,
         "q26_sessionize": q26_sessionize,
-        "q27_bpe_token_count": q27_bpe_token_count,
+        "q27_outlier_iqr": q27_outlier_iqr,
+        "q65_bpe_token_count": q65_bpe_token_count,
         "q28_multimodal_features": q28_multimodal_features,
         "q29_nested_validation": q29_nested_validation,
         "q30_merge_defaults": q30_merge_defaults,
@@ -1569,10 +1625,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, ROUND(ROUND(cosine, 6), 5) AS cos5 FROM s
         ORDER BY ROUND(cosine, 6) DESC, vec_id ASC LIMIT 20
     """
-    # q20: the oracle computes the exact distinct count; within_tolerance is
+    # q20 (fd_check): re-derives both declared FDs from the same grouped
+    # aggregates the engine uses (exact distinct + null flag; NULL counts
+    # as a value) and rebuilds the message strings verbatim. The
+    # text->n_chars branch is structurally present and yields zero rows
+    # (the dependency holds), matching the engine's PASS behavior.
+    _fd_branch = """
+        SELECT '{rid}' AS schema_id, 'FAIL' AS result,
+               inst AS instance_name,
+               CAST(det AS VARCHAR) AS path,
+               CAST(nv AS VARCHAR) AS failing_value,
+               '''' || CAST(det AS VARCHAR) || ''' maps to ' || CAST(nv AS VARCHAR)
+               || ' distinct values of {dep} ('
+               || CASE WHEN nd >= 2
+                       THEN '''' || CAST(lo AS VARCHAR) || ''' vs ''' || CAST(hi AS VARCHAR) || ''''
+                       ELSE 'NULL vs ''' || CAST(lo AS VARCHAR) || ''''
+                  END
+               || '); expected exactly 1' AS message
+        FROM (
+          SELECT {det} AS det,
+                 COUNT(DISTINCT {dep}) AS nd,
+                 MAX(CASE WHEN {dep} IS NULL THEN 1 ELSE 0 END) AS hn,
+                 COUNT(DISTINCT {dep}) + MAX(CASE WHEN {dep} IS NULL THEN 1 ELSE 0 END) AS nv,
+                 MIN({dep}) AS lo, MAX({dep}) AS hi,
+                 MIN(CAST(doc_id % 16 AS VARCHAR)) AS inst
+          FROM documents GROUP BY {det}
+        ) WHERE nv > 1
+    """
+    sqls["q20_fd_check"] = (
+        _fd_branch.format(
+            rid="schemas/docs_fd/functional_dependency/source->lang",
+            det="source", dep="lang",
+        )
+        + " UNION ALL "
+        + _fd_branch.format(
+            rid="schemas/docs_fd/functional_dependency/text->n_chars",
+            det="text", dep="n_chars",
+        )
+    )
+
+    # q64 (stats_hll, demoted from q20 in r6 — the stats family keeps q08
+    # in-window): the oracle computes the exact distinct count; within_tolerance is
     # literal TRUE — the Spark side computes |hll-exact|/exact <= 0.02 for
     # real, so a sketch drifting out of tolerance hash-mismatches the gate.
-    sqls["q20_stats_hll"] = """
+    sqls["q64_stats_hll"] = """
         SELECT 'event_id' AS col_name, COUNT(DISTINCT event_id) AS n_exact, TRUE AS within_tolerance FROM events
         UNION ALL
         SELECT 'event_type', COUNT(DISTINCT event_type), TRUE FROM events
@@ -1625,7 +1721,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """
-    sqls["q27_bpe_token_count"] = r"""
+    # q27 (outlier_iqr): the twin recomputes the exact R-7 quartiles
+    # (quantile_cont == Spark percentile bit-for-bit), the Tukey fence,
+    # and the DECIMAL(18,6)-rendered message verbatim.
+    sqls["q27_outlier_iqr"] = """
+        WITH b AS (
+          SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+          FROM events
+        ), f AS (
+          SELECT q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM b
+        )
+        SELECT 'schemas/events_outlier/outlier/value' AS schema_id,
+               'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':value' AS path,
+               CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS failing_value,
+               'value ' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+               || ' of value is outside the IQR fence ['
+               || CAST(CAST(lo AS DECIMAL(18,6)) AS VARCHAR) || ', '
+               || CAST(CAST(hi AS DECIMAL(18,6)) AS VARCHAR)
+               || '] (k=1.5)' AS message
+        FROM events, f
+        WHERE value IS NOT NULL AND (value < lo OR value > hi)
+    """
+
+    # q65 (bpe_token_count, demoted from q27 in r6 — the textops family
+    # keeps q11/q12/q36 in-window)
+    sqls["q65_bpe_token_count"] = r"""
         SELECT doc_id,
                LEN(LIST_FILTER(STRING_SPLIT_REGEX(
                    REGEXP_REPLACE(text, '([^\sA-Za-z0-9]|\d)', ' \1 ', 'g'),
@@ -2254,7 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang ORDER BY lang
     """
 
-    # q60 (quantile_check): like q20, the approx sketch's raw output is engine-specific; the
+    # q60 (quantile_check): like q64_stats_hll, the approx sketch's raw output is engine-specific; the
     # deterministic surface is (p, n_total, within_tolerance) and the oracle
     # asserts the tolerance holds (TRUE) — a Spark-side rank-interval breach
     # would hash-mismatch.

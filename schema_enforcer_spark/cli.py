@@ -65,6 +65,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=16,
         help="--infer-manifest: max distinct values for an enum rule",
     )
+    p.add_argument(
+        "--infer-fds",
+        action="store_true",
+        help="--infer-manifest: also discover single-column functional "
+        "dependencies (two extra jobs, quadratic HLL sketch count in the "
+        "column count — intended for manifest-width tables)",
+    )
     p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
     p.add_argument(
         "--inventory",
@@ -381,7 +388,8 @@ def _infer_main(args) -> int:
     spark = builder.getOrCreate()
     df = spark.read.parquet(args.input)
     draft = write_inferred_manifest(
-        df, args.infer_id, args.infer_manifest, enum_max=args.infer_enum_max
+        df, args.infer_id, args.infer_manifest,
+        enum_max=args.infer_enum_max, fds=args.infer_fds,
     )
     kinds: dict[str, int] = {}
     for r in draft["rules"]:

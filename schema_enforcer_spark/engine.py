@@ -1120,6 +1120,140 @@ class ValidationEngine:
             message.alias("message"),
         )
 
+    def _fd_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        """Functional-dependency constraint (X -> y): every distinct
+        determinant tuple over ``columns`` must map to exactly ONE value of
+        ``dependent``. NULL counts as a value on both sides (SQL GROUP BY
+        semantics: a NULL determinant forms its own group; a NULL dependent
+        is one more distinct value). The reference's per-document walker has
+        no cross-row visibility, so this table-grain profiling constraint
+        (the Deequ/Metanome FD check) exists only here.
+
+        Plan shape (asserted in PLANS.md §26): Spark's two-phase distinct
+        aggregation — exchange 1 is keyed (determinant, dependent) and runs
+        AFTER a map-side partial dedup, so it shuffles distinct pairs, not
+        rows; exchange 2 reduces per determinant over the already-
+        deduplicated pairs (bounded by Σ|distinct deps per group|). Every
+        per-group statistic (exact distinct dependent count, null flag,
+        example min/max pair, stable instance name) rides the same
+        aggregate. Output is one row per VIOLATING group, bounded by
+        |distinct determinants| — nothing is collected or broadcast, so a
+        100 TB fact table costs one map-side-combined shuffle of its
+        deduplicated (determinant, dependent) projection."""
+        cols = rule.params["columns"]
+        dep = rule.params["dependent"]
+        rid = (
+            rule.get("id")
+            or f"{self.manifest.id}/functional_dependency/{'+'.join(cols)}->{dep}"
+        )
+        depc = F.col(dep)
+        g = df.groupBy(*cols).agg(
+            # exact per-group distinct (skips NULLs) + a did-we-see-NULL
+            # flag: n_values = _nd + _hn counts NULL as one more value
+            F.count_distinct(depc).alias("_nd"),
+            F.max(F.when(depc.isNull(), 1).otherwise(0)).alias("_hn"),
+            F.min(depc).alias("_lo"),
+            F.max(depc).alias("_hi"),
+            F.min(self._instance_col(df)).alias("instance_name"),
+        )
+        n_values = F.col("_nd") + F.col("_hn")
+        key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        # example conflicting pair: two non-null values when we have them,
+        # else NULL vs the single non-null value (n_values > 1 guarantees
+        # one of the two shapes)
+        example = F.when(
+            F.col("_nd") >= 2,
+            F.concat(
+                F.lit("'"), F.col("_lo").cast("string"),
+                F.lit("' vs '"), F.col("_hi").cast("string"), F.lit("'"),
+            ),
+        ).otherwise(F.concat(F.lit("NULL vs '"), F.col("_lo").cast("string"), F.lit("'")))
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit("'"), key_str,
+                F.lit("' maps to "), n_values.cast("string"),
+                F.lit(f" distinct values of {dep} ("), example,
+                F.lit("); expected exactly 1"),
+            )
+        )
+        return g.filter(n_values > 1).select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            F.col("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit(self.instance_type).alias("instance_type"),
+            F.array(*[F.col(c).cast("string") for c in cols]).alias("absolute_path"),
+            n_values.cast("string").alias("failing_value"),
+            message.alias("message"),
+        )
+
+    def _outlier_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
+        """Tukey-fence outlier flag (profiling-grade anomaly detection —
+        the Deequ anomaly-check analogue; the reference's one-document
+        walker cannot see distribution-grain constraints): rows whose
+        numeric ``column`` falls outside [q1 - k*IQR, q3 + k*IQR], with
+        the quartiles computed from the data itself.
+
+        Scale path: ``approx_percentile`` (default) — a fixed-size
+        mergeable sketch, one map-side-combined pass for the bounds.
+        ``exact: true`` switches to the exact R-7 interpolated percentile
+        (memory grows with |distinct column values|; bit-identical to
+        DuckDB's quantile_cont, which is what makes the q27 oracle twin
+        possible). Plan: TWO scans by design — a bounds pass and a flag
+        pass are inherent to comparing every row against a global
+        statistic — glued by a broadcast join of the single bounds row
+        (the scalar-subquery shape); nothing is collected driver-side."""
+        col = rule.params["column"]
+        k = float(rule.get("k", 1.5))
+        exact = bool(rule.get("exact", False))
+        rid = rule.get("id") or f"{self.manifest.id}/outlier/{col}"
+        c = F.col(col)
+        fn = "percentile" if exact else "approx_percentile"
+        q = F.expr(f"{fn}(`{col}`, array(0.25D, 0.75D))")
+        iqr = F.col("_q3") - F.col("_q1")
+        bounds = (
+            df.agg(q.alias("_q"))
+            .select(F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
+            .select(
+                (F.col("_q1") - F.lit(k) * iqr).alias("_lo"),
+                (F.col("_q3") + F.lit(k) * iqr).alias("_hi"),
+            )
+        )
+        joined = df.join(F.broadcast(bounds))  # 1-row build side, no condition
+        fail = c.isNotNull() & ((c < F.col("_lo")) | (c > F.col("_hi")))
+
+        def _dec(x: Column) -> Column:
+            # engine-portable float rendering: fixed DECIMAL(18,6) scale
+            # (raw double→string differs across engines); values past the
+            # decimal range fall back to the plain cast instead of an
+            # ANSI overflow error
+            return F.coalesce(x.try_cast("decimal(18,6)").cast("string"), x.cast("string"))
+
+        msg = rule.get("message")
+        message = (
+            F.lit(msg)
+            if msg
+            else F.concat(
+                F.lit(f"value "), _dec(c),
+                F.lit(f" of {col} is outside the IQR fence ["),
+                _dec(F.col("_lo")), F.lit(", "), _dec(F.col("_hi")),
+                F.lit(f"] (k={k:g})"),
+            )
+        )
+        return joined.filter(fail).select(
+            F.lit(rid).alias("schema_id"),
+            F.lit("FAIL").alias("result"),
+            self._instance_col(df).alias("instance_name"),
+            F.lit(self.manifest.table).alias("instance_location"),
+            F.lit(self.instance_type).alias("instance_type"),
+            self._path(df, col).alias("absolute_path"),
+            _dec(c).alias("failing_value"),
+            message.alias("message"),
+        )
+
     def _rate_limit_violations(self, df: DataFrame, rule: Rule) -> DataFrame:
         """Sliding-window rate constraint (burst detection): within each
         partition_by group, the count of rows in the trailing
@@ -1562,6 +1696,10 @@ class ValidationEngine:
                 parts.append(self._referential_violations(df, rule, ref_tables))
             elif rule.kind == "cardinality":
                 parts.append(self._cardinality_violations(df, rule, ref_tables))
+            elif rule.kind == "functional_dependency":
+                parts.append(self._fd_violations(df, rule))
+            elif rule.kind == "outlier":
+                parts.append(self._outlier_violations(df, rule))
             elif rule.kind == "equals_table":
                 parts.append(self._equals_table_violations(df, rule, ref_tables))
             elif rule.kind == "rate_limit":

@@ -28,6 +28,9 @@ Emitted rules (deterministic given the data — the HLL prefilters carry a
 - ``length`` (min/max) for string columns without an enum.
 - ``unique`` (table grain) when a column is null-free and its exact
   distinct count equals the row count — a primary-key candidate.
+- ``functional_dependency`` (table grain, opt-in via ``fds=True``) for
+  every discovered single-column A -> B dependency (``infer_fds``:
+  HLL-pruned candidate pairs, exact count-distinct confirmation).
 
 Timestamps get no range rule: pinning time bounds in a draft manifest
 guarantees false failures on the next day's data.
@@ -163,6 +166,74 @@ def profile_for_inference(
     return prof
 
 
+def infer_fds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd_margin: float = 0.25,
+) -> list[tuple[str, str]]:
+    """Discover single-column functional dependencies A -> B (the
+    Metanome/Deequ-style profiling primitive), NULL-as-a-value semantics
+    matching the ``functional_dependency`` rule. Two bounded jobs:
+
+    - pass 1 — ONE scan: ``approx_count_distinct`` per candidate column and
+      per ordered pair, each over a never-null struct wrapper so NULL
+      counts as a value. A -> B requires nd(A,B) == nd(A) exactly, so a
+      pair survives only when the pair estimate is within
+      ``(1 + rsd_margin)`` of the determinant estimate — the default 25%
+      margin is 5x the HLL default rsd, keeping every true FD while
+      discarding the quadratic bulk before anything exact runs.
+    - pass 2 — exact ``count_distinct`` for the SURVIVING pairs and their
+      determinants only; the FD holds iff the exact counts are equal.
+
+    Trivial FDs never reach pass 2: near-unique determinants
+    (approx >= 0.9 * n_rows determine everything — the `unique` rule is the
+    right constraint there) and constant dependents (approx <= 1, determined
+    by everything). C candidate columns cost C + C*(C-1) fixed-size HLL
+    sketches on the one scan — no shuffle, no collect beyond two single-row
+    results, safe at 10^12 rows for manifest-width tables."""
+    columns = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields if f.name in columns}
+    cands = [c for c in columns if _json_type(dtypes[c]) is not None]
+    if len(cands) < 2:
+        return []
+
+    def _w(c: str):  # null-safe wrapper: struct is never NULL
+        return F.struct(F.col(c))
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    aggs += [F.approx_count_distinct(_w(c)).alias(f"{c}__a") for c in cands]
+    pairs = [(a, b) for a in cands for b in cands if a != b]
+    aggs += [
+        F.approx_count_distinct(F.struct(F.col(a), F.col(b))).alias(f"{a}__{b}__ab")
+        for a, b in pairs
+    ]
+    row1 = df.agg(*aggs).collect()[0]
+    n_rows = row1["__n_rows"]
+    if n_rows == 0:
+        return []
+
+    survivors = [
+        (a, b)
+        for a, b in pairs
+        if row1[f"{a}__a"] < 0.9 * n_rows  # determinant not ~unique
+        and row1[f"{b}__a"] > 1  # dependent not constant
+        and row1[f"{a}__{b}__ab"] <= (1 + rsd_margin) * row1[f"{a}__a"]
+    ]
+    if not survivors:
+        return []
+
+    dets = sorted({a for a, _ in survivors})
+    aggs2 = [F.count_distinct(_w(c)).alias(f"{c}__x") for c in dets]
+    aggs2 += [
+        F.count_distinct(F.struct(F.col(a), F.col(b))).alias(f"{a}__{b}__xab")
+        for a, b in survivors
+    ]
+    row2 = df.agg(*aggs2).collect()[0]
+    return sorted(
+        (a, b) for a, b in survivors if row2[f"{a}__{b}__xab"] == row2[f"{a}__x"]
+    )
+
+
 def infer_manifest(
     df: DataFrame,
     manifest_id: str,
@@ -170,13 +241,16 @@ def infer_manifest(
     columns: list[str] | None = None,
     enum_max: int = 16,
     formats: bool = True,
+    fds: bool = False,
 ) -> dict[str, Any]:
     """Draft a manifest dict (loadable via ``manifest_from_dict`` — it
     passes the same meta-validation as a hand-written one) from a two-job
     profile of *df*. The draft encodes the strictest constraints the data
     already satisfies; it is a starting point to edit, not an oracle.
     String rule precedence: enum (strictest) > format (shape-distinctive
-    only) > length."""
+    only) > length. ``fds=True`` adds functional-dependency discovery
+    (two more bounded jobs, quadratic in column count — opt-in because a
+    wide table pays C^2 HLL sketches on the extra scan)."""
     prof = profile_for_inference(df, columns=columns, enum_max=enum_max, formats=formats)
     rules: list[dict[str, Any]] = []
     for c, p in prof.items():
@@ -203,6 +277,17 @@ def infer_manifest(
             and p["n_distinct"] == p["n_rows"]
         ):
             rules.append({"kind": "unique", "columns": [c]})
+    if fds:
+        unique_cols = {
+            r["columns"][0] for r in rules if r["kind"] == "unique"
+        }
+        for a, b in infer_fds(df, columns=columns):
+            # a unique determinant makes the FD vacuous; infer_fds already
+            # gates on the approx estimate, this closes the exact-count gap
+            if a not in unique_cols:
+                rules.append(
+                    {"kind": "functional_dependency", "columns": [a], "dependent": b}
+                )
     out: dict[str, Any] = {"id": manifest_id, "rules": rules}
     if table:
         out["table"] = table

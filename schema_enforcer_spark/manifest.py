@@ -118,6 +118,16 @@ TABLE_RULE_KINDS = {
                      # [min_count, max_count] rows of ref_table
     "rate_limit",    # W1 extension: trailing event-time window count cap
                      # (burst detection per partition key)
+    "outlier",       # profiling-grade anomaly flag: rows whose numeric
+                     # column falls outside the Tukey IQR fence
+                     # [q1 - k*IQR, q3 + k*IQR]; bounds from the data
+                     # itself (approx_percentile sketch by default — the
+                     # scale path; `exact: true` for the R-7 interpolated
+                     # exact quantile, oracle-portable)
+    "functional_dependency",  # profiling-grade FD: determinant columns
+                     # must map to exactly one value of `dependent`
+                     # (NULL counts as a value, SQL GROUP-BY semantics);
+                     # one violation row per offending determinant group
     "equals_table",  # north-star per-row invariant (BASELINE.json
                      # input_hint: per-turn text equality under stable turn
                      # ordering): full-diff vs a reference table on the key
@@ -170,6 +180,12 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     # equals_table: the value columns that must match the
                     # reference row under the join keys
                     "compare": {"type": "array", "minItems": 1, "items": {"type": "string"}},
+                    # functional_dependency: the column the determinant
+                    # `columns` must map to exactly one value of
+                    "dependent": {"type": "string", "minLength": 1},
+                    # outlier: Tukey fence multiplier + exact-quantile flag
+                    "k": {"type": "number", "minimum": 0},
+                    "exact": {"type": "boolean"},
                     "broadcast": {"type": "boolean"},
                     "normalize_keys": {"type": "boolean"},
                     "partition_by": {"type": "array", "items": {"type": "string"}},
@@ -272,6 +288,8 @@ _PER_KIND_REQUIRED = {
     "cardinality": ["columns", "ref_table", "ref_columns"],
     "rate_limit": ["partition_by", "order_by", "window_seconds", "max_count"],
     "equals_table": ["columns", "ref_table", "compare"],
+    "functional_dependency": ["columns", "dependent"],
+    "outlier": ["column"],
 }
 
 # Sub-schema kinds allowed inside any_of/all_of/one_of/not `checks` entries:
@@ -563,6 +581,12 @@ def validate_manifest_dict(raw: dict[str, Any]) -> list[str]:
             )
         if kind == "cardinality" and not ({"min_count", "max_count"} & rule.keys()):
             errors.append(f"rules/{i}: cardinality rule needs min_count and/or max_count")
+        if kind == "functional_dependency" and rule.get("dependent") in (rule.get("columns") or []):
+            errors.append(
+                f"rules/{i}: functional_dependency dependent column "
+                f"{rule.get('dependent')!r} is part of the determinant — the "
+                "rule would hold trivially and check nothing"
+            )
         if kind == "property_count":
             bounds = {k: rule.get(k) for k in ("min_properties", "max_properties") if k in rule}
             if not bounds:

@@ -587,3 +587,119 @@ def test_equals_table_hash_fetch_range_pushdown(spark, tmp_path):
     # both fetch-back scans carry the pushed key range
     assert plan.count("GreaterThanOrEqual(conv_id,conv-000100)") >= 2, plan
     assert plan.count("LessThanOrEqual(conv_id,conv-000119)") >= 2, plan
+
+
+def test_functional_dependency_rule(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame(
+        [
+            # group 'a': two distinct deps -> violation with example pair
+            (1, "a", "x"),
+            (2, "a", "y"),
+            # group 'b': one dep repeated -> holds
+            (3, "b", "x"),
+            (4, "b", "x"),
+            # group 'c': NULL + one value -> NULL counts as a value -> violation
+            (5, "c", "z"),
+            (6, "c", None),
+            # group 'd': all NULL -> exactly one value -> holds
+            (7, "d", None),
+            # NULL determinant forms its own group: two deps -> violation
+            (8, None, "p"),
+            (9, None, "q"),
+        ],
+        "id long, det string, dep string",
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/fd",
+            "rules": [
+                {"kind": "functional_dependency", "columns": ["det"], "dependent": "dep"}
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    out = {v["absolute_path"][0]: v for v in eng.violations(df).collect()}
+    assert set(out) == {"a", "c", None}
+    assert out["a"]["failing_value"] == "2"
+    assert out["a"]["message"] == (
+        "'a' maps to 2 distinct values of dep ('x' vs 'y'); expected exactly 1"
+    )
+    assert out["c"]["message"] == (
+        "'c' maps to 2 distinct values of dep (NULL vs 'z'); expected exactly 1"
+    )
+    assert out["a"]["schema_id"] == "schemas/fd/functional_dependency/det->dep"
+    # a dependency that holds reports nothing
+    m2 = manifest_from_dict(
+        {
+            "id": "schemas/fd2",
+            "rules": [
+                {"kind": "functional_dependency", "columns": ["det", "dep"], "dependent": "id"}
+            ],
+        }
+    )
+    # (det, dep) pairs are unique here except ('b','x') which has ids 3 and 4
+    out2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).collect()
+    assert [v["absolute_path"] for v in out2] == [["b", "x"]]
+    # meta-validation: dependent inside the determinant is rejected
+    with pytest.raises(InvalidManifest, match="part of the determinant"):
+        manifest_from_dict(
+            {
+                "id": "schemas/fd3",
+                "rules": [
+                    {"kind": "functional_dependency", "columns": ["det"], "dependent": "det"}
+                ],
+            }
+        )
+    # meta-validation: unknown param names rejected (additionalProperties)
+    with pytest.raises(InvalidManifest):
+        manifest_from_dict(
+            {
+                "id": "schemas/fd4",
+                "rules": [
+                    {"kind": "functional_dependency", "columns": ["det"],
+                     "dependent": "dep", "determinant": ["det"]}
+                ],
+            }
+        )
+
+
+def test_outlier_rule(spark):
+    from pyspark.sql import functions as F
+
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    # 1..100 plus two planted outliers; exact quartiles of the 102 values
+    # are deterministic, so the fence is known in closed form
+    vals = [(i, float(i)) for i in range(1, 101)] + [(101, 1000.0), (102, -500.0)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/out",
+            "rules": [{"kind": "outlier", "column": "v", "k": 1.5, "exact": True}],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    out = sorted(eng.violations(df).collect(), key=lambda r: r["failing_value"])
+    assert [v["failing_value"] for v in out] == ["-500.000000", "1000.000000"]
+    v = out[1]
+    assert v["schema_id"] == "schemas/out/outlier/v"
+    assert v["absolute_path"] == ["102", "v"] or v["absolute_path"] == ["101", "v"]
+    assert "outside the IQR fence [" in v["message"] and "(k=1.5)" in v["message"]
+    # NULLs are never outliers; a clean column reports nothing
+    clean = df.filter("v between 1 and 100").withColumn(
+        "v", F.when(F.col("id") == 50, F.lit(None)).otherwise(F.col("v"))
+    )
+    assert eng.violations(clean).count() == 0
+    # approx path (default) flags the same planted extremes here
+    m2 = manifest_from_dict(
+        {"id": "schemas/out2", "rules": [{"kind": "outlier", "column": "v"}]}
+    )
+    out2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df)
+    assert {r["failing_value"] for r in out2.collect()} == {"-500.000000", "1000.000000"}
+    # k must be non-negative (meta-schema)
+    with pytest.raises(InvalidManifest):
+        manifest_from_dict(
+            {"id": "s", "rules": [{"kind": "outlier", "column": "v", "k": -1}]}
+        )

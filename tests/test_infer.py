@@ -167,3 +167,53 @@ def test_cli_infer_flag(spark, events, tmp_path):
     assert rc2 == 0
     # no manifest and no infer mode is a usage error
     assert cli_main(["--input", "/x"]) == 2
+
+
+def test_fd_inference(spark):
+    from schema_enforcer_spark.infer import infer_fds
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") % 20).cast("long").alias("a"),
+            # b is derived from a -> FD a->b holds (and b->a does NOT:
+            # two a values share each b)
+            (F.col("id") % 20 % 10).cast("long").alias("b"),
+            # c breaks every dependency with a ~coprime cycle
+            (F.col("id") % 7).cast("long").alias("c"),
+        )
+    )
+    fds = infer_fds(df)
+    assert ("a", "b") in fds
+    assert ("b", "a") not in fds
+    assert not any(x == "k" for x, _ in fds)  # unique determinant pruned
+    assert not any(x == "c" or y == "c" for x, y in fds if (x, y) != ("a", "c"))
+    assert ("a", "c") not in fds and ("c", "b") not in fds
+
+    # a single exception row must kill the FD (exact pass, not the HLL)
+    broken = df.withColumn(
+        "b", F.when(F.col("k") == 199, F.lit(999)).otherwise(F.col("b"))
+    )
+    assert ("a", "b") not in infer_fds(broken)
+
+    # NULL-as-value semantics: a=1 maps to {NULL, 1} -> not an FD
+    nulled = df.withColumn(
+        "b", F.when((F.col("a") == 1) & (F.col("k") < 100), F.lit(None)).otherwise(F.col("b"))
+    )
+    assert ("a", "b") not in infer_fds(nulled)
+
+    # draft integration: opt-in flag, rule round-trips meta-validation,
+    # and the drafted manifest passes on its own source data
+    draft = infer_manifest(df, "schemas/fd_draft", fds=True)
+    fd_rules = [r for r in draft["rules"] if r["kind"] == "functional_dependency"]
+    assert {"columns": ["a"], "dependent": "b", "kind": "functional_dependency"} in [
+        {**r} for r in fd_rules
+    ]
+    m = manifest_from_dict(draft)
+    assert ValidationEngine(m, key_columns=["k"]).validate(df).passes()
+    # the drafted FD catches later corruption
+    assert not ValidationEngine(m, key_columns=["k"]).validate(broken).passes()
+    # default stays off
+    draft2 = infer_manifest(df, "schemas/fd_off")
+    assert not any(r["kind"] == "functional_dependency" for r in draft2["rules"])

@@ -656,6 +656,45 @@ def main() -> None:
         notes25.append("OK: map-side partial aggregation before the reduce")
     sections.append(("Manifest-inference profile (one scan, map-side combine)", p25, notes25))
 
+    # 26. functional_dependency rule (q20): Spark's two-phase distinct
+    # aggregation — exchange 1 on (determinant, dependent) AFTER a map-side
+    # partial dedup (so it carries distinct pairs, not rows), exchange 2 on
+    # the determinant over the already-deduplicated pairs (bounded by
+    # Σ|distinct deps per group|, vanishingly small next to the input).
+    # Every per-group statistic rides the same aggregate — no join, no
+    # collect, no second scan.
+    from schema_enforcer_spark.manifest import manifest_from_dict as _mfd26
+
+    docs26 = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    m26 = _mfd26(
+        {
+            "id": "schemas/plans_fd",
+            "rules": [
+                {"kind": "functional_dependency", "columns": ["source"], "dependent": "lang"}
+            ],
+        }
+    )
+    p26 = _formatted(
+        ValidationEngine(m26, key_columns=["doc_id"]).violations(docs26)
+    )
+    notes26 = []
+    n_ex26 = len(re.findall(r"^\(\d+\) Exchange\s*$", p26, re.M))
+    n_scan26 = len(re.findall(r"\(\d+\) Scan parquet", p26))
+    if n_ex26 == 2 and n_scan26 == 1:
+        notes26.append(
+            "OK: FD check = one scan + two-phase distinct agg (exchange 1 carries "
+            "map-side-deduplicated pairs, exchange 2 the per-group reduce)"
+        )
+    else:
+        problems.append(
+            f"functional_dependency: {n_scan26} scans / {n_ex26} exchanges (want 1 / 2)"
+        )
+    if "partial_count(distinct" in p26 or re.search(r"HashAggregate.*partial", p26, re.S):
+        notes26.append("OK: map-side partial aggregation (distinct + min/max ride one agg)")
+    if "Join" in p26:
+        problems.append("functional_dependency plan contains a join (should be agg-only)")
+    sections.append(("functional_dependency rule (q20: one groupBy exchange)", p26, notes26))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
