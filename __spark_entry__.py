@@ -276,7 +276,34 @@ def q11_text_quality(spark, sf_dir):
     )
 
 
-def q12_lang_id(spark, sf_dir):
+def q12_enum_suggestions(spark, sf_dir):
+    """Enum rule with the opt-in repair hint (`suggest: true`): violation
+    messages append the levenshtein-closest allowed value, computed as an
+    array_min over (distance, rendered-literal) structs — one codegen
+    expression on the zero-shuffle row projection, no join. Default-off so
+    the bare message stays byte-identical to jsonschema's (the reference's
+    parity surface). The injected 'error' events tie at distance 5 between
+    'click' and 'view' and resolve to 'click' via the rendered-literal
+    tie-break, identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_suggest",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "enum",
+                    "column": "event_type",
+                    "values": ["click", "purchase", "signup", "view"],
+                    "suggest": True,
+                },
+            ],
+        }
+    )
+    return _flat(_events_engine(m).violations(ev))
+
+
+def q66_lang_id(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", textops.lang_id(F.col("text")).alias("pred_lang"))
 
@@ -1383,7 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_window_gaps": q09_window_gaps,
         "q57_hist_doc_len": q57_hist_doc_len,
         "q11_text_quality": q11_text_quality,
-        "q12_lang_id": q12_lang_id,
+        "q12_enum_suggestions": q12_enum_suggestions,
+        "q66_lang_id": q66_lang_id,
         "q13_dedup_exact": q13_dedup_exact,
         "q58_top_terms": q58_top_terms,
         "q15_psi_drift": q15_psi_drift,
@@ -1593,7 +1621,26 @@ def oracle_sql() -> dict[str, str]:
         marker_exprs.append(
             f"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x IN ({wl}))) AS c_{lang}"
         )
-    sqls["q12_lang_id"] = f"""
+    # q12 (enum_suggestions): the repair hint re-derived as a struct-list
+    # argmin — list_sort over (levenshtein distance, rendered literal)
+    # replicates Spark's array_min tie-break exactly.
+    sqls["q12_enum_suggestions"] = """
+        SELECT 'schemas/events_suggest/enum/event_type' AS schema_id, 'FAIL' AS result,
+               CAST(user_id % 16 AS VARCHAR) AS instance_name,
+               CAST(event_id AS VARCHAR) || ':event_type' AS path,
+               event_type AS failing_value,
+               '''' || event_type || ''' is not one of [''click'', ''purchase'', ''signup'', ''view'']'
+               || ' (did you mean ' || list_sort([
+                    {'d': levenshtein(event_type, 'click'),    'v': '''click'''},
+                    {'d': levenshtein(event_type, 'purchase'), 'v': '''purchase'''},
+                    {'d': levenshtein(event_type, 'signup'),   'v': '''signup'''},
+                    {'d': levenshtein(event_type, 'view'),     'v': '''view'''}
+               ])[1].v || '?)' AS message
+        FROM events WHERE event_type NOT IN ('click','purchase','signup','view')
+    """
+
+    # q66 (lang_id, demoted from q12 in r6 — textops keeps q11/q36 in-window)
+    sqls["q66_lang_id"] = f"""
         WITH c AS (SELECT doc_id, lang, {', '.join(marker_exprs)} FROM documents)
         SELECT doc_id, lang,
                CASE WHEN GREATEST(c_en, c_es, c_fr, c_de, c_zh) = 0 THEN 'und'
@@ -1746,7 +1793,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q65 (bpe_token_count, demoted from q27 in r6 — the textops family
-    # keeps q11/q12/q36 in-window)
+    # keeps q11/q36 in-window)
     sqls["q65_bpe_token_count"] = r"""
         SELECT doc_id,
                LEN(LIST_FILTER(STRING_SPLIT_REGEX(

@@ -149,6 +149,26 @@ def compile_check(col: Column, dtype: T.DataType, kind: str, get, label: str) ->
         values = get("values")
         pred = col.isNull() | col.isin(*values)
         msg = F.concat(rep, F.lit(f" is not one of {values!r}"))
+        if get("suggest"):
+            # opt-in repair hint (default OFF: the bare message is the
+            # reference's jsonschema parity surface): closest allowed value
+            # by levenshtein distance, ties broken by the rendered literal —
+            # an array_min over (distance, repr) structs, one codegen
+            # expression, no join against anything
+            cand = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            F.levenshtein(col.cast("string"), F.lit(str(v))).alias("d"),
+                            F.lit(repr(v)).alias("v"),
+                        )
+                        for v in values
+                    ]
+                )
+            )
+            msg = F.concat(
+                msg, F.lit(" (did you mean "), cand.getField("v"), F.lit("?)")
+            )
     elif kind == "pattern":
         pattern = get("pattern")
         pred = col.isNull() | col.rlike(pattern)

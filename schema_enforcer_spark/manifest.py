@@ -186,6 +186,10 @@ MANIFEST_META_SCHEMA: dict[str, Any] = {
                     # outlier: Tukey fence multiplier + exact-quantile flag
                     "k": {"type": "number", "minimum": 0},
                     "exact": {"type": "boolean"},
+                    # enum: append a levenshtein-closest repair hint to the
+                    # violation message (off by default — the bare message
+                    # is the jsonschema-parity surface)
+                    "suggest": {"type": "boolean"},
                     "broadcast": {"type": "boolean"},
                     "normalize_keys": {"type": "boolean"},
                     "partition_by": {"type": "array", "items": {"type": "string"}},

@@ -388,3 +388,36 @@ def test_expression_rule_not_composable(spark):
                 ],
             }
         )
+
+
+def test_enum_suggestion(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame(
+        [(1, "usr"), (2, "assistent"), (3, "user"), (4, None), (5, "zzz")],
+        "id long, role string",
+    )
+    values = ["system", "user", "assistant", "tool"]
+    m = manifest_from_dict(
+        {
+            "id": "schemas/sg",
+            "rules": [{"kind": "enum", "column": "role", "values": values, "suggest": True}],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    out = {v["failing_value"]: v["message"] for v in eng.violations(df).collect()}
+    base = f"is not one of {values!r}"
+    assert out["usr"] == f"'usr' {base} (did you mean 'user'?)"
+    assert out["assistent"] == f"'assistent' {base} (did you mean 'assistant'?)"
+    # NULL and valid values emit nothing; ties break on the rendered literal
+    assert set(out) == {"usr", "assistent", "zzz"}
+    assert "(did you mean '" in out["zzz"]
+    # default OFF: the bare message stays byte-identical to jsonschema's
+    m2 = manifest_from_dict(
+        {
+            "id": "schemas/sg2",
+            "rules": [{"kind": "enum", "column": "role", "values": values}],
+        }
+    )
+    out2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).collect()
+    assert all(v["message"].endswith(f"{values!r}") for v in out2)
