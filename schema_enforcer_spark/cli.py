@@ -49,6 +49,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "every mode except --infer-manifest",
     )
     p.add_argument(
+        "--diff-manifests",
+        nargs=2,
+        default=None,
+        metavar=("OLD", "NEW"),
+        help="diff two manifest versions and classify every change as "
+        "RELAXED / TIGHTENED / CHANGED; exit 0 when the new version is "
+        "backward-compatible (only relaxations — all data valid under OLD "
+        "stays valid), 1 otherwise. Driver-side only, no Spark session",
+    )
+    p.add_argument(
         "--infer-manifest",
         default=None,
         metavar="OUT.yml",
@@ -400,8 +410,29 @@ def _infer_main(args) -> int:
     return 0
 
 
+def _diff_main(args) -> int:
+    from schema_enforcer_spark.evolution import compatible, diff_manifests
+    from schema_enforcer_spark.manifest import load_manifest
+
+    old_path, new_path = args.diff_manifests
+    old, new = load_manifest(old_path), load_manifest(new_path)
+    changes = diff_manifests(old, new)
+    for c in changes:
+        print(c.line())
+    ok = compatible(old, new)
+    n_breaking = sum(1 for c in changes if c.effect != "relaxed")
+    print(
+        f"{len(changes)} change(s), {n_breaking} breaking — "
+        + ("backward-compatible" if ok else "NOT backward-compatible")
+        + f" ({old.id} -> {new.id})"
+    )
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.diff_manifests:
+        return _diff_main(args)
     if args.infer_manifest:
         return _infer_main(args)
     if not args.manifest:

@@ -1,0 +1,148 @@
+"""Manifest-evolution diff: classification unit tests plus the semantic
+contract — whenever the diff says 'compatible', every row valid under the
+old manifest must stay valid under the new one."""
+
+from __future__ import annotations
+
+import pytest
+
+from schema_enforcer_spark.engine import ValidationEngine
+from schema_enforcer_spark.evolution import Change, compatible, diff_manifests
+from schema_enforcer_spark.manifest import manifest_from_dict
+
+
+def _m(rules, mid="schemas/v"):
+    return {"id": mid, "rules": rules}
+
+
+def _effects(old, new):
+    return {(c.change, c.kind, c.effect) for c in diff_manifests(old, new)}
+
+
+def test_add_remove_rules():
+    old = _m([{"kind": "required", "column": "a"}])
+    new = _m(
+        [{"kind": "required", "column": "a"}, {"kind": "not_empty", "column": "b"}]
+    )
+    assert _effects(old, new) == {("added", "not_empty", "tightened")}
+    assert not compatible(old, new)
+    assert _effects(new, old) == {("removed", "not_empty", "relaxed")}
+    assert compatible(new, old)
+    # identical manifests: no changes at all
+    assert diff_manifests(old, old) == []
+    assert compatible(old, old)
+
+
+def test_enum_set_semantics():
+    old = _m([{"kind": "enum", "column": "r", "values": ["a", "b"]}])
+    grew = _m([{"kind": "enum", "column": "r", "values": ["a", "b", "c"]}])
+    shrank = _m([{"kind": "enum", "column": "r", "values": ["a"]}])
+    swapped = _m([{"kind": "enum", "column": "r", "values": ["a", "x"]}])
+    assert _effects(old, grew) == {("modified", "enum", "relaxed")}
+    assert compatible(old, grew)
+    assert _effects(old, shrank) == {("modified", "enum", "tightened")}
+    assert _effects(old, swapped) == {("modified", "enum", "changed")}
+    assert not compatible(old, swapped)
+
+
+def test_bound_semantics():
+    old = _m([{"kind": "range", "column": "v", "minimum": 0, "maximum": 10}])
+    widened = _m([{"kind": "range", "column": "v", "minimum": -5, "maximum": 20}])
+    narrowed = _m([{"kind": "range", "column": "v", "minimum": 2, "maximum": 10}])
+    mixed = _m([{"kind": "range", "column": "v", "minimum": 2, "maximum": 20}])
+    dropped = _m([{"kind": "range", "column": "v", "maximum": 10}])
+    assert _effects(old, widened) == {("modified", "range", "relaxed")}
+    assert _effects(old, narrowed) == {("modified", "range", "tightened")}
+    assert _effects(old, mixed) == {("modified", "range", "changed")}
+    assert _effects(old, dropped) == {("modified", "range", "relaxed")}
+    # exclusive bounds participate in the same comparison
+    excl = _m([{"kind": "range", "column": "v", "exclusive_minimum": 0, "maximum": 10}])
+    assert compatible(excl, widened)
+
+
+def test_incomparable_kinds_and_identity():
+    old = _m([{"kind": "pattern", "column": "p", "pattern": "^a+$"}])
+    new = _m([{"kind": "pattern", "column": "p", "pattern": "^b+$"}])
+    assert _effects(old, new) == {("modified", "pattern", "changed")}
+    # same kind on a DIFFERENT column is add+remove, not a modification
+    moved = _m([{"kind": "pattern", "column": "q", "pattern": "^a+$"}])
+    assert _effects(old, moved) == {
+        ("removed", "pattern", "relaxed"),
+        ("added", "pattern", "tightened"),
+    }
+    # outlier fence: larger k relaxes
+    o1 = _m([{"kind": "outlier", "column": "v", "k": 1.5}])
+    o2 = _m([{"kind": "outlier", "column": "v", "k": 3.0}])
+    assert _effects(o1, o2) == {("modified", "outlier", "relaxed")}
+    assert _effects(o2, o1) == {("modified", "outlier", "tightened")}
+
+
+def test_duplicate_keys_pair_off():
+    two = _m(
+        [
+            {"kind": "pattern", "column": "p", "pattern": "^a"},
+            {"kind": "pattern", "column": "p", "pattern": "b$"},
+        ]
+    )
+    one = _m([{"kind": "pattern", "column": "p", "pattern": "^a"}])
+    assert _effects(two, one) == {("removed", "pattern", "relaxed")}
+    assert compatible(two, one)
+
+
+def test_semantic_contract_on_data(spark):
+    """The point of the diff: when it reports compatible, rows valid under
+    the old manifest validate clean under the new one."""
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 9.5)], "id long, r string, v double"
+    )
+    old = _m(
+        [
+            {"kind": "enum", "column": "r", "values": ["a", "b"]},
+            {"kind": "range", "column": "v", "minimum": 0, "maximum": 10},
+            {"kind": "required", "column": "id"},
+        ]
+    )
+    new = _m(
+        [
+            {"kind": "enum", "column": "r", "values": ["a", "b", "c"]},
+            {"kind": "range", "column": "v", "minimum": -1, "maximum": 100},
+        ]
+    )
+    assert compatible(old, new)
+    eng_kw = dict(key_columns=["id"], instance_expr="'t'")
+    assert ValidationEngine(manifest_from_dict(old), **eng_kw).validate(df).passes()
+    assert ValidationEngine(manifest_from_dict(new), **eng_kw).validate(df).passes()
+    # and the breaking direction really breaks: shrink the enum, data fails
+    breaking = _m([{"kind": "enum", "column": "r", "values": ["a"]}])
+    assert not compatible(old, breaking)
+    assert not ValidationEngine(manifest_from_dict(breaking), **eng_kw).validate(df).passes()
+
+
+def test_cli_diff(tmp_path, capsys):
+    import yaml
+
+    from schema_enforcer_spark.cli import main as cli_main
+
+    old = {"id": "schemas/v1", "rules": [{"kind": "enum", "column": "r", "values": ["a"]}]}
+    new = {"id": "schemas/v2", "rules": [{"kind": "enum", "column": "r", "values": ["a", "b"]}]}
+    po, pn = tmp_path / "old.yml", tmp_path / "new.yml"
+    po.write_text(yaml.safe_dump(old))
+    pn.write_text(yaml.safe_dump(new))
+    assert cli_main(["--diff-manifests", str(po), str(pn)]) == 0
+    out = capsys.readouterr().out
+    assert "RELAXED" in out and "backward-compatible" in out
+    # reverse direction is breaking -> exit 1
+    assert cli_main(["--diff-manifests", str(pn), str(po)]) == 1
+    assert "NOT backward-compatible" in capsys.readouterr().out
+
+
+def test_change_line_format():
+    c = Change("modified", "range", "v", "tightened", "bounds [0, 10] -> [2, 10]")
+    assert c.line() == "TIGHTENED modified range on v: bounds [0, 10] -> [2, 10]"
+
+
+def test_inclusive_exclusive_switch_is_changed():
+    inc = _m([{"kind": "range", "column": "v", "minimum": 0, "maximum": 10}])
+    exc = _m([{"kind": "range", "column": "v", "exclusive_minimum": 0, "maximum": 10}])
+    assert _effects(inc, exc) == {("modified", "range", "changed")}
+    assert not compatible(inc, exc)
