@@ -1137,7 +1137,44 @@ def q21_rollup_stats(spark, sf_dir):
     )
 
 
-def q23_pivot_event_types(spark, sf_dir):
+def q23_distinctness_ratio(spark, sf_dir):
+    """Deequ-style distinctness ratio as a declarative aggregate rule: per
+    event_type, distinct users must be >= 10% of events (fails everywhere
+    on this corpus: 150 distinct users over ~2000 events/type) while a 5%
+    floor passes — both sides of each comparison ride ONE agg() via the
+    new 'scale' key on the right spec ({fn: count, scale: 0.1}), so the
+    whole check is one groupBy exchange with map-side combine. Custom
+    message keeps the output free of engine-specific double rendering."""
+    ev = _t(spark, sf_dir, "events")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/events_diversity",
+            "table": "events",
+            "rules": [
+                {
+                    "kind": "aggregate",
+                    "group_by": ["event_type"],
+                    "left": {"fn": "count_distinct", "column": "user_id"},
+                    "operator": "gte",
+                    "right": {"fn": "count", "scale": 0.1},
+                    "message": "user diversity below 10% of events",
+                },
+                {
+                    "kind": "aggregate",
+                    "group_by": ["event_type"],
+                    "left": {"fn": "count_distinct", "column": "user_id"},
+                    "operator": "gte",
+                    "right": {"fn": "count", "scale": 0.05},
+                    "message": "user diversity below 5% of events",
+                    "id": "schemas/events_diversity/aggregate/event_type/5pct",
+                },
+            ],
+        }
+    )
+    return _flat(_events_engine(m).violations(ev))
+
+
+def q67_pivot_event_types(spark, sf_dir):
     """Event-type pivot per user bucket: one groupBy + pivot with a
     DECLARED value list (no extra distinct-scan job) → a count column per
     type. The oracle twin is conditional aggregation — the relational
@@ -1423,7 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_stats_hll": q64_stats_hll,
         "q21_rollup_stats": q21_rollup_stats,
         "q22_topk_per_group": q22_topk_per_group,
-        "q23_pivot_event_types": q23_pivot_event_types,
+        "q23_distinctness_ratio": q23_distinctness_ratio,
+        "q67_pivot_event_types": q67_pivot_event_types,
         "q24_json_extract": q24_json_extract,
         "q25_fingerprint": q25_fingerprint,
         "q26_sessionize": q26_sessionize,
@@ -2569,7 +2607,32 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY g_lang, g_source, lang, source
     """
 
-    sqls["q23_pivot_event_types"] = """
+    # q23 (distinctness_ratio): both rule branches re-derived from one
+    # grouped aggregate each; the 5%-floor branch is structurally present
+    # and yields zero rows (the floor holds), matching the engine's PASS.
+    sqls["q23_distinctness_ratio"] = """
+        SELECT 'schemas/events_diversity/aggregate/event_type' AS schema_id,
+               'FAIL' AS result,
+               MIN(CAST(user_id % 16 AS VARCHAR)) AS instance_name,
+               event_type AS path,
+               CAST(COUNT(DISTINCT user_id) AS VARCHAR) AS failing_value,
+               'user diversity below 10% of events' AS message
+        FROM events GROUP BY event_type
+        HAVING NOT (COUNT(DISTINCT user_id) >= COUNT(*) * 0.1)
+        UNION ALL
+        SELECT 'schemas/events_diversity/aggregate/event_type/5pct',
+               'FAIL',
+               MIN(CAST(user_id % 16 AS VARCHAR)),
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS VARCHAR),
+               'user diversity below 5% of events'
+        FROM events GROUP BY event_type
+        HAVING NOT (COUNT(DISTINCT user_id) >= COUNT(*) * 0.05)
+    """
+
+    # q67 (pivot, demoted from q23 in r6 — multi-dim agg family keeps q21
+    # in-window)
+    sqls["q67_pivot_event_types"] = """
         SELECT user_id % 16 AS bucket,
                COUNT(*) FILTER (event_type = 'click') AS n_click,
                COUNT(*) FILTER (event_type = 'error') AS n_error,

@@ -114,9 +114,13 @@ def _agg_side(spec) -> Column:
     """Compile one side of an aggregate rule to an agg Column.
 
     Spec forms: a number/literal; or {"fn": count|count_distinct|sum|min|max|avg,
-    "column": c, "filter": "<sql bool expr>"} — the declarative analogue of the
-    reference's compiled-JMESPath aggregates
-    (/root/reference/tests/fixtures/test_validators/validators/check_interfaces.py:15-23)."""
+    "column": c, "filter": "<sql bool expr>", "scale": x} — the declarative
+    analogue of the reference's compiled-JMESPath aggregates
+    (/root/reference/tests/fixtures/test_validators/validators/check_interfaces.py:15-23).
+    "scale" multiplies the aggregate, which is what makes RATIO constraints
+    (the Deequ completeness / distinctness checks) declarative:
+    null-rate <= 2%  ==  left {fn: count, filter: "c IS NULL"} lte
+    right {fn: count, scale: 0.02}; both sides still ride ONE agg()."""
     if not isinstance(spec, dict):
         return F.lit(spec)
     fn = spec.get("fn", "count")
@@ -124,18 +128,22 @@ def _agg_side(spec) -> Column:
     if flt := spec.get("filter"):
         col = F.when(F.expr(flt), col)
     if fn == "count":
-        return F.count(col)
-    if fn == "count_distinct":
-        return F.count_distinct(col)
-    if fn == "sum":
-        return F.sum(col)
-    if fn == "min":
-        return F.min(col)
-    if fn == "max":
-        return F.max(col)
-    if fn == "avg":
-        return F.avg(col)
-    raise ValueError(f"unknown aggregate fn {fn!r}")
+        agg = F.count(col)
+    elif fn == "count_distinct":
+        agg = F.count_distinct(col)
+    elif fn == "sum":
+        agg = F.sum(col)
+    elif fn == "min":
+        agg = F.min(col)
+    elif fn == "max":
+        agg = F.max(col)
+    elif fn == "avg":
+        agg = F.avg(col)
+    else:
+        raise ValueError(f"unknown aggregate fn {fn!r}")
+    if (scale := spec.get("scale")) is not None:
+        agg = agg * F.lit(scale)
+    return agg
 
 
 class ValidationEngine:

@@ -703,3 +703,56 @@ def test_outlier_rule(spark):
         manifest_from_dict(
             {"id": "s", "rules": [{"kind": "outlier", "column": "v", "k": -1}]}
         )
+
+
+def test_aggregate_scale_ratio_checks(spark):
+    """Deequ-style completeness/distinctness as declarative ratio
+    constraints: 'scale' multiplies a side's aggregate, so
+    null-rate <= 20% is left count(c IS NULL) lte right count(*)*0.2."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame(
+        [(1, "g1", None), (2, "g1", "x"), (3, "g1", "x"), (4, "g1", "y"),
+         (5, "g2", None), (6, "g2", None), (7, "g2", "z")],
+        "id long, g string, c string",
+    )
+    m = manifest_from_dict(
+        {
+            "id": "schemas/ratio",
+            "rules": [
+                {
+                    "kind": "aggregate",
+                    "group_by": ["g"],
+                    "left": {"fn": "count", "filter": "c IS NULL"},
+                    "operator": "lte",
+                    "right": {"fn": "count", "scale": 0.3},
+                    "message": "null-rate above 30%",
+                },
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    out = eng.violations(df).collect()
+    # g1: 1/4 = 25% ok; g2: 2/3 = 67% fails
+    assert [v["absolute_path"] for v in out] == [["g2"]]
+    assert out[0]["failing_value"] == "2"
+    assert out[0]["message"] == "null-rate above 30%"
+    # distinctness: count_distinct >= 60% of rows
+    m2 = manifest_from_dict(
+        {
+            "id": "schemas/ratio2",
+            "rules": [
+                {
+                    "kind": "aggregate",
+                    "group_by": ["g"],
+                    "left": {"fn": "count_distinct", "column": "c"},
+                    "operator": "gte",
+                    "right": {"fn": "count", "scale": 0.6},
+                    "message": "value diversity below 60%",
+                },
+            ],
+        }
+    )
+    out2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).collect()
+    # g1: 2 distinct / 4 rows = 50% fails; g2: 1/3 = 33% fails
+    assert sorted(v["absolute_path"][0] for v in out2) == ["g1", "g2"]
