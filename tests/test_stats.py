@@ -91,8 +91,8 @@ def test_numeric_profile(spark, transcripts):
     assert r["mean"] > 0 and r["std"] > 0
 
 
-def test_q20_hll_within_epsilon_of_exact(spark):
-    """q20 is now an oracle-replicable assertion (exact distinct + boolean
+def test_q64_hll_within_epsilon_of_exact(spark):
+    """q64 (q20 before the r6 renumber) is an oracle-replicable assertion (exact distinct + boolean
     within-2%-of-exact); every column must report within_tolerance AND the
     exact counts must agree with q08's n_distinct."""
     import os
@@ -102,13 +102,13 @@ def test_q20_hll_within_epsilon_of_exact(spark):
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    rows = {r["col_name"]: r for r in entry.q20_stats_hll(spark, sf).collect()}
+    rows = {r["col_name"]: r for r in entry.q64_stats_hll(spark, sf).collect()}
     exact = {
         r["col_name"]: int(r["n_distinct"])
         for r in entry.q08_column_stats_events(spark, sf).collect()
         if r["col_name"] in rows
     }
-    assert rows, "q20 returned no rows"
+    assert rows, "q64 returned no rows"
     for col, r in rows.items():
         assert r["within_tolerance"], f"{col}: HLL estimate outside 2% of exact {r['n_exact']}"
         assert r["n_exact"] == exact[col], f"{col}: n_exact {r['n_exact']} != q08 {exact[col]}"

@@ -53,6 +53,20 @@ rc_st = cli_main(["--manifest", sys.argv[1], "--input", inp,
                   "--checkpoint", os.path.join(work, "ck"),
                   "--stats-columns", "turn_idx,role"])
 assert rc_st == 1, f"--stats-columns rc={rc_st}"
+
+# round-6 surface: manifest inference (with FD discovery) + evolution diff
+draft_path = os.path.join(work, "draft.yml")
+rc_i = cli_main(["--infer-manifest", draft_path, "--infer-id", "schemas/smoke_draft",
+                 "--input", inp, "--infer-fds"])
+assert rc_i == 0, f"--infer-manifest rc={rc_i}"
+assert os.path.exists(draft_path), "inference wrote no draft"
+# the drafted manifest encodes constraints the data satisfies, so diffing
+# it against itself is compatible (0) and against the hand manifest is a
+# real report with a deterministic exit code
+rc_d0 = cli_main(["--diff-manifests", draft_path, draft_path])
+assert rc_d0 == 0, f"--diff-manifests self rc={rc_d0}"
+rc_d1 = cli_main(["--diff-manifests", draft_path, sys.argv[1]])
+assert rc_d1 in (0, 1), f"--diff-manifests rc={rc_d1}"
 print(f"SUBMIT_SMOKE violations={n} passes={report.passes()} quarantined={nq} cli_flags=ok")
 spark.stop()
 """
