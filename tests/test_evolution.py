@@ -146,3 +146,86 @@ def test_inclusive_exclusive_switch_is_changed():
     exc = _m([{"kind": "range", "column": "v", "exclusive_minimum": 0, "maximum": 10}])
     assert _effects(inc, exc) == {("modified", "range", "changed")}
     assert not compatible(inc, exc)
+
+
+# --- property: the diff's verdict is sound against brute-force predicate
+# implication (pure Python — no Spark; this tests the DIFF logic itself) ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+_GRID = list(range(-3, 14))  # covers every bound the strategies generate
+
+
+def _pred(rule, v: int) -> bool:
+    """Evaluate one rule against an integer value, mirroring engine
+    semantics for the comparable kinds (NULL-free domain)."""
+    k = rule["kind"]
+    if k == "enum":
+        return v in rule["values"]
+    if k == "range":
+        ok = True
+        if rule.get("minimum") is not None:
+            ok = ok and v >= rule["minimum"]
+        if rule.get("exclusive_minimum") is not None:
+            ok = ok and v > rule["exclusive_minimum"]
+        if rule.get("maximum") is not None:
+            ok = ok and v <= rule["maximum"]
+        if rule.get("exclusive_maximum") is not None:
+            ok = ok and v < rule["exclusive_maximum"]
+        return ok
+    raise AssertionError(k)
+
+
+def _rule_strategy():
+    enum = st.builds(
+        lambda vals: {"kind": "enum", "column": "c", "values": sorted(vals)},
+        st.sets(st.integers(0, 9), min_size=1, max_size=5),
+    )
+
+    def _mk_range(lo, hi, use_lo, use_hi, xlo, xhi):
+        r = {"kind": "range", "column": "c"}
+        if use_lo:
+            r["exclusive_minimum" if xlo else "minimum"] = min(lo, hi)
+        if use_hi:
+            r["exclusive_maximum" if xhi else "maximum"] = max(lo, hi)
+        if not use_lo and not use_hi:
+            r["minimum"] = min(lo, hi)  # range needs >= 1 bound
+        return r
+
+    rng = st.builds(
+        _mk_range,
+        st.integers(-2, 12), st.integers(-2, 12),
+        st.booleans(), st.booleans(), st.booleans(), st.booleans(),
+    )
+    return st.one_of(enum, rng)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(old_rule=_rule_strategy(), new_rule=_rule_strategy())
+    def test_diff_verdict_sound_vs_brute_force(old_rule, new_rule):
+        old, new = _m([old_rule]), _m([new_rule])
+        changes = diff_manifests(old, new)
+        valid_old = [v for v in _GRID if _pred(old_rule, v)]
+        regressions = [v for v in valid_old if not _pred(new_rule, v)]
+        if compatible(old, new):
+            # SOUNDNESS (the contract the CLI exit code gates on): a
+            # compatible verdict means no previously-valid value breaks
+            assert not regressions, (old_rule, new_rule, regressions)
+        if changes and all(c.effect == "tightened" for c in changes):
+            # a pure tightening verdict must never be claimed when the new
+            # rule actually accepts MORE of the domain (relaxation evidence)
+            newly_ok = [
+                v for v in _GRID if not _pred(old_rule, v) and _pred(new_rule, v)
+            ]
+            # same-kind modification only: add/remove pairs legitimately
+            # admit new values (different columns)
+            if all(c.change == "modified" for c in changes):
+                assert not newly_ok, (old_rule, new_rule, newly_ok)

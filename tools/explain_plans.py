@@ -695,6 +695,36 @@ def main() -> None:
         problems.append("functional_dependency plan contains a join (should be agg-only)")
     sections.append(("functional_dependency rule (q20: one groupBy exchange)", p26, notes26))
 
+    # 27. outlier rule (q27): TWO scans by design (a global statistic needs
+    # a bounds pass and a flag pass); the single bounds row arrives via a
+    # BroadcastNestedLoopJoin (the scalar-subquery shape — 1-row build side,
+    # NOT an all-pairs join) and the flag is a plain Filter above the scan
+    m27 = _mfd26(
+        {
+            "id": "schemas/plans_outlier",
+            "rules": [{"kind": "outlier", "column": "value", "k": 1.5}],
+        }
+    )
+    ev27 = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    p27 = _formatted(
+        ValidationEngine(m27, key_columns=["event_id"]).violations(ev27)
+    )
+    notes27 = []
+    n_scan27 = len(re.findall(r"\(\d+\) Scan parquet", p27))
+    if n_scan27 == 2:
+        notes27.append("OK: exactly two scans (bounds pass + flag pass)")
+    else:
+        problems.append(f"outlier rule: {n_scan27} scans (want 2: bounds + flag)")
+    if "BroadcastNestedLoopJoin" in p27 and "BroadcastExchange" in p27:
+        notes27.append(
+            "OK: bounds row broadcast via BNLJ — a 1-row build side, the scalar-subquery shape"
+        )
+    else:
+        problems.append("outlier rule: bounds row not broadcast")
+    if "CartesianProduct" in p27:
+        problems.append("outlier rule planned a CartesianProduct")
+    sections.append(("outlier rule (q27: bounds broadcast, two scans by design)", p27, notes27))
+
     out = io.StringIO()
     out.write("# PLANS — physical-plan audit (generated by tools/explain_plans.py)\n\n")
     out.write("Each section: the `.explain('formatted')` output for one engine path plus\nthe assertions the design makes about it (SURVEY.md §4.2).\n\n")
