@@ -1213,24 +1213,40 @@ class ValidationEngine:
         possible). Plan: TWO scans by design — a bounds pass and a flag
         pass are inherent to comparing every row against a global
         statistic — glued by a broadcast join of the single bounds row
-        (the scalar-subquery shape); nothing is collected driver-side."""
+        (the scalar-subquery shape); nothing is collected driver-side.
+        With ``group_by`` the fence is computed PER GROUP (per-segment
+        anomaly detection): the bounds side shrinks to |groups| rows via
+        one map-side-combined aggregate and joins back on the group key —
+        AQE broadcasts it when small, else the join co-partitions both
+        sides on the key; still nothing driver-side."""
         col = rule.params["column"]
         k = float(rule.get("k", 1.5))
         exact = bool(rule.get("exact", False))
+        group = list(rule.get("group_by") or [])
         rid = rule.get("id") or f"{self.manifest.id}/outlier/{col}"
         c = F.col(col)
         fn = "percentile" if exact else "approx_percentile"
         q = F.expr(f"{fn}(`{col}`, array(0.25D, 0.75D))")
         iqr = F.col("_q3") - F.col("_q1")
-        bounds = (
-            df.agg(q.alias("_q"))
-            .select(F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
-            .select(
-                (F.col("_q1") - F.lit(k) * iqr).alias("_lo"),
-                (F.col("_q3") + F.lit(k) * iqr).alias("_hi"),
+        fences = [
+            (F.col("_q1") - F.lit(k) * iqr).alias("_lo"),
+            (F.col("_q3") + F.lit(k) * iqr).alias("_hi"),
+        ]
+        if group:
+            bounds = (
+                df.groupBy(*group)
+                .agg(q.alias("_q"))
+                .select(*group, F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
+                .select(*group, *fences)
             )
-        )
-        joined = df.join(F.broadcast(bounds))  # 1-row build side, no condition
+            joined = df.join(bounds, on=group, how="left")
+        else:
+            bounds = (
+                df.agg(q.alias("_q"))
+                .select(F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
+                .select(*fences)
+            )
+            joined = df.join(F.broadcast(bounds))  # 1-row build side, no condition
         fail = c.isNotNull() & ((c < F.col("_lo")) | (c > F.col("_hi")))
 
         def _dec(x: Column) -> Column:

@@ -756,3 +756,33 @@ def test_aggregate_scale_ratio_checks(spark):
     out2 = ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).collect()
     # g1: 2 distinct / 4 rows = 50% fails; g2: 1/3 = 33% fails
     assert sorted(v["absolute_path"][0] for v in out2) == ["g1", "g2"]
+
+
+def test_outlier_rule_grouped(spark):
+    """Per-group fences: a value ordinary at one group's scale is an
+    outlier at another's — the global fence would miss both directions."""
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    rows = [(i, "small", float(i % 10)) for i in range(100)]
+    rows += [(100 + i, "big", 1000.0 + (i % 10)) for i in range(100)]
+    # 500.0 sits INSIDE the global spread but outside both group fences
+    rows += [(500, "small", 500.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    m = manifest_from_dict(
+        {
+            "id": "schemas/gout",
+            "rules": [
+                {"kind": "outlier", "column": "v", "k": 1.5, "exact": True,
+                 "group_by": ["g"]}
+            ],
+        }
+    )
+    eng = ValidationEngine(m, key_columns=["id"], instance_expr="'t'")
+    out = eng.violations(df).collect()
+    assert [v["failing_value"] for v in out] == ["500.000000"]
+    # the global fence over the same data does NOT flag it (bimodal spread)
+    m2 = manifest_from_dict(
+        {"id": "schemas/gout2",
+         "rules": [{"kind": "outlier", "column": "v", "k": 1.5, "exact": True}]}
+    )
+    assert ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).count() == 0

@@ -217,3 +217,50 @@ def test_fd_inference(spark):
     # default stays off
     draft2 = infer_manifest(df, "schemas/fd_off")
     assert not any(r["kind"] == "functional_dependency" for r in draft2["rules"])
+
+
+# --- property: the inference round-trip contract — a drafted manifest
+# (formats + FDs on) always validates CLEAN on the data it was drafted
+# from, because every emitted rule is the strictest constraint the data
+# already satisfies ---
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    _rows = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "2024-01-02", ""])),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=_rows, enum_max=st.sampled_from([2, 16]))
+    def test_infer_roundtrip_property(spark, rows, enum_max):
+        from schema_enforcer_spark.manifest import manifest_from_dict
+
+        df = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(rows)],
+            "k long, i long, s string, f double",
+        )
+        draft = infer_manifest(df, "schemas/prop", enum_max=enum_max, fds=True)
+        m = manifest_from_dict(draft)  # meta-validation must accept it
+        report = ValidationEngine(m, key_columns=["k"]).validate(df)
+        assert report.passes(), [
+            r["message"] for r in report.violations.collect()[:5]
+        ]
+        report.unpersist()
