@@ -1219,12 +1219,19 @@ class ValidationEngine:
         one map-side-combined aggregate and joins back on the group key —
         AQE broadcasts it when small, else the join co-partitions both
         sides on the key; still nothing driver-side."""
+        bounds = self.outlier_bounds(df, rule)
+        return self._outlier_emit(df, rule, bounds)
+
+    def outlier_bounds(self, df: DataFrame, rule: Rule) -> DataFrame:
+        """The bounds half of the outlier rule: a frame of (_lo, _hi)
+        fences — one row, or |groups| rows with the ``group_by`` columns.
+        Public because the streaming twin freezes fences computed here
+        from a static reference table (a stream cannot take a global
+        quantile)."""
         col = rule.params["column"]
         k = float(rule.get("k", 1.5))
         exact = bool(rule.get("exact", False))
         group = list(rule.get("group_by") or [])
-        rid = rule.get("id") or f"{self.manifest.id}/outlier/{col}"
-        c = F.col(col)
         fn = "percentile" if exact else "approx_percentile"
         q = F.expr(f"{fn}(`{col}`, array(0.25D, 0.75D))")
         iqr = F.col("_q3") - F.col("_q1")
@@ -1233,19 +1240,29 @@ class ValidationEngine:
             (F.col("_q3") + F.lit(k) * iqr).alias("_hi"),
         ]
         if group:
-            bounds = (
+            return (
                 df.groupBy(*group)
                 .agg(q.alias("_q"))
                 .select(*group, F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
                 .select(*group, *fences)
             )
+        return (
+            df.agg(q.alias("_q"))
+            .select(F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
+            .select(*fences)
+        )
+
+    def _outlier_emit(self, df: DataFrame, rule: Rule, bounds: DataFrame) -> DataFrame:
+        """The flag half: join *bounds* back (broadcast for the 1-row
+        global fence, key join for grouped) and project violation rows."""
+        col = rule.params["column"]
+        k = float(rule.get("k", 1.5))
+        group = list(rule.get("group_by") or [])
+        rid = rule.get("id") or f"{self.manifest.id}/outlier/{col}"
+        c = F.col(col)
+        if group:
             joined = df.join(bounds, on=group, how="left")
         else:
-            bounds = (
-                df.agg(q.alias("_q"))
-                .select(F.col("_q")[0].alias("_q1"), F.col("_q")[1].alias("_q3"))
-                .select(*fences)
-            )
             joined = df.join(F.broadcast(bounds))  # 1-row build side, no condition
         fail = c.isNotNull() & ((c < F.col("_lo")) | (c > F.col("_hi")))
 

@@ -7,6 +7,7 @@ from schema_enforcer_spark.streaming.validate import (
     stream_quarantine,
     stream_session_stats,
     stream_equals_table,
+    stream_outlier,
 )
 from schema_enforcer_spark.streaming.stateful import (
     stream_rate_limit,
@@ -22,6 +23,7 @@ __all__ = [
     "stream_quarantine",
     "stream_session_stats",
     "stream_equals_table",
+    "stream_outlier",
     "stream_rate_limit",
     "stream_stateful_contiguity",
 ]

@@ -276,3 +276,46 @@ def stream_equals_table(
     return eng._equals_table_emit(
         j, stream_df, ref, keys, comp, ref_name, rid, rule.get("message")
     )
+
+
+def stream_outlier(
+    stream_df: DataFrame,
+    manifest: Manifest,
+    reference_df: DataFrame | None = None,
+    bounds: dict[str, DataFrame] | None = None,
+    **engine_kw,
+) -> DataFrame:
+    """Streaming twin of the ``outlier`` rule with FROZEN fences: a global
+    (or per-group) quantile over an unbounded stream is not computable, so
+    the Tukey bounds are fixed at stream setup — computed from
+    *reference_df* (a validated static slice, e.g. yesterday's partition:
+    the same engine bounds pass the batch rule runs) or passed directly as
+    *bounds* ({rule id: bounds frame} from ``engine.outlier_bounds``).
+    Each micro-batch then emits the batch rule's exact violation rows via
+    a stateless stream-static join (broadcast 1-row fence, or a key join
+    for grouped fences) — no state, no watermark, composes with any
+    downstream operator. This mirrors the drift twin's design: batch
+    computes the statistic, the stream enforces it (stream_drift above).
+    """
+    rules = [r for r in manifest.table_rules if r.kind == "outlier"]
+    if not rules:
+        raise ValueError(f"manifest {manifest.id!r} has no outlier rules to stream")
+    if reference_df is None and bounds is None:
+        raise ValueError(
+            "stream_outlier needs fences: pass reference_df (a static slice "
+            "to compute them from) or precomputed bounds"
+        )
+    if reference_df is not None and reference_df.isStreaming:
+        raise ValueError("reference_df must be a static table")
+    eng = ValidationEngine(manifest, **engine_kw)
+    parts = []
+    for rule in rules:
+        rid = rule.get("id") or f"{manifest.id}/outlier/{rule.params['column']}"
+        b = (bounds or {}).get(rid)
+        if b is None:
+            b = eng.outlier_bounds(reference_df, rule)
+        parts.append(eng._outlier_emit(stream_df, rule, b))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

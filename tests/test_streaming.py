@@ -613,3 +613,62 @@ def test_stream_equals_table(spark, tmp_path):
     msgs = [g[-1] for g in got]
     assert sum("does not equal reference.text" in m_ for m_ in msgs) == 1
     assert sum("is missing from reference" in m_ for m_ in msgs) == 1
+
+
+def test_stream_outlier_frozen_fences(spark, tmp_path):
+    """Streaming outlier twin: fences frozen from a static reference slice
+    (the batch bounds pass), each micro-batch emits the batch rule's exact
+    violation rows via a stateless stream-static join."""
+    from pyspark.sql import functions as F
+
+    from schema_enforcer_spark.engine import ValidationEngine
+    from schema_enforcer_spark.manifest import manifest_from_dict
+    from schema_enforcer_spark.streaming import stream_outlier
+
+    # reference slice: values 1..100 define the fence; the stream carries
+    # two planted extremes
+    ref = spark.createDataFrame(
+        [(i, float(i % 100 + 1)) for i in range(200)], "id long, v double"
+    )
+    arriving = spark.createDataFrame(
+        [(1000, 50.0), (1001, 9999.0), (1002, -9999.0)], "id long, v double"
+    )
+    src_path = str(tmp_path / "src")
+    arriving.write.parquet(src_path)
+    m = manifest_from_dict(
+        {
+            "id": "schemas/sout",
+            "rules": [{"kind": "outlier", "column": "v", "k": 1.5, "exact": True}],
+        }
+    )
+    kw = dict(key_columns=["id"], instance_expr="'t'")
+    src = spark.readStream.schema(arriving.schema).parquet(src_path)
+    out = str(tmp_path / "out")
+    q = (
+        stream_outlier(src, m, reference_df=ref, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream_outlier failed to terminate"
+    q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(r["failing_value"] for r in got.collect()) == [
+        "-9999.000000",
+        "9999.000000",
+    ]
+    # messages byte-identical to the batch rule evaluated with the same
+    # frozen bounds over the same rows
+    eng = ValidationEngine(m, **kw)
+    batch = eng._outlier_emit(arriving, m.rules[1] if m.rules[0].kind != "outlier" else m.rules[0],
+                              eng.outlier_bounds(ref, m.rules[0]))
+    assert sorted(r["message"] for r in got.collect()) == sorted(
+        r["message"] for r in batch.collect()
+    )
+    # no fence source -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs fences"):
+        stream_outlier(src, m, **kw)
