@@ -82,6 +82,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "dependencies (two extra jobs, quadratic HLL sketch count in the "
         "column count — intended for manifest-width tables)",
     )
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="print the two-job column profile of --input (rows, nulls, "
+        "~distinct, type, min/max or length bounds, detected format, enum "
+        "candidates) and exit — the inspection half of --infer-manifest, "
+        "no manifest needed",
+    )
     p.add_argument("--input", default=None, help="input parquet path (not needed with --selftest/--generate-invalid)")
     p.add_argument(
         "--inventory",
@@ -429,10 +437,48 @@ def _diff_main(args) -> int:
     return 0 if ok else 1
 
 
+def _profile_main(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from schema_enforcer_spark.infer import profile_for_inference
+
+    if not args.input:
+        print("ERROR | --profile requires --input", file=sys.stderr)
+        return 2
+    builder = SparkSession.builder.appName("schema-enforcer-spark:profile")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    df = spark.read.parquet(args.input)
+    prof = profile_for_inference(df, enum_max=args.infer_enum_max)
+    print(f"{'Column':<24} {'type':<10} {'rows':>10} {'nulls':>8} {'~distinct':>10}  detail")
+    print("-" * 92)
+    for c, p in prof.items():
+        if p["jtype"] in ("integer", "number") and p["min"] is not None:
+            detail = f"min={p['min']} max={p['max']}"
+        elif p["jtype"] == "string" and p["format"]:
+            detail = f"format={p['format']}"
+        elif p["jtype"] == "string" and p["len_min"] is not None:
+            detail = f"len {p['len_min']}..{p['len_max']}"
+        else:
+            detail = ""
+        if p["enum_values"] is not None:
+            vals = ", ".join(map(repr, p["enum_values"][:6]))
+            more = "" if len(p["enum_values"]) <= 6 else f", +{len(p['enum_values']) - 6}"
+            detail = (detail + f"  enum[{vals}{more}]").strip()
+        print(
+            f"{c:<24} {p['jtype'] or '-':<10} {p['n_rows']:>10} {p['n_nulls']:>8} "
+            f"{p['approx_distinct']:>10}  {detail}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     if args.diff_manifests:
         return _diff_main(args)
+    if args.profile:
+        return _profile_main(args)
     if args.infer_manifest:
         return _infer_main(args)
     if not args.manifest:

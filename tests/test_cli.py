@@ -773,3 +773,17 @@ def test_cli_sample_fraction_keeps_null_key_rows(spark, data, tmp_path, capsys):
     assert rc == 1
     # the required-rule violation ON the key column itself was sampled
     assert "None is not of type 'string'" in out or "required" in out or "conv_id" in out
+
+
+def test_cli_profile(spark, data, capsys):
+    rc = main(["--profile", "--input", data["clean"]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Column" in out and "~distinct" in out
+    # transcripts columns profiled with their types and detail columns
+    assert "conv_id" in out and "turn_idx" in out
+    assert "enum['assistant'" in out or "enum[" in out  # role enum candidates
+    # no input -> usage error
+    rc2 = main(["--profile"])
+    assert rc2 == 2
+    assert "requires --input" in capsys.readouterr().err
