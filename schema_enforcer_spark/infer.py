@@ -170,7 +170,8 @@ def infer_fds(
     df: DataFrame,
     columns: list[str] | None = None,
     rsd_margin: float = 0.25,
-) -> list[tuple[str, str]]:
+    max_determinant: int = 1,
+) -> list[tuple[tuple[str, ...], str]]:
     """Discover single-column functional dependencies A -> B (the
     Metanome/Deequ-style profiling primitive), NULL-as-a-value semantics
     matching the ``functional_dependency`` rule. Two bounded jobs:
@@ -190,22 +191,27 @@ def infer_fds(
     right constraint there) and constant dependents (approx <= 1, determined
     by everything). C candidate columns cost C + C*(C-1) fixed-size HLL
     sketches on the one scan — no shuffle, no collect beyond two single-row
-    results, safe at 10^12 rows for manifest-width tables."""
+    results, safe at 10^12 rows for manifest-width tables.
+
+    ``max_determinant=2`` adds composite (a, b) -> c discovery with the
+    Metanome-style MINIMALITY prune — a pair determinant is only tested for
+    targets no single member already determines, and ~unique pairs are
+    skipped — as two more bounded jobs of the same sketch-then-exact shape.
+    Returns [(determinant_tuple, dependent), ...], level-1 first."""
     columns = columns or df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields if f.name in columns}
     cands = [c for c in columns if _json_type(dtypes[c]) is not None]
     if len(cands) < 2:
         return []
 
-    def _w(c: str):  # null-safe wrapper: struct is never NULL
-        return F.struct(F.col(c))
+    def _w(*cs: str):  # null-safe wrapper: struct is never NULL
+        return F.struct(*[F.col(c) for c in cs])
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     aggs += [F.approx_count_distinct(_w(c)).alias(f"{c}__a") for c in cands]
     pairs = [(a, b) for a in cands for b in cands if a != b]
     aggs += [
-        F.approx_count_distinct(F.struct(F.col(a), F.col(b))).alias(f"{a}__{b}__ab")
-        for a, b in pairs
+        F.approx_count_distinct(_w(a, b)).alias(f"{a}__{b}__ab") for a, b in pairs
     ]
     row1 = df.agg(*aggs).collect()[0]
     n_rows = row1["__n_rows"]
@@ -219,19 +225,61 @@ def infer_fds(
         and row1[f"{b}__a"] > 1  # dependent not constant
         and row1[f"{a}__{b}__ab"] <= (1 + rsd_margin) * row1[f"{a}__a"]
     ]
-    if not survivors:
-        return []
+    singles: list[tuple[str, str]] = []
+    if survivors:
+        dets = sorted({a for a, _ in survivors})
+        aggs2 = [F.count_distinct(_w(c)).alias(f"{c}__x") for c in dets]
+        aggs2 += [
+            F.count_distinct(_w(a, b)).alias(f"{a}__{b}__xab") for a, b in survivors
+        ]
+        row2 = df.agg(*aggs2).collect()[0]
+        singles = sorted(
+            (a, b) for a, b in survivors if row2[f"{a}__{b}__xab"] == row2[f"{a}__x"]
+        )
+    out: list[tuple[tuple[str, ...], str]] = [((a,), b) for a, b in singles]
+    if max_determinant < 2:
+        return out
 
-    dets = sorted({a for a, _ in survivors})
-    aggs2 = [F.count_distinct(_w(c)).alias(f"{c}__x") for c in dets]
-    aggs2 += [
-        F.count_distinct(F.struct(F.col(a), F.col(b))).alias(f"{a}__{b}__xab")
-        for a, b in survivors
+    # level 2: (a, b) -> c, minimal only — skip any target a single member
+    # already determines, ~unique pair determinants, constant targets
+    single_rhs = {a: {b for x, b in singles if x == a} for a, _ in singles}
+    det_pairs = [(a, b) for i, a in enumerate(cands) for b in cands[i + 1 :]]
+    triples = [
+        (a, b, c)
+        for a, b in det_pairs
+        if row1[f"{a}__{b}__ab"] < 0.9 * n_rows  # pair not ~unique
+        for c in cands
+        if c not in (a, b)
+        and row1[f"{c}__a"] > 1
+        and c not in single_rhs.get(a, ())
+        and c not in single_rhs.get(b, ())
     ]
-    row2 = df.agg(*aggs2).collect()[0]
-    return sorted(
-        (a, b) for a, b in survivors if row2[f"{a}__{b}__xab"] == row2[f"{a}__x"]
+    if not triples:
+        return out
+    aggs3 = [
+        F.approx_count_distinct(_w(a, b, c)).alias(f"{a}__{b}__{c}__t")
+        for a, b, c in triples
+    ]
+    row3 = df.agg(*aggs3).collect()[0]
+    t_surv = [
+        (a, b, c)
+        for a, b, c in triples
+        if row3[f"{a}__{b}__{c}__t"] <= (1 + rsd_margin) * row1[f"{a}__{b}__ab"]
+    ]
+    if not t_surv:
+        return out
+    pair_dets = sorted({(a, b) for a, b, _ in t_surv})
+    aggs4 = [F.count_distinct(_w(a, b)).alias(f"{a}__{b}__px") for a, b in pair_dets]
+    aggs4 += [
+        F.count_distinct(_w(a, b, c)).alias(f"{a}__{b}__{c}__tx") for a, b, c in t_surv
+    ]
+    row4 = df.agg(*aggs4).collect()[0]
+    out += sorted(
+        ((a, b), c)
+        for a, b, c in t_surv
+        if row4[f"{a}__{b}__{c}__tx"] == row4[f"{a}__{b}__px"]
     )
+    return out
 
 
 def infer_manifest(
@@ -281,12 +329,12 @@ def infer_manifest(
         unique_cols = {
             r["columns"][0] for r in rules if r["kind"] == "unique"
         }
-        for a, b in infer_fds(df, columns=columns):
+        for det, b in infer_fds(df, columns=columns):
             # a unique determinant makes the FD vacuous; infer_fds already
             # gates on the approx estimate, this closes the exact-count gap
-            if a not in unique_cols:
+            if not set(det) & unique_cols:
                 rules.append(
-                    {"kind": "functional_dependency", "columns": [a], "dependent": b}
+                    {"kind": "functional_dependency", "columns": list(det), "dependent": b}
                 )
     out: dict[str, Any] = {"id": manifest_id, "rules": rules}
     if table:

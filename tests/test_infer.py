@@ -185,23 +185,22 @@ def test_fd_inference(spark):
         )
     )
     fds = infer_fds(df)
-    assert ("a", "b") in fds
-    assert ("b", "a") not in fds
-    assert not any(x == "k" for x, _ in fds)  # unique determinant pruned
-    assert not any(x == "c" or y == "c" for x, y in fds if (x, y) != ("a", "c"))
-    assert ("a", "c") not in fds and ("c", "b") not in fds
+    assert (("a",), "b") in fds
+    assert (("b",), "a") not in fds
+    assert not any(det == ("k",) for det, _ in fds)  # unique determinant pruned
+    assert (("a",), "c") not in fds and (("c",), "b") not in fds
 
     # a single exception row must kill the FD (exact pass, not the HLL)
     broken = df.withColumn(
         "b", F.when(F.col("k") == 199, F.lit(999)).otherwise(F.col("b"))
     )
-    assert ("a", "b") not in infer_fds(broken)
+    assert (("a",), "b") not in infer_fds(broken)
 
     # NULL-as-value semantics: a=1 maps to {NULL, 1} -> not an FD
     nulled = df.withColumn(
         "b", F.when((F.col("a") == 1) & (F.col("k") < 100), F.lit(None)).otherwise(F.col("b"))
     )
-    assert ("a", "b") not in infer_fds(nulled)
+    assert (("a",), "b") not in infer_fds(nulled)
 
     # draft integration: opt-in flag, rule round-trips meta-validation,
     # and the drafted manifest passes on its own source data
@@ -264,3 +263,40 @@ if _HAVE_HYP:
             r["message"] for r in report.violations.collect()[:5]
         ]
         report.unpersist()
+
+
+def test_fd_inference_composite(spark):
+    """max_determinant=2: (a, b) -> c discovered only when MINIMAL —
+    targets a single member already determines are pruned, ~unique pair
+    determinants are pruned."""
+    from schema_enforcer_spark.infer import infer_fds
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("a"),
+        (F.col("id") % 10).alias("b"),
+        # c = f(a, b) genuinely needs BOTH (lcm(6,10)=30 states), and
+        # neither a->c nor b->c holds
+        ((F.col("id") % 6) * 10 + (F.col("id") % 10)).alias("c"),
+        # d = f(a) alone -> (a, b) -> d must be pruned as non-minimal
+        (F.col("id") % 6 % 3).alias("d"),
+    )
+    fds = infer_fds(df, max_determinant=2)
+    assert (("a", "b"), "c") in fds
+    assert (("a",), "d") in fds
+    assert not any(det == ("a", "b") and dep == "d" for det, dep in fds)
+    # level-1-only call never returns composites
+    assert all(len(det) == 1 for det, _ in infer_fds(df))
+    # the composite FD survives manifest round-trip + validates clean
+    draft = {
+        "id": "schemas/cfd",
+        "rules": [{"kind": "functional_dependency", "columns": ["a", "b"], "dependent": "c"}],
+    }
+    m = manifest_from_dict(draft)
+    assert ValidationEngine(m, key_columns=["k"]).validate(df).passes()
+    # one exception row breaks it through the same evaluator
+    broken = df.withColumn(
+        "c", F.when(F.col("k") == 399, F.lit(-1)).otherwise(F.col("c"))
+    )
+    assert not ValidationEngine(m, key_columns=["k"]).validate(broken).passes()
+    assert (("a", "b"), "c") not in infer_fds(broken, max_determinant=2)
