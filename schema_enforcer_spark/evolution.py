@@ -148,6 +148,19 @@ def _cmp_modified(kind: str, old: dict, new: dict) -> tuple[str, str]:
         if eff == "unchanged" and so != sn:
             return "changed", "non-bound parameters differ"
         return eff, detail
+    if kind == "multiple_of":
+        om, nm = so.get("multiple_of"), sn.get("multiple_of")
+        if (
+            {k for k in so if k != "multiple_of"} == {k for k in sn if k != "multiple_of"}
+            and om and nm
+        ):
+            # multiples of 4 are a subset of multiples of 2: the divisor
+            # dividing evenly decides the direction
+            if om % nm == 0:
+                return "relaxed", f"multiple_of {om} -> {nm} (every old multiple still passes)"
+            if nm % om == 0:
+                return "tightened", f"multiple_of {om} -> {nm}"
+            return "changed", f"multiple_of {om} -> {nm} (incomparable divisors)"
     if kind == "outlier":
         ok, nk = so.get("k", 1.5), sn.get("k", 1.5)
         if {k: v for k, v in so.items() if k != "k"} == {k: v for k, v in sn.items() if k != "k"}:

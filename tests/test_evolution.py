@@ -229,3 +229,13 @@ if _HAVE_HYP:
             # admit new values (different columns)
             if all(c.change == "modified" for c in changes):
                 assert not newly_ok, (old_rule, new_rule, newly_ok)
+
+
+def test_multiple_of_divisibility():
+    m4 = _m([{"kind": "multiple_of", "column": "v", "multiple_of": 4}])
+    m2 = _m([{"kind": "multiple_of", "column": "v", "multiple_of": 2}])
+    m3 = _m([{"kind": "multiple_of", "column": "v", "multiple_of": 3}])
+    assert _effects(m4, m2) == {("modified", "multiple_of", "relaxed")}
+    assert compatible(m4, m2)
+    assert _effects(m2, m4) == {("modified", "multiple_of", "tightened")}
+    assert _effects(m4, m3) == {("modified", "multiple_of", "changed")}
