@@ -470,6 +470,16 @@ def _profile_main(args) -> int:
             f"{c:<24} {p['jtype'] or '-':<10} {p['n_rows']:>10} {p['n_nulls']:>8} "
             f"{p['approx_distinct']:>10}  {detail}"
         )
+    if args.infer_fds:
+        from schema_enforcer_spark.infer import infer_fds
+
+        fds = infer_fds(df, max_determinant=2)
+        if fds:
+            print("\nfunctional dependencies (exact-confirmed, minimal):")
+            for det, dep in fds:
+                print(f"  ({', '.join(det)}) -> {dep}")
+        else:
+            print("\nno functional dependencies found")
     return 0
 
 

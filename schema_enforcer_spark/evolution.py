@@ -85,9 +85,25 @@ def _key(rule: dict[str, Any]) -> tuple:
     return (rule["kind"], _target(rule))
 
 
+# params that change HOW a rule executes or renders, never WHAT it
+# constrains — toggling them must not read as a contract change.
+# (normalize_keys is deliberately NOT here: it changes which rows match.)
+_PHYSICAL_PARAMS = (
+    "suggest",        # enum: message-only repair hint
+    "broadcast",      # referential: join strategy
+    "compare_mode",   # equals_table: digest vs direct strategy
+    "max_fetch_keys",
+    "salt",           # aggregate: skew defense
+    "exact",          # outlier: sketch vs exact estimator of the same fence
+    "bins",           # drift: histogram grain
+)
+
+
 def _strength(rule: dict[str, Any]) -> dict[str, Any]:
     return {
-        k: v for k, v in rule.items() if k not in _IDENTITY_PARAMS + ("kind", "id", "message")
+        k: v
+        for k, v in rule.items()
+        if k not in _IDENTITY_PARAMS + _PHYSICAL_PARAMS + ("kind", "id", "message")
     }
 
 

@@ -783,6 +783,10 @@ def test_cli_profile(spark, data, capsys):
     # transcripts columns profiled with their types and detail columns
     assert "conv_id" in out and "turn_idx" in out
     assert "enum['assistant'" in out or "enum[" in out  # role enum candidates
+    # with FD discovery: the section prints either way
+    rc_fd = main(["--profile", "--input", data["clean"], "--infer-fds"])
+    assert rc_fd == 0
+    assert "functional dependencies" in capsys.readouterr().out
     # no input -> usage error
     rc2 = main(["--profile"])
     assert rc2 == 2

@@ -239,3 +239,19 @@ def test_multiple_of_divisibility():
     assert compatible(m4, m2)
     assert _effects(m2, m4) == {("modified", "multiple_of", "tightened")}
     assert _effects(m4, m3) == {("modified", "multiple_of", "changed")}
+
+
+def test_physical_params_are_not_contract_changes():
+    # toggling the message-only repair hint or a join/estimator strategy
+    # must not read as a breaking change
+    e1 = _m([{"kind": "enum", "column": "r", "values": ["a"]}])
+    e2 = _m([{"kind": "enum", "column": "r", "values": ["a"], "suggest": True}])
+    assert diff_manifests(e1, e2) == []
+    o1 = _m([{"kind": "outlier", "column": "v", "k": 1.5, "exact": True}])
+    o2 = _m([{"kind": "outlier", "column": "v", "k": 1.5}])
+    assert compatible(o1, o2) and compatible(o2, o1)
+    # normalize_keys stays semantic: it changes which rows match
+    r1 = _m([{"kind": "referential", "columns": ["h"], "ref_table": "t", "ref_columns": ["x"]}])
+    r2 = _m([{"kind": "referential", "columns": ["h"], "ref_table": "t",
+              "ref_columns": ["x"], "normalize_keys": True}])
+    assert diff_manifests(r1, r2) != []
