@@ -21,11 +21,13 @@ re-expressed over Spark DataFrames:
 """
 
 from schema_enforcer_spark.manifest import Manifest, Rule, load_manifest, manifest_from_dict
-from schema_enforcer_spark.engine import ValidationEngine, ValidationReport
+from schema_enforcer_spark.engine import ValidationEngine, ValidationReport, validate_many
 from schema_enforcer_spark.binding import ManifestRegistry, ManifestNotDefined
 from schema_enforcer_spark.checkpoint import CheckpointManager
+from schema_enforcer_spark.evolution import compatible, diff_manifests
+from schema_enforcer_spark.infer import infer_fds, infer_manifest, write_inferred_manifest
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Manifest",
@@ -34,7 +36,13 @@ __all__ = [
     "manifest_from_dict",
     "ValidationEngine",
     "ValidationReport",
+    "validate_many",
     "ManifestRegistry",
     "ManifestNotDefined",
     "CheckpointManager",
+    "compatible",
+    "diff_manifests",
+    "infer_fds",
+    "infer_manifest",
+    "write_inferred_manifest",
 ]
