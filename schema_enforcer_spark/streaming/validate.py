@@ -296,6 +296,13 @@ def stream_outlier(
     for grouped fences) — no state, no watermark, composes with any
     downstream operator. This mirrors the drift twin's design: batch
     computes the statistic, the stream enforces it (stream_drift above).
+
+    Grouped-fence caveat: a group key that never appeared in the
+    reference slice has NO fence (NULL bounds from the left join), so its
+    rows pass silently — frozen fences cannot judge a distribution the
+    reference never saw. Surface unseen groups with a separate
+    referential rule against the reference's key set if they must be
+    loud.
     """
     rules = [r for r in manifest.table_rules if r.kind == "outlier"]
     if not rules:
