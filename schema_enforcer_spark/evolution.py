@@ -111,6 +111,15 @@ def _cmp_bounds(kind: str, old: dict, new: dict) -> tuple[str, str]:
     """Compare bound-pair strength. Returns (effect, detail)."""
     lows, highs = _BOUND_PAIRS[kind]
 
+    # a side carrying BOTH flavors of one bound (minimum AND
+    # exclusive_minimum) has a composite effective bound this comparison
+    # cannot rank — the engine enforces their conjunction, so judging from
+    # either one alone can approve an unsafe upgrade. Bail to incomparable.
+    for d in (old, new):
+        for names in (lows, highs):
+            if sum(1 for n in names if d.get(n) is not None) > 1:
+                return "changed", "both inclusive and exclusive forms of one bound are set"
+
     def _get(d, names):
         for n in names:
             if d.get(n) is not None:

@@ -164,7 +164,8 @@ _GRID = list(range(-3, 14))  # covers every bound the strategies generate
 
 def _pred(rule, v: int) -> bool:
     """Evaluate one rule against an integer value, mirroring engine
-    semantics for the comparable kinds (NULL-free domain)."""
+    semantics for the comparable kinds (NULL-free domain; both flavors of
+    a bound conjoin, exactly as the engine compiles them)."""
     k = rule["kind"]
     if k == "enum":
         return v in rule["values"]
@@ -188,12 +189,16 @@ def _rule_strategy():
         st.sets(st.integers(0, 9), min_size=1, max_size=5),
     )
 
-    def _mk_range(lo, hi, use_lo, use_hi, xlo, xhi):
+    def _mk_range(lo, hi, use_lo, use_hi, xlo, xhi, both_lo, both_hi, lo2, hi2):
         r = {"kind": "range", "column": "c"}
         if use_lo:
             r["exclusive_minimum" if xlo else "minimum"] = min(lo, hi)
+            if both_lo:  # degenerate composite bound — must read incomparable
+                r["minimum" if xlo else "exclusive_minimum"] = lo2
         if use_hi:
             r["exclusive_maximum" if xhi else "maximum"] = max(lo, hi)
+            if both_hi:
+                r["maximum" if xhi else "exclusive_maximum"] = hi2
         if not use_lo and not use_hi:
             r["minimum"] = min(lo, hi)  # range needs >= 1 bound
         return r
@@ -202,6 +207,7 @@ def _rule_strategy():
         _mk_range,
         st.integers(-2, 12), st.integers(-2, 12),
         st.booleans(), st.booleans(), st.booleans(), st.booleans(),
+        st.booleans(), st.booleans(), st.integers(-2, 12), st.integers(-2, 12),
     )
     return st.one_of(enum, rng)
 
@@ -255,3 +261,16 @@ def test_physical_params_are_not_contract_changes():
     r2 = _m([{"kind": "referential", "columns": ["h"], "ref_table": "t",
               "ref_columns": ["x"], "normalize_keys": True}])
     assert diff_manifests(r1, r2) != []
+
+
+def test_composite_bound_is_incomparable():
+    """A rule with BOTH minimum and exclusive_minimum has a composite
+    effective bound: {min 3, xmin 1} means v>=3, and judging from
+    `minimum` alone would call {min 2, xmin 4} (v>4) a relaxation — an
+    unsound approval. Such degenerate rules must read as incomparable."""
+    both = _m([{"kind": "range", "column": "v", "minimum": 3, "exclusive_minimum": 1}])
+    trap = _m([{"kind": "range", "column": "v", "minimum": 2, "exclusive_minimum": 4}])
+    assert _effects(both, trap) == {("modified", "range", "changed")}
+    assert not compatible(both, trap)
+    single = _m([{"kind": "range", "column": "v", "minimum": 2}])
+    assert _effects(both, single) == {("modified", "range", "changed")}
