@@ -1255,6 +1255,11 @@ class ValidationEngine:
     def _outlier_emit(self, df: DataFrame, rule: Rule, bounds: DataFrame) -> DataFrame:
         """The flag half: join *bounds* back (broadcast for the 1-row
         global fence, key join for grouped) and project violation rows."""
+        if clash := {"_lo", "_hi"} & set(df.columns):
+            raise ValueError(
+                f"outlier rule: input columns {sorted(clash)} collide with "
+                "the fence staging columns — rename them before validating"
+            )
         col = rule.params["column"]
         k = float(rule.get("k", 1.5))
         group = list(rule.get("group_by") or [])

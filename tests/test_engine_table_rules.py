@@ -786,3 +786,14 @@ def test_outlier_rule_grouped(spark):
          "rules": [{"kind": "outlier", "column": "v", "k": 1.5, "exact": True}]}
     )
     assert ValidationEngine(m2, key_columns=["id"], instance_expr="'t'").violations(df).count() == 0
+
+
+def test_outlier_rule_rejects_staging_column_clash(spark):
+    from schema_enforcer_spark.manifest import manifest_from_dict
+
+    df = spark.createDataFrame([(1, 1.0, 0.0)], "id long, v double, _lo double")
+    m = manifest_from_dict(
+        {"id": "schemas/clash", "rules": [{"kind": "outlier", "column": "v"}]}
+    )
+    with pytest.raises(ValueError, match="fence staging columns"):
+        ValidationEngine(m, key_columns=["id"], instance_expr="'t'").violations(df)
