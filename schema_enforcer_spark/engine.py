@@ -679,8 +679,21 @@ class ValidationEngine:
                 self._instance_col(df).alias("instance_name"),
                 combined.alias("_v"),
             )
-            # explode drops empty arrays ⇒ clean rows vanish before the shuffle
-            .select("instance_name", F.explode("_v").alias("v"))
+            # explode_OUTER + a post-generate null filter, NOT a plain
+            # explode: with explode, InferFiltersFromGenerate injects a
+            # `size(_v) > 0` filter that predicate pushdown then sinks
+            # BELOW the projection, re-inlining the entire violation-array
+            # expression (and every expensive input it references — json
+            # parses, array builds) into a second full per-row evaluation
+            # (r7: q19's pushed filter rebuilt its array ~20x per row).
+            # explode_outer keeps empty arrays (one NULL row each) so no
+            # filter is inferred; the null filter runs on the generate
+            # OUTPUT — a cheap IsNotNull on a materialized struct — and
+            # cannot be pushed below the Generate. Result multiset is
+            # identical: _v is never NULL (every branch yields an array),
+            # so outer only adds the null rows the filter removes.
+            .select("instance_name", F.explode_outer("_v").alias("v"))
+            .filter(F.col("v").isNotNull())
         )
         return exploded.select(
             F.col("v.schema_id").alias("schema_id"),
@@ -1150,6 +1163,14 @@ class ValidationEngine:
         deduplicated (determinant, dependent) projection."""
         cols = rule.params["columns"]
         dep = rule.params["dependent"]
+        # same fail-loud clash check as _outlier_emit: a determinant named
+        # like a staging alias would otherwise surface as a confusing
+        # duplicate-column AnalysisException deep in the agg (ADVICE r6)
+        if clash := {"_nd", "_hn", "_lo", "_hi", "instance_name"} & set(cols):
+            raise ValueError(
+                f"functional_dependency rule: determinant columns {sorted(clash)} "
+                "collide with the FD staging columns — rename them before validating"
+            )
         rid = (
             rule.get("id")
             or f"{self.manifest.id}/functional_dependency/{'+'.join(cols)}->{dep}"
@@ -1904,8 +1925,14 @@ def validate_many(
         combined = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
         parts.append(
             df.select(combined.alias("_v"))
-            # explode drops empty arrays ⇒ clean rows vanish before any sink
-            .select(F.explode("_v").alias("v"))
+            # explode_outer + null filter, not explode: same
+            # InferFiltersFromGenerate duplicate-evaluation defense as
+            # row_violations — the inferred size() filter would push below
+            # the projection and re-run every manifest's full violation
+            # array a second time per row. _v is never NULL, so the result
+            # multiset is unchanged.
+            .select(F.explode_outer("_v").alias("v"))
+            .filter(F.col("v").isNotNull())
             .select(
                 F.col("v.schema_id").alias("schema_id"),
                 F.lit("FAIL").alias("result"),

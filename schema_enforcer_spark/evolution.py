@@ -169,10 +169,16 @@ def _cmp_modified(kind: str, old: dict, new: dict) -> tuple[str, str]:
             return "tightened", f"enum shrank: -{sorted(map(repr, ov - nv))}"
         return "changed", "enum values replaced (neither subset)"
     if kind in _BOUND_PAIRS:
-        eff, detail = _cmp_bounds(kind, so, sn)
-        if eff == "unchanged" and so != sn:
+        # compare non-bound strength params FIRST: a window_seconds change
+        # (rate_limit) is a contract change even when the bounds also moved
+        # in a rankable direction — checking only after an "unchanged" bound
+        # verdict masked it and approved breaking upgrades (ADVICE r6)
+        bound_keys = {n for side in _BOUND_PAIRS[kind] for n in side}
+        if {k: v for k, v in so.items() if k not in bound_keys} != {
+            k: v for k, v in sn.items() if k not in bound_keys
+        }:
             return "changed", "non-bound parameters differ"
-        return eff, detail
+        return _cmp_bounds(kind, so, sn)
     if kind == "multiple_of":
         om, nm = so.get("multiple_of"), sn.get("multiple_of")
         if (

@@ -589,6 +589,41 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     )
 
 
+def _multi_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """ALL |planes| dot products in ONE traversal of ``vec`` (array<double>,
+    one element per plane). The per-plane _dot_lit form walks the vector
+    once per plane, allocating a zip_with pair array each time — 8 planes
+    = 8 interpreted passes per row (r7 measurement: the dominant cost of
+    LSH bucketing). Here one zip_with pairs each vector element with its
+    column of the TRANSPOSED plane matrix and one aggregate folds a
+    |planes|-wide accumulator. Each per-plane sum is still left-assoc in
+    dim order from 0.0 — bit-identical to _dot_lit, so buckets (and any
+    oracle replica of the sign pattern) are unchanged."""
+    dim = len(planes[0])
+    coeffs = F.array(
+        *[F.lit([float(p[d]) for p in planes]) for d in range(dim)]
+    )  # dim py4j calls total (one per transposed row), not dim x planes
+    init = F.array_repeat(F.lit(0.0), len(planes))
+    paired = F.zip_with(
+        vec, coeffs, lambda x, row: F.struct(x.cast("double").alias("x"), row.alias("r"))
+    )
+    return F.aggregate(
+        paired,
+        init,
+        lambda acc, e: F.zip_with(acc, e["r"], lambda a, c: a + e["x"] * c),
+    )
+
+
+def _bits_from_dots(dots: Column, n_planes: int) -> Column:
+    """'1'/'0' sign string of a dots array — the LSH bucket id."""
+    return F.concat(
+        *[
+            F.when(F.element_at(dots, j + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_planes)
+        ]
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
@@ -597,23 +632,52 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_lsh_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 12, dim: int = 64, seed: int = 42) -> DataFrame:
+    """(id, vec, bucket): one-pass multi-plane dots (see _multi_dots),
+    staged so the bucket string's n_planes sign tests reference the
+    MATERIALIZED dots column instead of re-running the fold per plane."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.concat(*[F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes])
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    staged = df.select(
+        F.col(id_col), F.col(vec_col), _multi_dots(F.col(vec_col), planes).alias("_dots")
+    )
+    return staged.select(
+        F.col(id_col), F.col(vec_col), _bits_from_dots(F.col("_dots"), n_planes).alias("bucket")
+    )
+
+
+def _norm(vec: Column) -> Column:
+    # identical expression to the na/nb legs of cosine() — same fold order,
+    # same bits — just evaluated once per ROW instead of once per PAIR
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")))
 
 
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95, n_planes: int = 12, dim: int = 64, seed: int = 42, max_bucket_size: int | None = 5000) -> DataFrame:
     """Cosine ≥ threshold pairs via hyperplane-bucket join + exact verify.
     max_bucket_size bounds within-bucket pair blow-up exactly like the
-    minhash path (see _cap_buckets)."""
-    b = _cap_buckets(embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed), ["bucket"], max_bucket_size)
+    minhash path (see _cap_buckets).
+
+    The per-pair verify computes only the DOT product: each side's L2 norm
+    is row-level, so it is computed once before the bucket shuffle and
+    carried through the self-join — 1 interpreted fold per pair instead of
+    3 (r7: the pair verify dominated this operator). cosine bits are
+    unchanged (same fold expressions, same division/round)."""
+    base = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed).select(
+        F.col(id_col), F.col(vec_col), "bucket", _norm(F.col(vec_col)).alias("_nrm")
+    )
+    b = _cap_buckets(base, ["bucket"], max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(
             F.col(f"l.{id_col}").alias("a_id"),
             F.col(f"r.{id_col}").alias("b_id"),
-            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+            F.round(dot / (F.col("l._nrm") * F.col("r._nrm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schema_enforcer_spark.functions.dedup import _hyperplanes, _dot_lit, cosine
+from schema_enforcer_spark.functions.dedup import _bits_from_dots, _hyperplanes, _multi_dots, cosine
 
 
 def _query_lit(query_vec: list[float]):
@@ -69,9 +69,16 @@ def lsh_topk(
         for i in range(n_planes):
             flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
             probes.add(flipped)
-    bucket = F.concat(*[F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes])
+    # one-pass multi-plane dots, staged so the n_planes sign tests (and the
+    # pushed-down bucket filter) reference the materialized dots column
+    # instead of re-running the fold once per plane (see dedup._multi_dots)
+    staged = df.select(
+        F.col(id_col), F.col(vec_col), _multi_dots(F.col(vec_col), planes).alias("_dots")
+    )
     return (
-        df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bucket"))
+        staged.select(
+            F.col(id_col), F.col(vec_col), _bits_from_dots(F.col("_dots"), n_planes).alias("_bucket")
+        )
         .filter(F.col("_bucket").isin(*sorted(probes)))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -214,6 +214,51 @@ def clustered_embedding(
     )
 
 
+def cluster_centers_df(spark: SparkSession, n_clusters: int = 32, dim: int = 64) -> DataFrame:
+    """The planted centers as a tiny (_cluster, _center array<double>) frame
+    — md5 formula identical to clustered_embedding's center term. The
+    center term depends only on (cluster, dim): broadcast-joining this
+    32-row frame under the corpus computes each center's ``dim`` md5s ONCE
+    per cluster instead of once per ROW (r7: halved the md5 count of the
+    synthetic clustered corpus)."""
+    return spark.range(n_clusters).select(
+        F.col("id").alias("_cluster"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: _md5_unit(
+                F.concat_ws(":", F.col("id").cast("string"), d.cast("string"))
+            ),
+        ).alias("_center"),
+    )
+
+
+def with_clustered_embedding(
+    df: DataFrame,
+    id_col: str,
+    dim: int = 64,
+    n_clusters: int = 32,
+    noise: float = 0.05,
+) -> DataFrame:
+    """df + an ``embedding`` column, value-identical to
+    ``clustered_embedding(id_col)`` (same md5 strings, same c + n·noise
+    double ops in the same order) but with the center term coming from a
+    broadcast join of :func:`cluster_centers_df` — per-row work drops from
+    2·dim md5s to dim (the noise term, genuinely per-row)."""
+    centers = cluster_centers_df(df.sparkSession, n_clusters, dim)
+    i = F.col(id_col).cast("string")
+    emb = F.zip_with(
+        F.col("_center"),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda c, d: c + _md5_unit(F.concat_ws("#", i, d.cast("string"))) * F.lit(noise),
+    )
+    return (
+        df.withColumn("_cluster", F.col(id_col) % n_clusters)
+        .join(F.broadcast(centers), "_cluster")
+        .withColumn("embedding", emb)
+        .drop("_cluster", "_center")
+    )
+
+
 def gen_clustered_embeddings(
     spark: SparkSession,
     n: int,

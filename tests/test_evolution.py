@@ -274,3 +274,22 @@ def test_composite_bound_is_incomparable():
     assert not compatible(both, trap)
     single = _m([{"kind": "range", "column": "v", "minimum": 2}])
     assert _effects(both, single) == {("modified", "range", "changed")}
+
+
+def test_nonbound_strength_change_not_masked_by_bound_movement():
+    """ADVICE r6: for bound-pair kinds, a non-bound strength parameter
+    change (rate_limit window_seconds) must read as CHANGED even when the
+    bounds ALSO moved in a rankable direction — the old guard only fired
+    when bounds were unchanged, so 60s/10 -> 86400s/20 reported RELAXED
+    and compatible() approved a breaking upgrade."""
+    old = _m([{"kind": "rate_limit", "partition_by": ["u"], "order_by": ["t"],
+               "window_seconds": 60, "max_count": 10}])
+    new = _m([{"kind": "rate_limit", "partition_by": ["u"], "order_by": ["t"],
+               "window_seconds": 86400, "max_count": 20}])
+    assert _effects(old, new) == {("modified", "rate_limit", "changed")}
+    assert not compatible(old, new)
+    # bound-only movement still ranks normally
+    relax = _m([{"kind": "rate_limit", "partition_by": ["u"], "order_by": ["t"],
+                 "window_seconds": 60, "max_count": 20}])
+    assert _effects(old, relax) == {("modified", "rate_limit", "relaxed")}
+    assert compatible(old, relax)
