@@ -894,7 +894,7 @@ def q42_composition_validation(spark, sf_dir):
     """Draft-7 composition keywords compiled to boolean Catalyst algebra
     (anyOf / oneOf / dependentRequired — SURVEY §2.2 P5 extension): same
     single-pass violation projection as q02, zero extra scans per keyword."""
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
     return _flat(_events_engine(EVENTS_COMPOSITION).violations(ev))
 
 
@@ -925,7 +925,7 @@ def q44_expression_rule(spark, sf_dir):
     model). Two cross-column business rules over events: purchases must
     not be micro-transactions, and high-value rows must be clicks. String
     render column only (double reprs are not engine-portable)."""
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
     m = manifest_from_dict(
         {
             "id": "schemas/events_expr",
@@ -983,7 +983,7 @@ def q60_quantile_check(spark, sf_dir):
     1/accuracy (+slack) of each requested p."""
     from schema_enforcer_spark.stats import quantile_accuracy_report
 
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
     return quantile_accuracy_report(ev, "value", ps=(0.25, 0.5, 0.75, 0.9, 0.99), accuracy=10000).orderBy("p")
 
 
@@ -1395,7 +1395,7 @@ def q46_equals_table(spark, sf_dir):
     three violation shapes (value mismatch / missing-from-reference /
     missing-from-input). The DuckDB twin rebuilds the same tampered copy
     and the same join."""
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
     ref = (
         ev.filter(F.pmod(F.col("event_id"), F.lit(101)) != 0)
         .withColumn(

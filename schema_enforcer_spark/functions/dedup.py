@@ -76,14 +76,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     candidate side is filtered long before the verify join, so materializing
     shingles up front would shuffle the full shingle arrays instead of
     K-long signatures — strictly worse at scale."""
-    toks = tokens(F.lower(text))
-    cnt = F.size(toks)
-    return F.array_distinct(
-        F.when(
-            cnt >= n,
-            F.transform(F.sequence(F.lit(0), cnt - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    # BIND the token array as a HOF lambda variable: expressions inside HOF
+    # lambdas get no CSE, so a bare `toks` reference in the per-shingle
+    # lambda re-runs split+filter ONCE PER SHINGLE (~50x per doc here —
+    # r7 measurement: the dominant cost of the whole signature pipeline).
+    # transform-over-one-element-array makes `toks` a bound variable,
+    # evaluated once per row; element_at refs are then O(1) lookups.
+    def build(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.array_distinct(
+            F.when(
+                cnt >= n,
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(text))), build), 1)
 
 
 # splitmix64-style constants for deriving the K universal-hash permutations
@@ -140,26 +151,32 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
 
 
 def _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed) -> DataFrame:
-    """(_id, band, bucket) rows: one LSH bucket assignment per band."""
+    """(_id, band, bucket) rows: one LSH bucket assignment per band.
+
+    Bucket value (r7): ``xxhash64`` over the band's minhash LONGS directly —
+    the previous string render (cast each minhash to string, concat_ws,
+    hash the string) was ~60% of the whole signature pipeline's cost at
+    sf1.0. Bucket VALUES differ from r6 but their equality classes are the
+    same (same 64-bit hash of the same band slice, collisions ~n²/2⁶⁴ and
+    absorbed by the exact verify), so candidate sets — and therefore every
+    verified result — are unchanged. Stored indexes from build_minhash_index
+    must be REBUILT across this change (bucket values are, as documented,
+    meaningless across parameterizations — now across engine versions too).
+    posexplode of a plain long array replaces the struct-array explode."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed).alias("_sig"),
     )
-    return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
             )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", F.posexplode(buckets).alias("band", "bucket"))
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
@@ -191,6 +208,51 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None
     )
 
 
+def _grouped_pairs(
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    id_col: str = "_id",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Candidate pairs (a, b structs with ``id`` [+ payload fields], a.id <
+    b.id) generated BUCKET-LOCALLY: groupBy(bucket keys) + collect_list +
+    one pair-expansion projection + explode.
+
+    Why not the a⨝b self-join: a self-join's two sides each evaluate the
+    ENTIRE upstream pipeline (signature folds, vote folds, dot folds) —
+    ReuseExchange does not deduplicate these subtrees (verified against the
+    executed plan, r7), and localCheckpoint materialization cost more than
+    it saved. Grouping consumes the pipeline ONCE with the same single
+    shuffle the cap window needed anyway; the cap becomes an array-size
+    filter (identical drop semantics to _cap_buckets), and within-bucket
+    pair expansion is the same O(b²) work the join's per-key cross product
+    did, bounded by the same cap. Rows are sorted by id inside each bucket
+    so pair orientation (a.id < b.id) matches the join form exactly."""
+    row = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in (payload or [])])
+    grouped = bucketed.groupBy(*keys).agg(F.collect_list(row).alias("_rows"))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("_rows") <= max_bucket_size)
+    sorted_rows = grouped.filter(F.size("_rows") >= 2).select(
+        F.array_sort("_rows").alias("_rows")
+    )
+    n = F.size("_rows")
+    # two-step explode: first one row per (anchor, tail-slice), then explode
+    # the tail — transient array sizes stay O(bucket_size), never O(b²)
+    # (a single flattened pair array would hold cap² elements at the cap)
+    anchors = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_rows"), i + 1).alias("a"),
+            F.slice(F.col("_rows"), i + 2, n - i - 1).alias("rest"),
+        ),
+    )
+    return (
+        sorted_rows.select(F.explode(anchors).alias("s"))
+        .select(F.col("s.a").alias("a"), F.explode("s.rest").alias("b"))
+    )
+
+
 def lsh_bucket_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """Bucket-size histogram (bucket_size, n_buckets) — the skew diagnostic
     for choosing max_bucket_size; run before a large dedup job."""
@@ -217,17 +279,15 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs (a_id < b_id) via banded LSH.
 
     rows/band-bucket is the shuffle key; buckets larger than
-    max_bucket_size (boilerplate clusters) are dropped before the self-join
-    so no task ever materializes an unbounded pair blow-up."""
-    banded = _cap_buckets(
-        _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed),
-        ["band", "bucket"],
-        max_bucket_size,
-    )
-    a, b = banded.alias("a"), banded.alias("b")
+    max_bucket_size (boilerplate clusters) are dropped before pair
+    expansion so no task ever materializes an unbounded pair blow-up.
+    Pairs are generated bucket-locally (see _grouped_pairs) so the banded
+    signature pipeline executes ONCE — the previous self-join evaluated it
+    once per side."""
+    banded = _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        _grouped_pairs(banded, ["band", "bucket"], max_bucket_size)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates()
     )
 
@@ -247,8 +307,12 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH candidates + exact n-gram-Jaccard verification ≥ threshold:
     (a_id, b_id, jaccard). The verify join broadcasts nothing — shingle sets
-    travel with the candidate pair via two shuffled joins on id. Buckets are
-    capped at 5000 rows by default (override via max_bucket_size)."""
+    travel with the candidate pair via the id joins (AQE broadcasts the
+    candidate side when small). Buckets are capped at 5000 rows by default
+    (override via max_bucket_size). A candidate-id semi-join prune of the
+    shingle side was tried and REVERTED in r7: on near-dup-rich corpora
+    ~90% of docs appear in some candidate pair, so the prune saved nothing
+    and its extra scans + checkpoint barrier cost ~2s at sf1.0."""
     lsh_kwargs.setdefault("max_bucket_size", 5000)
     shingle_n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
@@ -347,7 +411,11 @@ def match_against_index(
         max_bucket_size,
     )
     cands = (
-        banded_new.join(idx, ["band", "bucket"])
+        # merge hint: the static planner broadcast the CAPPED INDEX side
+        # here (building + shipping the whole index pipeline's output); as
+        # a sort-merge join the cap window's (band, bucket) partitioning
+        # and sort are reused and only the (small) batch side shuffles.
+        banded_new.join(idx.hint("merge"), ["band", "bucket"])
         .filter(F.col("_id") != F.col("_cid"))  # overlap safety: a doc indexed AND re-submitted is not its own dup
         .select(F.col("_id").alias("new_id"), F.col("_cid").alias("corpus_id"))
         .dropDuplicates()
@@ -386,26 +454,47 @@ _HEX = "0123456789abcdef"
 
 
 def _simhash_votes(text: Column) -> Column:
-    """64-wide vote vector: one fold over the token array, all codegen."""
+    """64-wide vote vector: one fold over the token array, all expressions.
+
+    Bit extraction (r7 rewrite, same spec/same output): the spec's bit k =
+    (hexdigit[k div 4] >> (k mod 4)) & 1 is exactly bit k of the REVERSED
+    16-hex-char prefix read as a number (hexdigit[0] in the lowest nibble,
+    LSB-first within each nibble). So each token costs two 8-char convs
+    into 32-bit halves (a 16-char conv would overflow ANSI long cast) and
+    the per-bit vote is one mask test — replacing 16 single-char convs +
+    16 4-element bit arrays + a flatten PER TOKEN (measured ~30% faster on
+    the sf1.0 corpus; the mask array is all-literal so constant folding
+    materializes it once)."""
     toks = tokens(F.lower(text))
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
-
-    def bits(h: Column) -> Column:
-        nibbles = F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.conv(F.substring(h, i, F.lit(1)), 16, 10).cast("int"),
-        )
-        return F.flatten(
-            F.transform(
-                nibbles,
-                lambda v: F.array(v % 2, (v / 2).cast("int") % 2, (v / 4).cast("int") % 2, (v / 8).cast("int") % 2),
-            )
-        )
-
-    return F.aggregate(
+    halves = F.transform(
         hexes,
+        lambda h: F.struct(
+            F.conv(F.reverse(F.substring(h, 1, 8)), 16, 10).cast("long").alias("lo"),
+            F.conv(F.reverse(F.substring(h, 9, 8)), 16, 10).cast("long").alias("hi"),
+        ),
+    )
+    masks = F.array(
+        *[
+            F.struct(
+                F.lit(1 if k >= 32 else 0).alias("h"),
+                F.lit(1 << (k % 32)).cast("long").alias("m"),
+            )
+            for k in range(64)
+        ]
+    )
+    return F.aggregate(
+        halves,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + 2 * b - 1),
+        lambda acc, t: F.zip_with(
+            acc,
+            masks,
+            lambda a, km: a
+            + F.when(
+                F.when(km["h"] == 1, t["hi"]).otherwise(t["lo"]).bitwiseAND(km["m"]) != 0,
+                1,
+            ).otherwise(-1),
+        ),
     )
 
 
@@ -519,15 +608,17 @@ def simhash_pairs_from_sigs(
             f"simhash pigeonhole bucketing guarantees recall only for "
             f"max_hamming <= 3 (4 chunks / 4 sub-chunks), got {max_hamming}"
         )
-    chunks = _cap_buckets(_simhash_chunk_keys(sigs), _SIMHASH_KEYS, max_bucket_size)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # bucket-local pair expansion (see _grouped_pairs): the votes-fold
+    # pipeline executes ONCE — the previous self-join evaluated it once per
+    # side (ReuseExchange never fired for these subtrees)
+    pairs = _grouped_pairs(
+        _simhash_chunk_keys(sigs), _SIMHASH_KEYS, max_bucket_size, payload=["simhash"]
+    )
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    cond = (F.col("a._id") < F.col("b._id"))
-    for k in _SIMHASH_KEYS:
-        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
     return (
-        a.join(b, cond)
-        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"), hamming.alias("hamming"))
+        pairs.select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), hamming.alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -663,6 +754,11 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str =
     base = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed).select(
         F.col(id_col), F.col(vec_col), "bucket", _norm(F.col(vec_col)).alias("_nrm")
     )
+    # JOIN-shaped pair generation, deliberately NOT _grouped_pairs: with the
+    # vector+norm payload riding every collected struct, the grouped form's
+    # array_sort/slice copies of 512-byte rows measured ~2x slower than the
+    # streamed self-join (r7 A/B); the double bucket-pipeline evaluation the
+    # join costs is cheap here (_multi_dots made it one traversal).
     b = _cap_buckets(base, ["bucket"], max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
@@ -673,7 +769,7 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str =
         lambda s, v: s + v,
     )
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        l.join(r.hint("merge"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(
             F.col(f"l.{id_col}").alias("a_id"),
             F.col(f"r.{id_col}").alias("b_id"),

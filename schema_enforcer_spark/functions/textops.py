@@ -92,14 +92,38 @@ def lang_marker_counts(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Stopword-marker language heuristic: argmax marker count, 'und'
-    (undetermined) when nothing matches. Pure expressions — a greatest-of
-    chain over the five marker counts."""
-    counts = lang_marker_counts(text)
-    best = None
-    for lang, c in counts.items():
-        pair = F.struct(c.alias("n"), F.lit(lang).alias("lang"))
-        best = pair if best is None else F.when(pair["n"] > best["n"], pair).otherwise(best)
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    (undetermined) when nothing matches; ties pick the earliest language in
+    LANG_MARKERS order (what the old strictly-greater when-chain did).
+
+    r7 rewrite, same output: the when-chain duplicated its `best` subtree
+    at every level (2 references per step — the round-3 exponential-tree
+    trap in miniature), re-running the per-language token filters up to
+    2^4 times per row. Now ONE fold over the tokens accumulates all five
+    marker counts (array_contains per language per token), and the argmax
+    runs over the 5-element counts array bound as a HOF lambda variable —
+    a real barrier, so the fold evaluates once per row."""
+    toks = tokens(F.lower(text))
+    langs = list(LANG_MARKERS)
+    marker_sets = F.array(*[F.lit(LANG_MARKERS[lg]) for lg in langs])
+    counts_arr = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.zip_with(
+            acc, marker_sets, lambda a, ws: a + F.array_contains(ws, t).cast("int")
+        ),
+    )
+    neg_idx = F.lit([-i for i in range(len(langs))])
+    lang_lits = F.lit(langs)
+
+    def pick(ca: Column) -> Column:
+        best = F.array_max(
+            F.zip_with(ca, neg_idx, lambda n, ni: F.struct(n.alias("n"), ni.alias("ni")))
+        )
+        return F.when(best["n"] > 0, F.element_at(lang_lits, 1 - best["ni"])).otherwise(
+            F.lit("und")
+        )
+
+    return F.element_at(F.transform(F.array(counts_arr), pick), 1)
 
 
 def normalize_key(col: Column) -> Column:
@@ -162,12 +186,20 @@ def redact(text: Column, kinds: list[str] | None = None, token: str = "[REDACTED
 def word_ngrams(text: Column, n: int = 4) -> Column:
     """Word n-grams (with duplicates — repetition analysis needs the
     multiset); NULL for docs shorter than n tokens."""
-    toks = tokens(F.lower(text))
-    cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(F.sequence(F.lit(0), cnt - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )
+    # token array bound as a HOF lambda variable — without this, `toks` in
+    # the per-gram lambda re-runs split+filter once per gram (no CSE inside
+    # HOF lambdas; see word_shingles — same fix, r7)
+    def build(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(text))), build), 1)
 
 
 def _ratio_of_grams(grams: Column) -> Column:
