@@ -737,7 +737,7 @@ def q35_sequence_packing(spark, sf_dir):
     stats."""
     from schema_enforcer_spark.functions.sampling import pack_sequences
 
-    docs = _spread(_t(spark, sf_dir, "documents")).withColumn("n_tok", textops.bpe_ish_token_count(F.col("text")))
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tok", textops.bpe_ish_token_count(F.col("text")))
     packed = pack_sequences(docs, token_col="n_tok", shard_by="lang", order_by="doc_id", budget=2000)
     return (
         packed.groupBy("lang", "pack_id")
@@ -1333,7 +1333,7 @@ def q14_quarantine_split(spark, sf_dir):
     plus a 2-row shuffle. NULL semantics are jsonschema's: null values
     pass every check except required (the engine coalesces null predicates
     to pass), which the oracle replicates with COALESCE(..., TRUE)."""
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")  # no _spread: map-side combine makes the scan work tiny (r7 A/B: +1.1s)
     eng = _events_engine(EVENTS_MANIFEST)
     return (
         ev.withColumn("row_valid", eng.row_fail_count(ev) == F.lit(0))

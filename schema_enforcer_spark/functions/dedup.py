@@ -453,48 +453,41 @@ def match_against_index(
 _HEX = "0123456789abcdef"
 
 
-def _simhash_votes(text: Column) -> Column:
-    """64-wide vote vector: one fold over the token array, all expressions.
+def _simhash_sums(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _votes array<int>): the frequency-weighted vote vector, computed
+    as explode_outer(tokens) → per-token 32-bit halves → 64 conditional SUM
+    aggregates in whole-stage codegen, grouped back by id.
 
-    Bit extraction (r7 rewrite, same spec/same output): the spec's bit k =
+    Bit extraction (same spec/same output as ever): the spec's bit k =
     (hexdigit[k div 4] >> (k mod 4)) & 1 is exactly bit k of the REVERSED
-    16-hex-char prefix read as a number (hexdigit[0] in the lowest nibble,
-    LSB-first within each nibble). So each token costs two 8-char convs
-    into 32-bit halves (a 16-char conv would overflow ANSI long cast) and
-    the per-bit vote is one mask test — replacing 16 single-char convs +
-    16 4-element bit arrays + a flatten PER TOKEN (measured ~30% faster on
-    the sf1.0 corpus; the mask array is all-literal so constant folding
-    materializes it once)."""
-    toks = tokens(F.lower(text))
-    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
-    halves = F.transform(
-        hexes,
-        lambda h: F.struct(
-            F.conv(F.reverse(F.substring(h, 1, 8)), 16, 10).cast("long").alias("lo"),
-            F.conv(F.reverse(F.substring(h, 9, 8)), 16, 10).cast("long").alias("hi"),
-        ),
+    16-hex-char md5 prefix read as a number (hexdigit[0] in the lowest
+    nibble, LSB-first within each nibble); two 8-char convs give 32-bit
+    halves (a 16-char conv would overflow the ANSI long cast).
+
+    Why explode + groupBy instead of a per-row fold (r7): the interpreted
+    HOF fold boxed every per-token, per-bit update (~64·|tokens| allocs per
+    doc); 64 plain SUM aggregates run in codegen with map-side combine, so
+    the exchange carries |docs|·64 ints, and integer sums are
+    order-independent — votes are bit-identical (asserted). explode_OUTER:
+    a token-less doc keeps one NULL row voting 0 everywhere, preserving
+    the fold's simhash=0 for empty/NULL text."""
+    toks = tokens(F.lower(F.col(text_col)))
+    h = F.substring(F.md5("_tok"), 1, 16)
+    staged = df.select(F.col(id_col), F.explode_outer(toks).alias("_tok")).select(
+        id_col,
+        F.col("_tok").isNull().alias("_nul"),
+        F.conv(F.reverse(F.substring(h, 1, 8)), 16, 10).cast("long").alias("_lo"),
+        F.conv(F.reverse(F.substring(h, 9, 8)), 16, 10).cast("long").alias("_hi"),
     )
-    masks = F.array(
-        *[
-            F.struct(
-                F.lit(1 if k >= 32 else 0).alias("h"),
-                F.lit(1 << (k % 32)).cast("long").alias("m"),
-            )
-            for k in range(64)
-        ]
-    )
-    return F.aggregate(
-        halves,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            masks,
-            lambda a, km: a
-            + F.when(
-                F.when(km["h"] == 1, t["hi"]).otherwise(t["lo"]).bitwiseAND(km["m"]) != 0,
-                1,
-            ).otherwise(-1),
-        ),
+    aggs = []
+    for k in range(64):
+        half = F.col("_hi") if k >= 32 else F.col("_lo")
+        bit = half.bitwiseAND(F.lit(1 << (k % 32))) != 0
+        vote = F.when(F.col("_nul"), 0).otherwise(F.when(bit, 1).otherwise(-1))
+        aggs.append(F.sum(vote).cast("int").alias(f"_v{k}"))
+    wide = staged.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"_v{k}") for k in range(64)]).alias("_votes")
     )
 
 
@@ -523,15 +516,19 @@ def _votes_to_hex(votes: Column) -> Column:
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long) — pure expressions, no UDF."""
-    return df.select(F.col(id_col), _votes_to_long(_simhash_votes(F.col(text_col))).alias("simhash"))
+    """(id, simhash long) — pure expressions, no UDF (see _simhash_sums)."""
+    return _simhash_sums(df, text_col, id_col).select(
+        F.col(id_col), _votes_to_long(F.col("_votes")).alias("simhash")
+    )
 
 
 def simhash_hex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash_hex 16-char string) — the oracle-friendly rendering (a
     64-bit value with bit 63 set can't round-trip through engines that
     check shift overflow)."""
-    return df.select(F.col(id_col), _votes_to_hex(_simhash_votes(F.col(text_col))).alias("simhash_hex"))
+    return _simhash_sums(df, text_col, id_col).select(
+        F.col(id_col), _votes_to_hex(F.col("_votes")).alias("simhash_hex")
+    )
 
 
 def _simhash_chunk_keys(sigs: DataFrame) -> DataFrame:
@@ -751,29 +748,40 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str =
     carried through the self-join — 1 interpreted fold per pair instead of
     3 (r7: the pair verify dominated this operator). cosine bits are
     unchanged (same fold expressions, same division/round)."""
-    base = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed).select(
-        F.col(id_col), F.col(vec_col), "bucket", _norm(F.col(vec_col)).alias("_nrm")
+    # Decide pairs with LIGHT rows, attach the heavy payload once (guide §8
+    # shape): the bucket pipeline runs ONCE over (id, bucket) only — the
+    # vector never rides the pair expansion (a payload-carrying grouped
+    # expansion and a vector-carrying self-join both measured slower, r7
+    # A/Bs) — then two equi-joins attach (vector, norm) from a scan-side
+    # payload frame whose only computed column is the norm fold. AQE
+    # broadcasts the payload when it is small and shuffles otherwise.
+    ids = embedding_lsh_buckets(df, vec_col, id_col, n_planes, dim, seed).select(
+        F.col(id_col), "bucket"
     )
-    # JOIN-shaped pair generation, deliberately NOT _grouped_pairs: with the
-    # vector+norm payload riding every collected struct, the grouped form's
-    # array_sort/slice copies of 512-byte rows measured ~2x slower than the
-    # streamed self-join (r7 A/B); the double bucket-pipeline evaluation the
-    # join costs is cheap here (_multi_dots made it one traversal).
-    b = _cap_buckets(base, ["bucket"], max_bucket_size)
-    l, r = b.alias("l"), b.alias("r")
+    pairs = _grouped_pairs(ids, ["bucket"], max_bucket_size, id_col=id_col).select(
+        F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
+    )
+    payload = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
     dot = F.aggregate(
         F.zip_with(
-            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x.cast("double") * y.cast("double")
+            F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")
         ),
         F.lit(0.0),
         lambda s, v: s + v,
     )
     return (
-        l.join(r.hint("merge"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        pairs.join(
+            payload.withColumnsRenamed({id_col: "a_id", vec_col: "_va", "_nrm": "_na"}), "a_id"
+        )
+        .join(
+            payload.withColumnsRenamed({id_col: "b_id", vec_col: "_vb", "_nrm": "_nb"}), "b_id"
+        )
         .select(
-            F.col(f"l.{id_col}").alias("a_id"),
-            F.col(f"r.{id_col}").alias("b_id"),
-            F.round(dot / (F.col("l._nrm") * F.col("r._nrm")), 6).alias("cosine"),
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

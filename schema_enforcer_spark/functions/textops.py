@@ -329,20 +329,24 @@ def top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
     no tolerance argument at all.
 
     Shape: one explode → tf groupBy (shuffle on (id, term), map-side
-    combine) → doc-freq groupBy (shuffle on term; input already one row
-    per (id, term) so count(*) IS document frequency) → join tf⋈df on term
-    → per-doc window top-k. Every shuffle is key-partitioned; no collects.
+    combine) → doc-freq as a WINDOWED count over the tf frame (one row per
+    (id, term), so count(*) over the term partition IS document frequency)
+    → per-doc window top-k. r7 rewrite: the earlier groupBy(term)+join-back
+    derived the whole explode+tf subtree TWICE (no automatic exchange
+    reuse — the `_cap_buckets` lesson); the window derives doc_freq in one
+    pass on the tf frame's own shuffle. Every shuffle is key-partitioned;
+    no collects.
     """
     from pyspark.sql.window import Window
 
     terms = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    wdf = Window.partitionBy("term")
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wdf))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "term", "tf", "doc_freq")
