@@ -1003,7 +1003,10 @@ def q48_cardinality_orders(spark, sf_dir):
     lineitem rows. Ref side pre-aggregated to |distinct keys| (map-side
     combine), co-partitioned left join, nothing broadcast or collected."""
     orders = _t(spark, sf_dir, "orders")
-    li = _spread(_t(spark, sf_dir, "lineitem"))
+    # no _spread on lineitem: the ref side is pre-aggregated with map-side
+    # combine, so the scan-side work is light — A/B at both SFs showed the
+    # repartition a wash at sf1.0 and a 0.3s loss at sf0.1 (r7)
+    li = _t(spark, sf_dir, "lineitem")
     m = manifest_from_dict(
         {
             "id": "schemas/orders_card",

@@ -25,7 +25,9 @@ sys.path.insert(0, REPO)
 # the round-5 fixes landed, with zero headroom — ANY increase means a
 # projection got re-inlined downstream (see _marker_count)
 MD5_BUDGET_Q32 = 10  # measured r7: centers subtree + per-row noise term, below the barrier
-MD5_BUDGET_Q40 = 1   # measured r7: ONE votes fold (bucket-local pair expansion, no self-join)
+MD5_BUDGET_Q40 = 2   # measured r7: one votes pipeline; md5 appears twice in ONE codegen
+                     # projection (lo/hi halves of the same token hash — whole-stage
+                     # subexpression elimination computes it once at runtime)
 
 
 def _formatted(df) -> str:
