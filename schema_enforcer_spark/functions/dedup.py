@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from schema_enforcer_spark.functions.textops import tokens
@@ -822,57 +822,87 @@ def connected_components_with_rounds(
     messages, so the per-round message volume collapses with the frontier
     instead of staying 2|E|. Lineage is cut with localCheckpoint each
     round so the plan doesn't grow. Convergence = empty frontier (no
-    label decreased), a limit(1) probe over the round's cached output."""
+    label decreased), read from an Observation riding each round's own
+    checkpoint job — no per-round probe job."""
     spark = pairs.sparkSession
-    # The edge list is the BIG side (2|E| rows) and every round joins it on
-    # src — pre-partition it by src ONCE so the per-round SortMergeJoin
-    # reuses the stored partitioning (localCheckpoint's LogicalRDD keeps
-    # outputPartitioning) and only the labels side (|V| rows) shuffles.
-    # AQE must be off for the duration: its non-final-plan checkpoint
-    # capture downgrades the stored partitioning to Unknown and the 2|E|
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Materialize the edge list ONCE, under the CALLER's session config —
+    # the expensive upstream pair-generation pipeline (minhash signatures,
+    # LSH buckets, Jaccard verify) runs here and should keep AQE's
+    # coalescing/skew handling; without this checkpoint every iteration
+    # (and every convergence probe) would re-execute that whole pipeline.
+    edges0 = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    # Loop-shuffle sizing is DATA-adaptive (guide §2: derive partitioning
+    # from input size, not a constant): AQE must be off inside the loop
+    # (below), so nothing coalesces the per-round shuffles — on a near-dup
+    # graph of a few hundred edges every round would otherwise run ~5
+    # shuffle stages of n_shuffle near-empty tasks each. The edge count is
+    # nearly free here (edges0 is materialized); size partitions at ~100k
+    # edge rows each, capped at the session setting, so big graphs
+    # (SCALE_CC's 10^7 edges) keep full parallelism and tiny ones stop
+    # paying per-task scheduling for empty partitions.
+    n_edges = edges0.count()
+    n_loop = max(1, min(n_shuffle, (n_edges + 99_999) // 100_000))
+    # AQE must be off for the LOOP: its non-final-plan checkpoint capture
+    # downgrades the stored partitioning to Unknown and the 2|E| edge-side
     # exchange comes back every round (verified via explain) — that
     # re-shuffle was the dominant N→4N scaling cost on 10^7-edge graphs.
     # AQE gives this fixed-partition, map-side-combined loop nothing in
     # exchange (skewed hot keys are degree-bounded per-partition rows).
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _cc_rounds_impl(pairs, a_col, b_col, max_iter)
+        if n_loop == 1:
+            # coalesce is a narrow op on the already-materialized
+            # checkpoint — no extra job, and SinglePartition satisfies
+            # every join distribution, so the per-round edge-side exchange
+            # stays gone without a repartition pass
+            edges = edges0.coalesce(1)
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+        else:
+            # pre-partition by src ONCE (AQE off ⇒ localCheckpoint's
+            # LogicalRDD keeps outputPartitioning) so the per-round
+            # SortMergeJoin reuses it and only the labels side shuffles;
+            # one cheap extra pass over materialized (src, dst) longs
+            if n_loop < n_shuffle:
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_loop))
+            edges = edges0.repartition(n_loop, "src").localCheckpoint()
+        return _cc_loop(edges, n_loop, max_iter)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
 
 
-def _cc_rounds_impl(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
-    max_iter: int,
-) -> tuple[DataFrame, int]:
-    n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .dropDuplicates()
-        .repartition(n_shuffle, "src")
-        # materialize ONCE: without this every iteration (and every
-        # convergence probe) re-executes the full upstream pair-generation
-        # pipeline — minhash signatures, the LSH self-join, Jaccard verify
-        .localCheckpoint()
-    )
+def _cc_loop(edges: DataFrame, n_loop: int, max_iter: int) -> tuple[DataFrame, int]:
     labels = (
         edges.select(F.col("src").alias("v"))
         .dropDuplicates()
         .withColumn("component", F.col("v"))
-        .localCheckpoint()
     )
+    if n_loop > 1:
+        # On a single-partition loop the seed dedup fuses into round 1's
+        # own job (both reads — inc via `changed` and the cand join — are
+        # narrow over the materialized edges), so the checkpoint's job
+        # barrier buys nothing. Big graphs keep it: each un-checkpointed
+        # read re-shuffles 2|E| rows.
+        labels = labels.localCheckpoint()
     # DELTA propagation: only vertices whose label DECREASED last round send
     # messages (round 1: everyone). A min label travels by strictly
     # decreasing the labels along its path, so every hop re-enters the
     # frontier — identical fixpoint to full re-send, but rounds after the
     # first touch only the shrinking frontier instead of all 2|E| messages
     # (on converging near-dup graphs the frontier collapses fast).
-    # Convergence = empty frontier (no label decreased), checked with a
-    # limit(1) probe on the cached round output — no extra aggregation.
+    # Convergence = empty frontier (no label decreased), read from an
+    # Observation riding the round's own checkpoint job — zero extra jobs
+    # and no post-hoc scan of the round output (the old limit(1) probe was
+    # one full job barrier per round; verified: Observation metrics DO fire
+    # on localCheckpoint's internal action).
     changed = labels
     converged = False
     rounds = 0
@@ -897,16 +927,25 @@ def _cc_rounds_impl(
         # constraint rewriting) and costs nothing: reach still doubles per
         # round (label_old(label_prop(v)) covers ~2r+1 hops). Left join: a
         # fully-compressed label may point at a root absent from the keys.
-        ptr = labels.select(F.col("v").alias("_pv"), F.col("component").alias("_pc"))
-        jumped = cand.join(ptr, cand["_m"] == ptr["_pv"], "left").select(
-            cand["v"],
-            cand["_old"],
-            F.least(cand["_m"], F.coalesce(ptr["_pc"], cand["_m"])).alias("component"),
-        )
-        round_out = jumped.localCheckpoint()
+        # Round 1 skips the jump: labels is still the identity seed
+        # (component == v), so chasing _m through it returns _m unchanged —
+        # the join is provably a no-op and costs two shuffles.
+        if rounds == 1:
+            jumped = cand.select("v", "_old", F.col("_m").alias("component"))
+        else:
+            ptr = labels.select(F.col("v").alias("_pv"), F.col("component").alias("_pc"))
+            jumped = cand.join(ptr, cand["_m"] == ptr["_pv"], "left").select(
+                cand["v"],
+                cand["_old"],
+                F.least(cand["_m"], F.coalesce(ptr["_pc"], cand["_m"])).alias("component"),
+            )
+        obs = Observation(f"cc_round_{rounds}")
+        round_out = jumped.observe(
+            obs, F.sum((F.col("component") < F.col("_old")).cast("long")).alias("n_changed")
+        ).localCheckpoint()
         labels = round_out.select("v", "component")
         changed = round_out.filter(F.col("component") < F.col("_old")).select("v", "component")
-        if changed.limit(1).count() == 0:
+        if not (obs.get.get("n_changed") or 0):  # None on an empty frame
             converged = True
             break
     if not converged:
