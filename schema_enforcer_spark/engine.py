@@ -180,6 +180,13 @@ class ValidationEngine:
         # stored drift baselines (rule id → compute_histogram dict) — the
         # --write-baseline/--baseline lifecycle; inline rule baselines win
         self.drift_baselines = drift_baselines or {}
+        # prepared-plan memo for _row_violation_array, keyed by input
+        # DataFrame identity (see that method); (df, column) pairs — the df
+        # reference pins the id() against reuse after GC
+        self._row_arr_memo: dict[int, tuple[DataFrame, Column | None]] = {}
+        # prepared-plan memo for violations()/verdicts() construction (see
+        # violations() — lazy-plan manifests only, never eager rule kinds)
+        self._plan_memo: dict[tuple, tuple] = {}
 
     # -- helpers -----------------------------------------------------------
 
@@ -645,7 +652,24 @@ class ValidationEngine:
         column — the single-pass building block shared by
         :meth:`row_violations` (single manifest) and :func:`validate_many`
         (multi-manifest fused scan). None when the manifest has no row
-        rules."""
+        rules.
+
+        The built Column is memoized per input-DataFrame identity:
+        assembling it costs hundreds of driver↔JVM round trips (~0.2-0.3 s
+        for a 10-20-rule manifest — measured r7, a third of the whole
+        validate() wall time on a warm 2.3M-row input) and depends only on
+        the manifest and the input's schema, so re-validating the same
+        DataFrame (multiple report consumers, repeated CLI tables, bench
+        trials) shouldn't rebuild it. This is plan PREPARATION reuse only —
+        the expression is lazy, so every action still computes from the
+        input; no data or results are cached. Keyed by id(df) with the df
+        pinned in the entry (never by schema alone: compiled pieces may
+        hold df-bound attribute references, which don't transfer to a
+        different DataFrame of the same shape)."""
+        memo_key = id(df)
+        hit = self._row_arr_memo.get(memo_key)
+        if hit is not None and hit[0] is df:
+            return hit[1]
         compiled = compile_row_rules(df, self.manifest) + self._compile_conditionals(df)
         item_arrays = (
             self._items_violation_arrays(df)
@@ -654,21 +678,26 @@ class ValidationEngine:
             + self._property_names_violation_arrays(df)
         )
         if not compiled and not item_arrays:
-            return None
-        structs = [
-            F.when(
-                ~F.coalesce(cr.predicate, F.lit(True)),
-                F.struct(
-                    F.lit(cr.rule_id).alias("schema_id"),
-                    self._path(df, cr.column).alias("absolute_path"),
-                    cr.failing_value.alias("failing_value"),
-                    cr.message.alias("message"),
-                ),
-            )
-            for cr in compiled
-        ]
-        arrays = ([F.array_compact(F.array(*structs))] if structs else []) + item_arrays
-        return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+            combined = None
+        else:
+            structs = [
+                F.when(
+                    ~F.coalesce(cr.predicate, F.lit(True)),
+                    F.struct(
+                        F.lit(cr.rule_id).alias("schema_id"),
+                        self._path(df, cr.column).alias("absolute_path"),
+                        cr.failing_value.alias("failing_value"),
+                        cr.message.alias("message"),
+                    ),
+                )
+                for cr in compiled
+            ]
+            arrays = ([F.array_compact(F.array(*structs))] if structs else []) + item_arrays
+            combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+        if len(self._row_arr_memo) >= 8:  # bounded: drop the oldest entry
+            self._row_arr_memo.pop(next(iter(self._row_arr_memo)))
+        self._row_arr_memo[memo_key] = (df, combined)
+        return combined
 
     def row_violations(self, df: DataFrame) -> DataFrame | None:
         combined = self._row_violation_array(df)
@@ -1715,13 +1744,52 @@ class ValidationEngine:
 
     # -- orchestration -----------------------------------------------------
 
+    # Rule kinds whose violation DataFrames are built EAGERLY (they run
+    # Spark jobs during construction: equals_table's hash precompare
+    # localCheckpoints digests, drift collects the current histogram) —
+    # memoizing their construction would reuse computed DATA across calls,
+    # not just a plan, so the prepared-plan memo below must skip them.
+    _EAGER_RULE_KINDS = frozenset({"equals_table", "drift"})
+
     def violations(
         self,
         df: DataFrame,
         ref_tables: dict[str, DataFrame] | None = None,
         include_row_rules: bool = True,
     ) -> DataFrame:
+        """Assemble the full violations frame. Construction is memoized per
+        (input identity, ref-table identities, include_row_rules) when every
+        rule builds lazily — assembling 15+ rule plans costs ~0.3-0.5 s of
+        driver↔JVM round trips (measured r7) and repeat consumers (bench
+        trials, report + quarantine over one input) shouldn't pay it twice.
+        Plan preparation only: actions on the returned frame always
+        recompute from the input; manifests with any eager rule kind
+        (equals_table, drift) are never memoized."""
         ref_tables = ref_tables or {}
+        memo_key = None
+        if not any(r.kind in self._EAGER_RULE_KINDS for r in self.manifest.table_rules):
+            memo_key = (
+                id(df),
+                tuple(sorted((k, id(v)) for k, v in ref_tables.items())),
+                include_row_rules,
+            )
+            hit = self._plan_memo.get(memo_key)
+            # the pinned refs guard id() reuse after GC, like _row_arr_memo
+            if hit is not None and hit[0] is df and all(a is b for a, b in zip(hit[1], ref_tables.values())):
+                return hit[2]
+        out = self._violations_impl(df, ref_tables, include_row_rules)
+        if memo_key is not None:
+            if len(self._plan_memo) >= 8:
+                self._plan_memo.pop(next(iter(self._plan_memo)))
+            self._plan_memo[memo_key] = (df, tuple(ref_tables.values()), out)
+        return out
+
+    def _violations_impl(
+        self,
+        df: DataFrame,
+        ref_tables: dict[str, DataFrame],
+        include_row_rules: bool,
+    ) -> DataFrame:
         parts: list[DataFrame] = []
         # include_row_rules=False: validate_many computes every engine's row
         # rules in ONE fused projection over a single scan; only table-grain
@@ -1791,6 +1859,20 @@ class ValidationEngine:
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def verdicts(self, df: DataFrame, violations: DataFrame) -> DataFrame:
+        # construction-only memo, same contract as violations(): the verdict
+        # plan is always lazy, so keying on the exact (df, violations) pair
+        # of inputs reuses pure plan assembly and nothing else
+        memo_key = ("verdicts", id(df), id(violations))
+        hit = self._plan_memo.get(memo_key)
+        if hit is not None and hit[0] is df and hit[1] is violations:
+            return hit[2]
+        out = self._verdicts_impl(df, violations)
+        if len(self._plan_memo) >= 8:
+            self._plan_memo.pop(next(iter(self._plan_memo)))
+        self._plan_memo[memo_key] = (df, violations, out)
+        return out
+
+    def _verdicts_impl(self, df: DataFrame, violations: DataFrame) -> DataFrame:
         # The universe is every data partition PLUS any instance name that
         # appears only in violations — table-grain rules (strict_columns,
         # drift) attribute to instance 'table', which no data row carries; a
@@ -1908,6 +1990,40 @@ def validate_many(
     ref_tables = ref_tables or {}
     if len(engines) == 1:
         return engines[0].validate(df, ref_tables, cache_violations=cache_violations)
+    # Construction memo, same contract as ValidationEngine.violations():
+    # assembling the fused multi-manifest plan costs ~0.3 s of driver↔JVM
+    # round trips; everything below is lazy plan building when no engine
+    # carries an eager rule kind, so repeat calls over the same inputs
+    # (bench trials, report consumers) reuse the prepared (all_v, verdicts)
+    # pair — persist/unpersist still happens per call, actions recompute.
+    memo_host = engines[0]._plan_memo if engines else None
+    memo_key = None
+    if memo_host is not None and not any(
+        r.kind in ValidationEngine._EAGER_RULE_KINDS for e in engines for r in e.manifest.table_rules
+    ):
+        memo_key = (
+            "validate_many",
+            tuple(id(e) for e in engines),
+            id(df),
+            tuple(sorted((k, id(v)) for k, v in ref_tables.items())),
+        )
+        hit = memo_host.get(memo_key)
+        if (
+            hit is not None
+            and hit[0] is df
+            and all(a is b for a, b in zip(hit[1], engines))
+            and len(hit[1]) == len(engines)
+        ):
+            all_v, verdicts = hit[2], hit[3]
+            if cache_violations:
+                from pyspark.storagelevel import StorageLevel
+
+                all_v = all_v.persist(StorageLevel.MEMORY_AND_DISK)
+            return ValidationReport(
+                violations=all_v.drop("_mid"),
+                verdicts=verdicts,
+                cached=all_v if cache_violations else None,
+            )
     tagged: list[Column] = []
     for e in engines:
         arr = e._row_violation_array(df)
@@ -1973,6 +2089,10 @@ def validate_many(
             for e in engines
         ],
     )
+    if memo_key is not None:
+        if len(memo_host) >= 8:
+            memo_host.pop(next(iter(memo_host)))
+        memo_host[memo_key] = (df, tuple(engines), all_v, verdicts)
     return ValidationReport(
         violations=all_v.drop("_mid"),
         verdicts=verdicts,
