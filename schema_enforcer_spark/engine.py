@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -950,21 +950,29 @@ class ValidationEngine:
         # branch, the fetch-back key list, AND the broadcast-vs-fallback
         # decision — without the checkpoint each consumer would re-run the
         # whole pass-1 join (the derived-table-reuse trap, CLAUDE.md r4)
-        mis = pre.filter(flagged).localCheckpoint(eager=True)
         max_fetch = int(rule.get("max_fetch_keys", 2_000_000))
-        # ONE job for the fallback decision AND the fetch range bounds:
-        # every separate action is a full scheduler barrier whose wall time
-        # is set by the slowest executor — hash mode already pays three
-        # (checkpoint, this, broadcast build), so the count and the
-        # min/max ride the same tiny aggregate over the checkpointed
-        # mismatch set. Bounds cover only both-present rows (the fetch
-        # set); side-missing rows need no values.
+        # ZERO extra jobs for the fallback decision AND the fetch range
+        # bounds: every separate action is a full scheduler barrier whose
+        # wall time is set by the slowest executor (this host's steal
+        # bursts amplify exactly these barriers — BENCH/BASELINE.md r6), so
+        # the count and min/max ride an Observation on the checkpoint's own
+        # materialization job (the same trick the CC loop's convergence
+        # probe uses; verified the metrics fire on localCheckpoint). Bounds
+        # cover only both-present rows (the fetch set); side-missing rows
+        # need no values.
         _bp = F.col("_l").isNotNull() & F.col("_r").isNotNull()
-        _stats = mis.agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.min(F.when(_bp, F.col(c))).alias(f"lo_{c}") for c in keys],
-            *[F.max(F.when(_bp, F.col(c))).alias(f"hi_{c}") for c in keys],
-        ).first()
+        obs = Observation("equals_hash_stats")
+        mis = (
+            pre.filter(flagged)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("_n"),
+                *[F.min(F.when(_bp, F.col(c))).alias(f"lo_{c}") for c in keys],
+                *[F.max(F.when(_bp, F.col(c))).alias(f"hi_{c}") for c in keys],
+            )
+            .localCheckpoint(eager=True)
+        )
+        _stats = obs.get
         if _stats["_n"] > max_fetch:
             left = df.select(
                 *keys, *comp, self._instance_col(df).alias("_inst"), F.lit(1).alias("_l")
