@@ -831,10 +831,14 @@ def connected_components_with_rounds(
     # LSH buckets, Jaccard verify) runs here and should keep AQE's
     # coalescing/skew handling; without this checkpoint every iteration
     # (and every convergence probe) would re-execute that whole pipeline.
+    e_obs = Observation("cc_edge_count")
     edges0 = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .dropDuplicates()
+        # the edge count rides the checkpoint's own materialization job
+        # (same Observation trick as the loop's convergence probe)
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     # Loop-shuffle sizing is DATA-adaptive (guide §2: derive partitioning
@@ -842,11 +846,11 @@ def connected_components_with_rounds(
     # (below), so nothing coalesces the per-round shuffles — on a near-dup
     # graph of a few hundred edges every round would otherwise run ~5
     # shuffle stages of n_shuffle near-empty tasks each. The edge count is
-    # nearly free here (edges0 is materialized); size partitions at ~100k
+    # free here (it rode the checkpoint job); size partitions at ~100k
     # edge rows each, capped at the session setting, so big graphs
     # (SCALE_CC's 10^7 edges) keep full parallelism and tiny ones stop
     # paying per-task scheduling for empty partitions.
-    n_edges = edges0.count()
+    n_edges = e_obs.get["n"]
     n_loop = max(1, min(n_shuffle, (n_edges + 99_999) // 100_000))
     # AQE must be off for the LOOP: its non-final-plan checkpoint capture
     # downgrades the stored partitioning to Unknown and the 2|E| edge-side

@@ -272,20 +272,26 @@ def boilerplate_report(
     Returns (id, n_grams, n_boilerplate, boilerplate_fraction); docs with
     fewer than n tokens report 0 grams / fraction 0.0.
     """
+    from pyspark.sql import Observation
+
     grams = exploded_distinct_ngrams(df, text_col, id_col, n)
+    obs = Observation("boilerplate_head_count")
     frequent = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_df)
         .select("gram", F.lit(1).alias("_hit"))
-        # materialize ONCE: the guard count below is a separate action, and
-        # without this it would re-run the full corpus-wide gram aggregation
-        # a second time for the broadcast join (the derived-table reuse trap)
+        # the guard count rides the checkpoint's own materialization job
+        # (Observation fires on localCheckpoint — the CC-loop trick), so
+        # the head is aggregated ONCE with no second action; without the
+        # checkpoint the broadcast join would re-run the corpus-wide gram
+        # aggregation (the derived-table reuse trap)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    # one count-only action over the aggregated (tiny) side; the limit is a
-    # hard guard on broadcast size, ~50 bytes/gram → default ≈ 100 MB
-    n_frequent = frequent.count()
+    # the limit is a hard guard on broadcast size, ~50 bytes/gram →
+    # default ≈ 100 MB
+    n_frequent = obs.get["n"]
     if n_frequent > max_broadcast_grams:
         raise RuntimeError(
             f"boilerplate_report: frequent-gram head has {n_frequent} grams "
