@@ -826,57 +826,56 @@ def connected_components_with_rounds(
     checkpoint job — no per-round probe job."""
     spark = pairs.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Materialize the edge list ONCE, under the CALLER's session config —
-    # the expensive upstream pair-generation pipeline (minhash signatures,
-    # LSH buckets, Jaccard verify) runs here and should keep AQE's
-    # coalescing/skew handling; without this checkpoint every iteration
-    # (and every convergence probe) would re-execute that whole pipeline.
-    e_obs = Observation("cc_edge_count")
-    edges0 = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .dropDuplicates()
-        # the edge count rides the checkpoint's own materialization job
-        # (same Observation trick as the loop's convergence probe)
-        .observe(e_obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
-    # Loop-shuffle sizing is DATA-adaptive (guide §2: derive partitioning
-    # from input size, not a constant): AQE must be off inside the loop
-    # (below), so nothing coalesces the per-round shuffles — on a near-dup
-    # graph of a few hundred edges every round would otherwise run ~5
-    # shuffle stages of n_shuffle near-empty tasks each. The edge count is
-    # free here (it rode the checkpoint job); size partitions at ~100k
-    # edge rows each, capped at the session setting, so big graphs
-    # (SCALE_CC's 10^7 edges) keep full parallelism and tiny ones stop
-    # paying per-task scheduling for empty partitions.
-    n_edges = e_obs.get["n"]
-    n_loop = max(1, min(n_shuffle, (n_edges + 99_999) // 100_000))
-    # AQE must be off for the LOOP: its non-final-plan checkpoint capture
-    # downgrades the stored partitioning to Unknown and the 2|E| edge-side
-    # exchange comes back every round (verified via explain) — that
-    # re-shuffle was the dominant N→4N scaling cost on 10^7-edge graphs.
-    # AQE gives this fixed-partition, map-side-combined loop nothing in
-    # exchange (skewed hot keys are degree-bounded per-partition rows).
+    # AQE must be off from the edge materialization through the LOOP: its
+    # non-final-plan checkpoint capture downgrades the stored partitioning
+    # to Unknown and the 2|E| edge-side exchange comes back every round
+    # (verified via explain) — that re-shuffle was the dominant N→4N
+    # scaling cost on 10^7-edge graphs. AQE gives this fixed-partition,
+    # map-side-combined loop nothing in exchange (skewed hot keys are
+    # degree-bounded per-partition rows).
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # Materialize the edge list ONCE, already pre-partitioned by src
+        # (AQE off ⇒ localCheckpoint's LogicalRDD keeps outputPartitioning)
+        # so the per-round SortMergeJoin reuses it and only the labels side
+        # shuffles; without this checkpoint every iteration (and every
+        # convergence probe) would re-execute the whole upstream
+        # pair-generation pipeline — minhash signatures, LSH buckets,
+        # Jaccard verify. The edge count rides the checkpoint's own
+        # materialization job (same Observation trick as the loop's
+        # convergence probe).
+        e_obs = Observation("cc_edge_count")
+        edges = (
+            pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+            .dropDuplicates()
+            .repartition(n_shuffle, "src")
+            .observe(e_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        # Loop-shuffle sizing is DATA-adaptive (guide §2: derive
+        # partitioning from input size, not a constant): AQE is off, so
+        # nothing coalesces the per-round shuffles — on a near-dup graph of
+        # a few hundred edges every round would otherwise run ~5 shuffle
+        # stages of n_shuffle near-empty tasks each. Size at ~100k edge
+        # rows per partition, capped at the session setting: big graphs
+        # (SCALE_CC's 10^7 edges) keep the checkpoint exactly as built
+        # (full parallelism, no second pass), tiny ones coalesce — a
+        # narrow op on the materialized checkpoint (no extra job), and
+        # SinglePartition satisfies every join distribution so the
+        # per-round edge-side exchange stays gone.
+        n_edges = e_obs.get["n"]
+        n_loop = max(1, min(n_shuffle, (n_edges + 99_999) // 100_000))
         if n_loop == 1:
-            # coalesce is a narrow op on the already-materialized
-            # checkpoint — no extra job, and SinglePartition satisfies
-            # every join distribution, so the per-round edge-side exchange
-            # stays gone without a repartition pass
-            edges = edges0.coalesce(1)
+            edges = edges.coalesce(1)
             spark.conf.set("spark.sql.shuffle.partitions", "1")
-        else:
-            # pre-partition by src ONCE (AQE off ⇒ localCheckpoint's
-            # LogicalRDD keeps outputPartitioning) so the per-round
-            # SortMergeJoin reuses it and only the labels side shuffles;
-            # one cheap extra pass over materialized (src, dst) longs
-            if n_loop < n_shuffle:
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_loop))
-            edges = edges0.repartition(n_loop, "src").localCheckpoint()
+        elif n_loop < n_shuffle:
+            # mid-size graphs: shrink the loop's shuffles; one cheap extra
+            # pass over the (small by definition) materialized edges
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_loop))
+            edges = edges.repartition(n_loop, "src").localCheckpoint()
         return _cc_loop(edges, n_loop, max_iter)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
