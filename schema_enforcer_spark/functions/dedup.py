@@ -97,6 +97,42 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(F.lower(text))), build), 1)
 
 
+def _shingle_hashes(text: Column, n: int = 3, seed: int = 42) -> Column:
+    """The shingle SET as distinct xxhash64 longs of the token n-tuples —
+    the r7 hot-path representation of word_shingles (guide §2.3, narrower
+    types). Never builds the ~20-byte concat string per shingle: the main
+    branch hashes the n tokens as a tuple (tuple equality == string
+    equality, since tokens contain no whitespace), the <n fallback hashes
+    the joined remainder (string-distinct across docs exactly like
+    word_shingles; a cross-branch hash collision — a full short doc vs an
+    n-tuple — needs an xxhash64 collision, ~2^-64). Set cardinalities,
+    intersections and unions therefore match word_shingles' w.h.p., so
+    Jaccard values computed over these longs are identical to the string
+    form's — asserted by the oracle gate (exact DuckDB all-pairs twins) and
+    the v0-vs-hashed multiset diff run at adoption (0 diffs, sf0.01+sf0.1).
+    The minhash/banding recall argument is unchanged (miss prob ~1e-23 at
+    J=0.9 with 64 hashes / 32 bands) but the dice are re-rolled: signatures
+    built from these hashes differ from minhash_signature(word_shingles)'s,
+    so candidate sets can differ in false positives only — the exact verify
+    keeps every emitted result identical."""
+
+    def build(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.array_distinct(
+            F.when(
+                cnt >= n,
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.xxhash64(
+                        F.lit(seed), *[F.element_at(toks, i + k + 1) for k in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array(F.xxhash64(F.lit(seed), F.concat_ws(" ", toks))))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(text))), build), 1)
+
+
 # splitmix64-style constants for deriving the K universal-hash permutations
 _MH_MULT = 0x9E3779B97F4A7C15
 _MH_MIX = 0xBF58476D1CE4E5B9
@@ -153,25 +189,45 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
 def _banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, seed) -> DataFrame:
     """(_id, band, bucket) rows: one LSH bucket assignment per band.
 
-    Bucket value (r7): ``xxhash64`` over the band's minhash LONGS directly —
-    the previous string render (cast each minhash to string, concat_ws,
-    hash the string) was ~60% of the whole signature pipeline's cost at
-    sf1.0. Bucket VALUES differ from r6 but their equality classes are the
-    same (same 64-bit hash of the same band slice, collisions ~n²/2⁶⁴ and
-    absorbed by the exact verify), so candidate sets — and therefore every
-    verified result — are unchanged. Stored indexes from build_minhash_index
-    must be REBUILT across this change (bucket values are, as documented,
-    meaningless across parameterizations — now across engine versions too).
-    posexplode of a plain long array replaces the struct-array explode."""
+    Two r7 rewrites, same verified results:
+
+    - Bucket value: ``xxhash64`` over the band's minhash LONGS directly —
+      the previous string render (cast each minhash to string, concat_ws,
+      hash the string) was ~60% of the whole signature pipeline's cost at
+      sf1.0. Collisions ~n²/2⁶⁴ are absorbed by the exact verify.
+    - Signature: the K minhashes are computed as K whole-stage-codegen MIN
+      aggregates over the EXPLODED per-doc shingle-hash array
+      (_shingle_hashes), replacing the interpreted aggregate+zip_with fold
+      over string shingles — the same fold→codegen-agg move that won ~6x
+      for the simhash votes (integer MIN is order-independent, so the
+      signature values are exactly the fold's for the same hash inputs).
+      Map-side partial aggregation keeps the added id-keyed exchange at
+      |docs|×K longs — the same bytes the signature row carried anyway.
+      The hash BASIS changed from xxhash64(shingle_string, seed) to
+      xxhash64(seed, tok_1..tok_n) (see _shingle_hashes), so signature and
+      bucket VALUES differ from earlier revisions: candidate sets are
+      equal-recall re-rolls (banding miss prob ~1e-23 at J=0.9), false
+      positives are dropped by the exact verify, and the adoption A/B
+      measured 0 output diffs on sf0.01+sf0.1. Stored indexes from
+      build_minhash_index must be REBUILT across this change (bucket
+      values are, as documented, meaningless across parameterizations —
+      and across engine versions)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    consts = _perm_consts(num_hashes, seed)
+    ex = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed).alias("_sig"),
+        F.explode(_shingle_hashes(F.col(text_col), shingle_n, seed)).alias("_h"),
+    ).select("_id", F.col("_h").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
     )
     buckets = F.array(
         *[
             F.xxhash64(
-                *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
             )
             for b in range(bands)
         ]
@@ -315,8 +371,14 @@ def minhash_near_dups(
     and its extra scans + checkpoint barrier cost ~2s at sf1.0."""
     lsh_kwargs.setdefault("max_bucket_size", 5000)
     shingle_n = lsh_kwargs.get("shingle_n", 3)
+    seed = lsh_kwargs.get("seed", 42)
     cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    # hashed shingle sets (longs, not ~20-byte strings) — identical Jaccard
+    # values w.h.p. (_shingle_hashes docstring), smaller attach-join bytes,
+    # cheaper intersect/union per pair
+    sh = df.select(
+        F.col(id_col).alias("_id"), _shingle_hashes(F.col(text_col), shingle_n, seed).alias("_sh")
+    )
     verified = (
         cands.join(sh.withColumnsRenamed({"_id": "a_id", "_sh": "_sha"}), "a_id")
         .join(sh.withColumnsRenamed({"_id": "b_id", "_sh": "_shb"}), "b_id")
@@ -421,10 +483,10 @@ def match_against_index(
         .dropDuplicates()
     )
     sh_new = new_df.select(
-        F.col(id_col).alias("new_id"), word_shingles(F.col(text_col), shingle_n).alias("_shn")
+        F.col(id_col).alias("new_id"), _shingle_hashes(F.col(text_col), shingle_n, seed).alias("_shn")
     )
     sh_cor = corpus_df.select(
-        F.col(id_col).alias("corpus_id"), word_shingles(F.col(text_col), shingle_n).alias("_shc")
+        F.col(id_col).alias("corpus_id"), _shingle_hashes(F.col(text_col), shingle_n, seed).alias("_shc")
     )
     return (
         cands.join(sh_new, "new_id")
