@@ -56,32 +56,38 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 def exact_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Like column_stats but exact COUNT(DISTINCT) — used where a SQL oracle
-    must reproduce the numbers bit-for-bit."""
+    must reproduce the numbers bit-for-bit.
+
+    Plan shape (r7): one single-column aggregation subtree PER column,
+    unioned — not one wide agg with N count_distincts. The wide form plans
+    as Expand x (N+1): every input row is duplicated once per distinct
+    group before partial aggregation (2.3M events -> 14M expanded rows for
+    5 columns). Per-column subtrees dedup single-column rows instead
+    (Expand x2 at most), each scan is column-pruned to its own column so
+    total bytes read stay ~one full scan, and the N independent stages run
+    concurrently inside the one job. Values are identical (same min/max/
+    null_rate/count_distinct expressions); row order across the union is
+    arbitrary, as any multiset consumer must already assume. Measured
+    1.44 -> 1.18 s on 1M-row events x5 columns (best-of-4 interleaved)."""
     columns = columns or df.columns
-    aggs = []
+    parts = []
     for c in columns:
         # min/max on the NATIVE type (numeric order), cast to string after —
         # string-cast-then-min would compare lexicographically ("99" > "149")
-        aggs += [
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-        ]
-    wide = df.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"{c}__min").alias("min"),
-                F.col(f"{c}__max").alias("max"),
-                F.col(f"{c}__null_rate").alias("null_rate"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
+        parts.append(
+            df.select(F.col(c))
+            .agg(
+                F.min(F.col(c)).cast("string").alias("min"),
+                F.max(F.col(c)).cast("string").alias("max"),
+                F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias("null_rate"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
             )
-            for c in columns
-        ]
-    )
-    return wide.select(F.explode(structs).alias("s")).select("s.*")
+            .select(F.lit(c).alias("column"), "min", "max", "null_rate", "n_distinct")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def hll_sketches(df: DataFrame, columns: list[str], group_by: str | None = "partition_id") -> DataFrame:
